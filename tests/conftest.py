@@ -1,0 +1,28 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (no TPU required), mirroring the
+reference's strategy of keeping correctness tests service-free
+(SURVEY.md §4): the NumPy oracle plays the role the mocked Qdrant/Memgraph
+clients play in the reference tests.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def sample_project_path() -> Path:
+    """Polyglot fixture mini-repo (analog of reference tests/fixtures/sample_project)."""
+    return Path(__file__).parent / "fixtures" / "sample_project"
