@@ -1,0 +1,253 @@
+"""HBM-resident vector index with payload filtering.
+
+This replaces the Qdrant server + client (reference `embeddings/client.py:18-228`):
+- two named collections (`code_chunks`, `summaries`, `client.py:13-15`) ->
+  two `ChunkStore` instances owned by `VectorIndexer`
+- cosine-distance vectors sized to the embedding dim (`client.py:93-102`) ->
+  L2-normalized rows in a `[capacity, d]` device matrix (bf16 by default),
+  scored by MXU matmul in `ops/topk.py`
+- keyword payload indexes on file_path/entity_type/language/content_hash/
+  project_name (`client.py:77-113`) -> host inverted indexes producing
+  boolean row masks ANDed into the score kernel
+- upsert/delete/scroll (`client.py:115-202`) -> freelist rows + device
+  row writes; `file_needs_update` via the stored content-hash column
+
+Capacity grows geometrically; deleted rows go to a freelist and are masked
+out of search by the `valid` bitmap, so deletion is O(1) and never reshapes
+the device array (append segments + reuse, SURVEY §7 hard part (d)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_tpu.core.errors import VectorStoreError
+from lattice_tpu.ops import topk as topk_ops
+
+# Payload fields with inverted indexes (reference `embeddings/client.py:103-113`).
+INDEXED_FIELDS = ("file_path", "entity_type", "language", "content_hash",
+                  "project_name")
+
+
+class ChunkStore:
+    def __init__(self, dim: int, dtype: str = "bfloat16",
+                 initial_capacity: int = 1024, device_put: bool = True):
+        if dim <= 0:
+            raise VectorStoreError(f"bad dim {dim}")
+        self.dim = dim
+        self.dtype = jnp.dtype(dtype)
+        self._cap = max(int(initial_capacity), 8)
+        self._emb = jnp.zeros((self._cap, dim), dtype=self.dtype)
+        self._valid = jnp.zeros((self._cap,), dtype=bool)
+        self._valid_host = np.zeros((self._cap,), dtype=bool)
+        self._payloads: list[dict[str, Any] | None] = [None] * self._cap
+        self._free: list[int] = []
+        self._size = 0
+        self._next = 0
+        self._inverted: dict[str, dict[Any, set[int]]] = {f: {} for f in INDEXED_FIELDS}
+        self._device_put = device_put
+
+    # ---- capacity ------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._size
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    def _grow(self, needed: int) -> None:
+        new_cap = self._cap
+        while new_cap < needed:
+            new_cap *= 2
+        pad = new_cap - self._cap
+        self._emb = jnp.concatenate(
+            [self._emb, jnp.zeros((pad, self.dim), dtype=self.dtype)], axis=0)
+        self._valid = jnp.concatenate(
+            [self._valid, jnp.zeros((pad,), dtype=bool)], axis=0)
+        self._valid_host = np.concatenate(
+            [self._valid_host, np.zeros((pad,), dtype=bool)])
+        self._payloads.extend([None] * pad)
+        self._cap = new_cap
+
+    # ---- mutation ------------------------------------------------------
+
+    def add(self, vectors: np.ndarray,
+            payloads: Sequence[dict[str, Any]]) -> list[int]:
+        """Insert normalized rows; returns assigned row ids."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        if vectors.shape[1] != self.dim:
+            raise VectorStoreError(
+                f"dim mismatch: got {vectors.shape[1]}, store is {self.dim}")
+        if len(payloads) != len(vectors):
+            raise VectorStoreError("payloads/vectors length mismatch")
+        n = len(vectors)
+        rows: list[int] = []
+        for _ in range(n):
+            if self._free:
+                rows.append(self._free.pop())
+            else:
+                rows.append(self._next)
+                self._next += 1
+        if self._next > self._cap:
+            self._grow(self._next)
+        normed = topk_ops.l2_normalize(vectors).astype(self.dtype)
+        idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
+        self._emb = self._emb.at[idx].set(jnp.asarray(normed))
+        self._valid = self._valid.at[idx].set(True)
+        for row, payload in zip(rows, payloads):
+            self._valid_host[row] = True
+            self._payloads[row] = dict(payload)
+            for f in INDEXED_FIELDS:
+                if f in payload and payload[f] is not None:
+                    self._inverted[f].setdefault(payload[f], set()).add(row)
+        self._size += n
+        return rows
+
+    def _drop_row(self, row: int) -> None:
+        payload = self._payloads[row]
+        if payload is None:
+            return
+        for f in INDEXED_FIELDS:
+            v = payload.get(f)
+            if v is not None:
+                bucket = self._inverted[f].get(v)
+                if bucket is not None:
+                    bucket.discard(row)
+                    if not bucket:
+                        del self._inverted[f][v]
+        self._payloads[row] = None
+        self._valid_host[row] = False
+        self._free.append(row)
+        self._size -= 1
+
+    def remove(self, rows: Sequence[int]) -> int:
+        live = [r for r in rows if self._payloads[r] is not None]
+        if not live:
+            return 0
+        idx = jnp.asarray(np.asarray(live, dtype=np.int32))
+        self._valid = self._valid.at[idx].set(False)
+        for r in live:
+            self._drop_row(r)
+        return len(live)
+
+    def delete_by_filter(self, filters: dict[str, Any]) -> int:
+        """Reference: delete points by filter (`embeddings/client.py:159`)."""
+        rows = self._filter_rows(filters)
+        return self.remove(sorted(rows))
+
+    def delete_file(self, file_path: str) -> int:
+        return self.delete_by_filter({"file_path": file_path})
+
+    def clear(self) -> None:
+        self._valid = jnp.zeros((self._cap,), dtype=bool)
+        self._valid_host[:] = False
+        self._payloads = [None] * self._cap
+        self._free = []
+        self._size = 0
+        self._next = 0
+        self._inverted = {f: {} for f in INDEXED_FIELDS}
+
+    # ---- filters -------------------------------------------------------
+
+    def _filter_rows(self, filters: dict[str, Any]) -> set[int]:
+        """AND of per-field matches; values may be scalars or lists (OR)."""
+        result: set[int] | None = None
+        for f, value in filters.items():
+            if f not in self._inverted:
+                raise VectorStoreError(f"no payload index for field {f!r}")
+            values = value if isinstance(value, (list, tuple, set)) else [value]
+            hit: set[int] = set()
+            for v in values:
+                hit |= self._inverted[f].get(v, set())
+            result = hit if result is None else (result & hit)
+            if not result:
+                return set()
+        return result if result is not None else {
+            i for i, p in enumerate(self._payloads) if p is not None}
+
+    def filter_mask(self, filters: dict[str, Any] | None) -> jax.Array | None:
+        if not filters:
+            return None
+        mask = np.zeros((self._cap,), dtype=bool)
+        rows = self._filter_rows(filters)
+        if rows:
+            mask[np.fromiter(rows, dtype=np.int64)] = True
+        return jnp.asarray(mask)
+
+    # ---- queries -------------------------------------------------------
+
+    def search(self, query_vectors: np.ndarray, k: int,
+               filters: dict[str, Any] | None = None
+               ) -> list[list[tuple[int, float, dict[str, Any]]]]:
+        """Top-k cosine search. Returns per-query [(row, score, payload)].
+
+        Reference: `query_points` with must-match filter build
+        (`embeddings/client.py:132-176`).
+        """
+        if self._size == 0:
+            q = np.atleast_2d(query_vectors)
+            return [[] for _ in range(len(q))]
+        q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
+        k_eff = min(k, self._cap)
+        mask = self.filter_mask(filters)
+        if mask is None:
+            scores, idx = topk_ops.flat_topk(
+                jnp.asarray(q), self._emb, self._valid, k_eff)
+        else:
+            scores, idx = topk_ops.flat_topk_filtered(
+                jnp.asarray(q), self._emb, self._valid, mask, k_eff)
+        scores_np = np.asarray(scores)
+        idx_np = np.asarray(idx)
+        out: list[list[tuple[int, float, dict[str, Any]]]] = []
+        for qi in range(len(q)):
+            hits = []
+            for score, row in zip(scores_np[qi], idx_np[qi]):
+                if score <= topk_ops.NEG_INF / 2:
+                    break
+                payload = self._payloads[int(row)]
+                if payload is None:
+                    continue
+                hits.append((int(row), float(score), payload))
+            out.append(hits)
+        return out
+
+    def scroll(self, filters: dict[str, Any] | None = None,
+               limit: int = 100) -> list[tuple[int, dict[str, Any]]]:
+        """Payload scan without scoring (reference scroll, `client.py:178-202`)."""
+        rows = sorted(self._filter_rows(filters or {}))[:limit]
+        return [(r, self._payloads[r]) for r in rows]
+
+    def file_needs_update(self, file_path: str, content_hash: str) -> bool:
+        """Hash-compare against stored payloads (reference `client.py:178-202`)."""
+        rows = self._inverted["file_path"].get(file_path)
+        if not rows:
+            return True
+        row = next(iter(rows))
+        payload = self._payloads[row]
+        return payload is None or payload.get("content_hash") != content_hash
+
+    def payload(self, row: int) -> dict[str, Any] | None:
+        return self._payloads[row]
+
+    def get_vector(self, row: int) -> np.ndarray:
+        return np.asarray(self._emb[row], dtype=np.float32)
+
+    @property
+    def device_arrays(self) -> tuple[jax.Array, jax.Array]:
+        """(embeddings, valid) device views for external kernels/sharding."""
+        return self._emb, self._valid
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "points": self._size,
+            "capacity": self._cap,
+            "free_rows": len(self._free),
+            "dim": self.dim,
+            "dtype": str(self.dtype),
+        }

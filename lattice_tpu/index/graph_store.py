@@ -1,0 +1,368 @@
+"""In-process code knowledge graph: node table + per-edge-type COO/CSR.
+
+This is the TPU-native replacement for the Memgraph server and its Bolt
+client (reference `graph/client.py:13-166`, schema `graph/schema.py`, all
+Cypher in `graph/queries.py` and `query/graph_reasoning/queries.py`).
+
+Design:
+- **Node table** (host, columnar): qualified name <-> dense id, entity-type
+  code, file id, start/end lines, name strings. The string columns stay on
+  the host (names are only needed at result-materialization time); the
+  numeric columns can ship to the device as payload arrays.
+- **Edges** per `EdgeType` as append-only (src, dst) lists; `finalize()`
+  produces sorted COO + CSR `indptr` (host NumPy) and padded device arrays
+  for the frontier kernels in `ops/graph_kernels.py`.
+- Traversal queries run on-device through the kernels for large graphs and
+  through the CSR oracle for small ones / tests; both sides are compared in
+  tests (SURVEY §4's 'mock backend' analog).
+
+Incremental updates (watch mode): `remove_file_nodes` tombstones a file's
+nodes and drops their edges, mirroring the reference's delete-entities +
+delete/rebuild-CALLS flow (`graph/builder.py:75-143`); `finalize()` rebuilds
+the CSR arrays, which for code-graph scales (~1e5-1e6 edges) is a
+millisecond-scale host operation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lattice_tpu.core.errors import GraphError
+from lattice_tpu.core.types import EdgeType, EntityType
+
+
+@dataclass(slots=True)
+class NodeRecord:
+    """Materialized node view returned by queries."""
+
+    node_id: int
+    qualified_name: str
+    name: str
+    entity_type: EntityType
+    file_path: str
+    start_line: int = 0
+    end_line: int = 0
+
+
+@dataclass
+class _EdgeSet:
+    src: list[int] = field(default_factory=list)
+    dst: list[int] = field(default_factory=list)
+
+    # finalized arrays
+    coo_src: np.ndarray | None = None
+    coo_dst: np.ndarray | None = None
+    indptr: np.ndarray | None = None        # CSR over sorted src
+    rev_src: np.ndarray | None = None       # reverse COO (sorted by dst-as-src)
+    rev_dst: np.ndarray | None = None
+    rev_indptr: np.ndarray | None = None
+
+
+class GraphStore:
+    def __init__(self) -> None:
+        self._ids: dict[str, int] = {}
+        self._qns: list[str] = []
+        self._names: list[str] = []
+        self._types: list[int] = []
+        self._file_ids: list[int] = []
+        self._start_lines: list[int] = []
+        self._end_lines: list[int] = []
+        self._alive: list[bool] = []
+        self._files: dict[str, int] = {}          # file path -> file id
+        self._file_paths: list[str] = []
+        self._file_nodes: dict[int, list[int]] = {}  # file id -> node ids
+        self._edges: dict[EdgeType, _EdgeSet] = {e: _EdgeSet() for e in EdgeType}
+        self._finalized = False
+        self.project: str | None = None
+
+    # ---- construction --------------------------------------------------
+
+    def n_nodes(self) -> int:
+        return len(self._qns)
+
+    def n_edges(self, edge_type: EdgeType | None = None) -> int:
+        if edge_type is not None:
+            return len(self._edges[edge_type].src)
+        return sum(len(es.src) for es in self._edges.values())
+
+    def file_id(self, file_path: str) -> int:
+        fid = self._files.get(file_path)
+        if fid is None:
+            fid = len(self._file_paths)
+            self._files[file_path] = fid
+            self._file_paths.append(file_path)
+        return fid
+
+    def file_path_of(self, file_id: int) -> str:
+        return self._file_paths[file_id] if 0 <= file_id < len(self._file_paths) else ""
+
+    def add_node(self, qualified_name: str, entity_type: EntityType,
+                 file_path: str = "", start_line: int = 0,
+                 end_line: int = 0, name: str | None = None) -> int:
+        """Idempotent by qualified name (Cypher MERGE semantics,
+        `graph/queries.py:88-137`)."""
+        nid = self._ids.get(qualified_name)
+        if nid is not None:
+            # refresh position info on re-index
+            if file_path:
+                self._file_ids[nid] = self.file_id(file_path)
+            if start_line:
+                self._start_lines[nid] = start_line
+                self._end_lines[nid] = end_line
+            self._alive[nid] = True
+            return nid
+        nid = len(self._qns)
+        self._ids[qualified_name] = nid
+        self._qns.append(qualified_name)
+        self._names.append(name if name is not None
+                           else qualified_name.rsplit(".", 1)[-1])
+        self._types.append(entity_type.code)
+        fid = self.file_id(file_path) if file_path else -1
+        self._file_ids.append(fid)
+        self._start_lines.append(start_line)
+        self._end_lines.append(end_line)
+        self._alive.append(True)
+        if fid >= 0:
+            self._file_nodes.setdefault(fid, []).append(nid)
+        self._finalized = False
+        return nid
+
+    def add_edge(self, src_id: int, dst_id: int, edge_type: EdgeType) -> None:
+        es = self._edges[edge_type]
+        es.src.append(src_id)
+        es.dst.append(dst_id)
+        self._finalized = False
+
+    def id_of(self, qualified_name: str) -> int | None:
+        nid = self._ids.get(qualified_name)
+        if nid is not None and self._alive[nid]:
+            return nid
+        return None
+
+    def node(self, node_id: int) -> NodeRecord:
+        if not (0 <= node_id < len(self._qns)):
+            raise GraphError(f"node id out of range: {node_id}")
+        fid = self._file_ids[node_id]
+        return NodeRecord(
+            node_id=node_id,
+            qualified_name=self._qns[node_id],
+            name=self._names[node_id],
+            entity_type=EntityType.from_code(self._types[node_id]),
+            file_path=self.file_path_of(fid) if fid >= 0 else "",
+            start_line=self._start_lines[node_id],
+            end_line=self._end_lines[node_id],
+        )
+
+    def remove_file_nodes(self, file_path: str) -> int:
+        """Tombstone all nodes of a file + drop their edges (watch mode).
+
+        Reference: `graph/builder.py:75-84` delete_file_entities +
+        `:86-143` delete CALLS for changed file.
+        """
+        fid = self._files.get(file_path)
+        if fid is None:
+            return 0
+        doomed = set(self._file_nodes.get(fid, ()))
+        for nid in doomed:
+            self._alive[nid] = False
+            self._ids.pop(self._qns[nid], None)
+        for es in self._edges.values():
+            keep = [i for i, (s, d) in enumerate(zip(es.src, es.dst))
+                    if s not in doomed and d not in doomed]
+            es.src = [es.src[i] for i in keep]
+            es.dst = [es.dst[i] for i in keep]
+        self._file_nodes[fid] = []
+        self._finalized = False
+        return len(doomed)
+
+    # ---- finalization --------------------------------------------------
+
+    def finalize(self) -> None:
+        """Build sorted COO + CSR for every edge type."""
+        n = self.n_nodes()
+        for es in self._edges.values():
+            src = np.asarray(es.src, dtype=np.int32)
+            dst = np.asarray(es.dst, dtype=np.int32)
+            if len(src):
+                order = np.argsort(src, kind="stable")
+                es.coo_src, es.coo_dst = src[order], dst[order]
+                rorder = np.argsort(dst, kind="stable")
+                es.rev_src, es.rev_dst = dst[rorder], src[rorder]
+            else:
+                es.coo_src = es.coo_dst = src
+                es.rev_src = es.rev_dst = src
+            es.indptr = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(es.indptr, es.coo_src + 1, 1)
+            np.cumsum(es.indptr, out=es.indptr)
+            es.rev_indptr = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(es.rev_indptr, es.rev_src + 1, 1)
+            np.cumsum(es.rev_indptr, out=es.rev_indptr)
+        self._finalized = True
+
+    def _ensure_final(self) -> None:
+        if not self._finalized:
+            self.finalize()
+
+    def edges(self, edge_type: EdgeType, reverse: bool = False
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """(src, dst) arrays; reversed edges swap direction."""
+        self._ensure_final()
+        es = self._edges[edge_type]
+        if reverse:
+            return es.rev_src, es.rev_dst
+        return es.coo_src, es.coo_dst
+
+    # ---- host traversal (CSR oracle + small-graph fast path) -----------
+
+    def neighbors(self, node_ids: list[int], edge_type: EdgeType,
+                  reverse: bool = False) -> list[list[int]]:
+        self._ensure_final()
+        es = self._edges[edge_type]
+        indptr = es.rev_indptr if reverse else es.indptr
+        indices = es.rev_dst if reverse else es.coo_dst
+        out = []
+        for nid in node_ids:
+            lo, hi = int(indptr[nid]), int(indptr[nid + 1])
+            out.append([int(v) for v in indices[lo:hi] if self._alive[v]])
+        return out
+
+    def k_hop(self, node_ids: list[int], edge_type: EdgeType, hops: int,
+              reverse: bool = False) -> dict[int, int]:
+        """{node_id: depth} for nodes within `hops`, excluding the seeds.
+
+        Host BFS over CSR; semantics of FIND_TRANSITIVE_CALLERS/CALLEES
+        (`queries.py:2-50`) with depth ordering.
+        """
+        self._ensure_final()
+        dist: dict[int, int] = {nid: 0 for nid in node_ids}
+        frontier = list(node_ids)
+        for hop in range(1, hops + 1):
+            nxt: list[int] = []
+            for neigh in self.neighbors(frontier, edge_type, reverse):
+                for v in neigh:
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+            if not frontier:
+                break
+        return {k: v for k, v in dist.items() if v > 0}
+
+    def degree(self, node_ids: list[int], edge_type: EdgeType) -> list[tuple[int, int]]:
+        """[(out_degree, in_degree)] — `GET_ENTITY_CENTRALITY` (`queries.py:314-329`)."""
+        self._ensure_final()
+        es = self._edges[edge_type]
+        out = []
+        for nid in node_ids:
+            o = int(es.indptr[nid + 1] - es.indptr[nid])
+            i = int(es.rev_indptr[nid + 1] - es.rev_indptr[nid])
+            out.append((o, i))
+        return out
+
+    def shortest_path(self, src_id: int, dst_id: int, edge_type: EdgeType,
+                      max_len: int = 10) -> list[int] | None:
+        """One shortest path (FIND_CALL_CHAIN, `queries.py:52-67`)."""
+        self._ensure_final()
+        prev: dict[int, int] = {src_id: -1}
+        frontier = [src_id]
+        for _ in range(max_len):
+            nxt = []
+            for u in frontier:
+                for v in self.neighbors([u], edge_type)[0]:
+                    if v not in prev:
+                        prev[v] = u
+                        if v == dst_id:
+                            path = [v]
+                            while prev[path[-1]] != -1:
+                                path.append(prev[path[-1]])
+                            return list(reversed(path))
+                        nxt.append(v)
+            frontier = nxt
+            if not frontier:
+                break
+        return None
+
+    def all_paths(self, src_id: int, dst_id: int, edge_type: EdgeType,
+                  max_len: int = 5, max_paths: int = 20) -> list[list[int]]:
+        """Bounded path enumeration (FIND_ALL_PATHS, `queries.py:69-86`).
+
+        Device kernels compute the on-path corridor for big graphs
+        (`ops/graph_kernels.nodes_on_paths`); enumeration itself is
+        host-side DFS restricted to the corridor.
+        """
+        self._ensure_final()
+        paths: list[list[int]] = []
+        stack: list[tuple[int, list[int]]] = [(src_id, [src_id])]
+        while stack and len(paths) < max_paths:
+            u, path = stack.pop()
+            if u == dst_id:
+                paths.append(path)
+                continue
+            if len(path) > max_len:
+                continue
+            for v in self.neighbors([u], edge_type)[0]:
+                if v not in path:  # simple paths
+                    stack.append((v, path + [v]))
+        return paths
+
+    # ---- search helpers ------------------------------------------------
+
+    def find_by_name(self, name: str) -> list[int]:
+        """Exact simple-name or qualified-name match."""
+        out = [i for i, (nm, alive) in enumerate(zip(self._names, self._alive))
+               if alive and nm == name]
+        nid = self.id_of(name)
+        if nid is not None and nid not in out:
+            out.append(nid)
+        return out
+
+    def find_fuzzy(self, text: str, limit: int = 10) -> list[tuple[int, float]]:
+        """CASE-scored contains-match (FIND_ENTITY_FUZZY, `queries.py:281-312`)."""
+        text_l = text.lower()
+        scored: list[tuple[int, float]] = []
+        for i, (nm, qn, alive) in enumerate(zip(self._names, self._qns, self._alive)):
+            if not alive:
+                continue
+            nml, qnl = nm.lower(), qn.lower()
+            if nml == text_l:
+                score = 1.0
+            elif qnl == text_l:
+                score = 0.95
+            elif nml.startswith(text_l):
+                score = 0.8
+            elif text_l in nml:
+                score = 0.6
+            elif text_l in qnl:
+                score = 0.4
+            else:
+                continue
+            scored.append((i, score))
+        scored.sort(key=lambda t: (-t[1], self._qns[t[0]]))
+        return scored[:limit]
+
+    def nodes_in_file(self, file_path: str) -> list[int]:
+        fid = self._files.get(file_path)
+        if fid is None:
+            return []
+        return [nid for nid in self._file_nodes.get(fid, ()) if self._alive[nid]]
+
+    def methods_of_class(self, class_id: int) -> list[int]:
+        """FIND_CLASS_WITH_METHODS (`queries.py:130-160`)."""
+        return self.neighbors([class_id], EdgeType.DEFINES_METHOD)[0]
+
+    @property
+    def stats(self) -> dict:
+        """GET_STATS analog (`graph/queries.py:217-226`)."""
+        from collections import Counter
+        type_counts = Counter(
+            EntityType.from_code(t).value
+            for t, alive in zip(self._types, self._alive) if alive
+        )
+        return {
+            "nodes": sum(self._alive),
+            "files": len(self._file_paths),
+            "edges": {e.value: self.n_edges(e) for e in EdgeType},
+            "by_type": dict(type_counts),
+        }

@@ -1,0 +1,124 @@
+"""Flat cosine score + top-k selection over the resident embedding matrix.
+
+This replaces the reference's Qdrant ANN search (`embeddings/client.py:132-176`
+`query_points` with cosine distance + payload must-match filters). The
+TPU-native design keeps the chunk-embedding matrix `[N, d]` resident in HBM
+(bf16), streams it through the MXU against the query block, and fuses payload
+filtering as a `-inf` additive mask before `lax.top_k`:
+
+    scores = Q @ E^T          (MXU, bf16 inputs, f32 accumulation)
+    scores += (mask - 1) * inf
+    top_k(scores, k)
+
+Embeddings are L2-normalized at insert time, so the dot product IS cosine
+similarity. A NumPy oracle (`topk_oracle`) provides the mock-backend analog
+of the reference's AsyncMock Qdrant in tests (SURVEY §4).
+
+The fused Pallas score+select kernel lives in `ops/pallas_topk.py`; this
+module is the pure-XLA path that also runs on CPU (BASELINE config 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+def l2_normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """Host-side normalization applied at insert/query time."""
+    x = np.asarray(x, dtype=np.float32)
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(norms, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def flat_topk(
+    queries: jax.Array,      # [B, d] f32 (normalized)
+    embeddings: jax.Array,   # [N, d] bf16/f32 (normalized rows)
+    valid: jax.Array,        # [N] bool - live rows (freelist holes False)
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact cosine top-k. Returns (scores [B,k] f32, indices [B,k] i32)."""
+    q = queries.astype(embeddings.dtype)
+    scores = jax.lax.dot_general(
+        q, embeddings,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, N]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def flat_topk_filtered(
+    queries: jax.Array,      # [B, d]
+    embeddings: jax.Array,   # [N, d]
+    valid: jax.Array,        # [N] bool
+    filter_mask: jax.Array,  # [N] bool - payload filter (True = keep)
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k restricted to rows passing the payload filter.
+
+    The reference builds Qdrant must-match filters from file_path /
+    entity_type / language / project_name payload fields
+    (`embeddings/client.py:142-176`); here those become boolean masks over
+    payload columns, ANDed into one `filter_mask`.
+    """
+    return flat_topk(queries, embeddings, valid & filter_mask, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_topk(
+    scores_a: jax.Array, idx_a: jax.Array,   # [B, k]
+    scores_b: jax.Array, idx_b: jax.Array,   # [B, k]
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two top-k lists into one (the ICI tree-reduce ladder step).
+
+    Used by the sharded index: each chip produces a local (score, id) list;
+    lists merge pairwise over the mesh (SURVEY §2.4 'distributed top-k').
+    """
+    scores = jnp.concatenate([scores_a, scores_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=-1)
+    return top_scores, top_idx
+
+
+def batched_matmul_scores(
+    queries: jax.Array, embeddings: jax.Array,
+) -> jax.Array:
+    """Raw [B, N] cosine scores (used by the ranking fuse)."""
+    return jax.lax.dot_general(
+        queries.astype(embeddings.dtype), embeddings,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# ---- NumPy oracle ------------------------------------------------------
+
+
+def topk_oracle(
+    queries: np.ndarray, embeddings: np.ndarray, valid: np.ndarray, k: int,
+    filter_mask: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact brute-force reference implementation (float64)."""
+    q = np.asarray(queries, dtype=np.float64)
+    e = np.asarray(embeddings, dtype=np.float64)
+    scores = q @ e.T
+    keep = np.asarray(valid, dtype=bool)
+    if filter_mask is not None:
+        keep = keep & np.asarray(filter_mask, dtype=bool)
+    scores[:, ~keep] = -np.inf
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    top = np.take_along_axis(scores, idx, axis=1)
+    return top, idx.astype(np.int32)

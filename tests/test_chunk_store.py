@@ -1,0 +1,122 @@
+"""ChunkStore: insert/search/filter/delete/grow/incremental semantics."""
+
+import numpy as np
+import pytest
+
+from lattice_tpu.core.errors import VectorStoreError
+from lattice_tpu.index.chunk_store import ChunkStore
+from lattice_tpu.ops import topk as topk_ops
+
+
+def _vecs(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+@pytest.fixture
+def store():
+    s = ChunkStore(dim=32, dtype="float32", initial_capacity=16)
+    vecs = _vecs(10, 32)
+    payloads = [
+        {"file_path": f"src/f{i % 3}.py", "entity_type": "function",
+         "language": "python", "content_hash": f"h{i % 3}",
+         "project_name": "proj", "name": f"fn{i}"}
+        for i in range(10)
+    ]
+    s.add(vecs, payloads)
+    return s, vecs
+
+
+class TestChunkStore:
+    def test_search_matches_oracle(self, store):
+        s, vecs = store
+        q = _vecs(2, 32, seed=9)
+        results = s.search(q, k=5)
+        emb = topk_ops.l2_normalize(vecs)
+        qn = topk_ops.l2_normalize(q)
+        o_scores, o_idx = topk_ops.topk_oracle(
+            qn, emb, np.ones(10, dtype=bool), 5)
+        for qi in range(2):
+            got_rows = [r for r, _, _ in results[qi]]
+            assert set(got_rows) == set(o_idx[qi].tolist())
+            got_scores = [sc for _, sc, _ in results[qi]]
+            np.testing.assert_allclose(got_scores, o_scores[qi], atol=1e-5)
+
+    def test_payload_filter(self, store):
+        s, _ = store
+        q = _vecs(1, 32, seed=9)
+        results = s.search(q, k=10, filters={"file_path": "src/f1.py"})
+        assert results[0], "filter should match rows"
+        for _, _, payload in results[0]:
+            assert payload["file_path"] == "src/f1.py"
+
+    def test_filter_list_is_or(self, store):
+        s, _ = store
+        q = _vecs(1, 32, seed=9)
+        results = s.search(q, k=10,
+                           filters={"file_path": ["src/f1.py", "src/f2.py"]})
+        paths = {p["file_path"] for _, _, p in results[0]}
+        assert paths <= {"src/f1.py", "src/f2.py"}
+        assert len(paths) == 2
+
+    def test_delete_file(self, store):
+        s, _ = store
+        n_before = len(s)
+        deleted = s.delete_file("src/f0.py")
+        assert deleted == 4  # rows 0,3,6,9
+        assert len(s) == n_before - 4
+        q = _vecs(1, 32, seed=9)
+        results = s.search(q, k=10)
+        assert all(p["file_path"] != "src/f0.py" for _, _, p in results[0])
+
+    def test_freelist_reuse(self, store):
+        s, _ = store
+        s.delete_file("src/f0.py")
+        cap_before = s.capacity
+        rows = s.add(_vecs(4, 32, seed=5),
+                     [{"file_path": "src/new.py", "content_hash": "x"}] * 4)
+        assert s.capacity == cap_before  # reused freelist rows
+        assert set(rows) == {0, 3, 6, 9}
+
+    def test_growth(self):
+        s = ChunkStore(dim=8, dtype="float32", initial_capacity=8)
+        s.add(_vecs(20, 8), [{"file_path": "a", "content_hash": "h"}] * 20)
+        assert s.capacity >= 20
+        assert len(s) == 20
+        results = s.search(_vecs(1, 8, seed=3), k=5)
+        assert len(results[0]) == 5
+
+    def test_file_needs_update(self, store):
+        s, _ = store
+        assert not s.file_needs_update("src/f1.py", "h1")
+        assert s.file_needs_update("src/f1.py", "different")
+        assert s.file_needs_update("src/never_seen.py", "h")
+
+    def test_scroll(self, store):
+        s, _ = store
+        rows = s.scroll({"file_path": "src/f2.py"})
+        assert len(rows) == 3
+        assert all(p["file_path"] == "src/f2.py" for _, p in rows)
+
+    def test_dim_mismatch_raises(self, store):
+        s, _ = store
+        with pytest.raises(VectorStoreError):
+            s.add(_vecs(1, 16), [{}])
+
+    def test_empty_store_search(self):
+        s = ChunkStore(dim=8)
+        assert s.search(_vecs(1, 8), k=5) == [[]]
+
+    def test_unknown_filter_field_raises(self, store):
+        s, _ = store
+        with pytest.raises(VectorStoreError):
+            s.search(_vecs(1, 32), k=3, filters={"nope": "x"})
+
+    def test_bf16_store(self):
+        s = ChunkStore(dim=16, dtype="bfloat16", initial_capacity=8)
+        vecs = _vecs(6, 16)
+        s.add(vecs, [{"file_path": "a", "content_hash": "h"}] * 6)
+        results = s.search(vecs[:1], k=1)
+        row, score, _ = results[0][0]
+        assert row == 0
+        assert score == pytest.approx(1.0, abs=2e-2)

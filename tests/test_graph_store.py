@@ -1,0 +1,146 @@
+"""GraphStore construction + traversal; device kernels vs the BFS oracle."""
+
+import numpy as np
+import pytest
+
+from lattice_tpu.core.types import EdgeType, EntityType
+from lattice_tpu.index.graph_store import GraphStore
+from lattice_tpu.ops import graph_kernels as gk
+
+
+@pytest.fixture
+def call_graph():
+    """a -> b -> c -> d, a -> c, e isolated; User extends Base."""
+    g = GraphStore()
+    ids = {}
+    for name in ("a", "b", "c", "d", "e"):
+        ids[name] = g.add_node(f"m.{name}", EntityType.FUNCTION, "m.py",
+                               start_line=1)
+    for s, d in (("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")):
+        g.add_edge(ids[s], ids[d], EdgeType.CALLS)
+    ids["Base"] = g.add_node("m.Base", EntityType.CLASS, "m.py")
+    ids["User"] = g.add_node("m.User", EntityType.CLASS, "m.py")
+    g.add_edge(ids["User"], ids["Base"], EdgeType.EXTENDS)
+    g.finalize()
+    return g, ids
+
+
+class TestGraphStore:
+    def test_neighbors(self, call_graph):
+        g, ids = call_graph
+        assert sorted(g.neighbors([ids["a"]], EdgeType.CALLS)[0]) == \
+            sorted([ids["b"], ids["c"]])
+        assert sorted(g.neighbors([ids["c"]], EdgeType.CALLS, reverse=True)[0]) == \
+            sorted([ids["b"], ids["a"]])
+
+    def test_k_hop_callees_with_depth(self, call_graph):
+        g, ids = call_graph
+        result = g.k_hop([ids["a"]], EdgeType.CALLS, hops=2)
+        assert result == {ids["b"]: 1, ids["c"]: 1, ids["d"]: 2}
+
+    def test_k_hop_callers(self, call_graph):
+        g, ids = call_graph
+        result = g.k_hop([ids["d"]], EdgeType.CALLS, hops=5, reverse=True)
+        assert result == {ids["c"]: 1, ids["b"]: 2, ids["a"]: 2}
+
+    def test_shortest_path(self, call_graph):
+        g, ids = call_graph
+        path = g.shortest_path(ids["a"], ids["d"], EdgeType.CALLS)
+        assert path == [ids["a"], ids["c"], ids["d"]]
+        assert g.shortest_path(ids["d"], ids["a"], EdgeType.CALLS) is None
+
+    def test_all_paths(self, call_graph):
+        g, ids = call_graph
+        paths = g.all_paths(ids["a"], ids["d"], EdgeType.CALLS)
+        as_sets = {tuple(p) for p in paths}
+        assert (ids["a"], ids["c"], ids["d"]) in as_sets
+        assert (ids["a"], ids["b"], ids["c"], ids["d"]) in as_sets
+
+    def test_degree(self, call_graph):
+        g, ids = call_graph
+        (out_deg, in_deg), = g.degree([ids["c"]], EdgeType.CALLS)
+        assert (out_deg, in_deg) == (1, 2)
+
+    def test_merge_idempotent(self, call_graph):
+        g, ids = call_graph
+        nid = g.add_node("m.a", EntityType.FUNCTION, "m.py", start_line=7)
+        assert nid == ids["a"]
+        assert g.node(nid).start_line == 7
+
+    def test_remove_file_nodes(self, call_graph):
+        g, ids = call_graph
+        removed = g.remove_file_nodes("m.py")
+        assert removed == 7
+        assert g.id_of("m.a") is None
+        assert g.n_edges(EdgeType.CALLS) == 0
+
+    def test_fuzzy_find(self, call_graph):
+        g, ids = call_graph
+        hits = g.find_fuzzy("User")
+        assert hits[0][0] == ids["User"] and hits[0][1] == 1.0
+        hits = g.find_fuzzy("use")
+        assert any(h[0] == ids["User"] for h in hits)
+
+    def test_stats(self, call_graph):
+        g, _ = call_graph
+        s = g.stats
+        assert s["nodes"] == 7
+        assert s["edges"]["CALLS"] == 4
+        assert s["by_type"]["class"] == 2
+
+
+class TestDeviceKernelsVsOracle:
+    def _random_graph(self, n, e, seed):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, size=e).astype(np.int32)
+        dst = rng.integers(0, n, size=e).astype(np.int32)
+        return src, dst
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_bfs_matches_oracle(self, seed):
+        import jax.numpy as jnp
+        n, e = 100, 300
+        src, dst = self._random_graph(n, e, seed)
+        psrc, pdst = gk.pad_edges(src, dst)
+        seeds = np.zeros(n, dtype=bool)
+        seeds[[3, 50]] = True
+        dev = np.asarray(gk.bfs_distances(
+            jnp.asarray(psrc), jnp.asarray(pdst), jnp.asarray(seeds), n, 5))
+        oracle = gk.bfs_oracle(src, dst, seeds, n, 5)
+        reached_dev = dev < gk.UNREACHED
+        reached_o = oracle < gk.UNREACHED
+        np.testing.assert_array_equal(reached_dev, reached_o)
+        np.testing.assert_array_equal(dev[reached_dev], oracle[reached_o])
+
+    def test_degree_counts(self):
+        import jax.numpy as jnp
+        src = np.array([0, 0, 1, 2, 2, 2], dtype=np.int32)
+        deg = np.asarray(gk.degree_counts(jnp.asarray(src), 4))
+        np.testing.assert_array_equal(deg, [2, 1, 3, 0])
+
+    def test_nodes_on_paths_corridor(self):
+        import jax.numpy as jnp
+        # chain 0->1->2->3 plus spur 0->4
+        src = np.array([0, 1, 2, 0], dtype=np.int32)
+        dst = np.array([1, 2, 3, 4], dtype=np.int32)
+        psrc, pdst = gk.pad_edges(src, dst, bucket=8)
+        s = np.zeros(5, dtype=bool); s[0] = True
+        t = np.zeros(5, dtype=bool); t[3] = True
+        _, _, on_path = gk.nodes_on_paths(
+            jnp.asarray(psrc), jnp.asarray(pdst),
+            jnp.asarray(s), jnp.asarray(t), 5, 5)
+        np.testing.assert_array_equal(
+            np.asarray(on_path), [True, True, True, True, False])
+
+    def test_bidirectional_closure(self):
+        import jax.numpy as jnp
+        # EXTENDS: child(0) -> parent(1) -> grandparent(2); sibling(3) -> 1
+        src = np.array([0, 1, 3], dtype=np.int32)
+        dst = np.array([1, 2, 1], dtype=np.int32)
+        psrc, pdst = gk.pad_edges(src, dst, bucket=8)
+        seeds = np.zeros(4, dtype=bool); seeds[1] = True
+        up, down = gk.bidirectional_closure(
+            jnp.asarray(psrc), jnp.asarray(pdst), jnp.asarray(seeds), 4, 5)
+        up, down = np.asarray(up), np.asarray(down)
+        assert up[2] == 1 and up[0] == gk.UNREACHED      # ancestors of node 1
+        assert down[0] == 1 and down[3] == 1             # descendants of node 1
