@@ -55,7 +55,7 @@ class AISettings(BaseModel):
     """Provider selection. Reference: `config/settings.py:34-64`."""
 
     llm_provider: str = "none"            # openai|anthropic|google|ollama|none
-    embedding_provider: str = "unixcoder" # unixcoder|hash|openai|google|ollama
+    embedding_provider: str = "hash"      # hash|unixcoder|openai|google|ollama
     llm_model: str | None = None
     embedding_model: str | None = None
     embedding_dimensions: int = 768       # UniXcoder dim (reference `unixcoder_provider.py:229`)
@@ -193,7 +193,7 @@ class Settings(BaseModel):
             ),
             ai=AISettings(
                 llm_provider=g("LLM_PROVIDER", "none") or "none",
-                embedding_provider=g("EMBEDDING_PROVIDER", "unixcoder") or "unixcoder",
+                embedding_provider=g("EMBEDDING_PROVIDER", "hash") or "hash",
                 llm_model=g("LLM_MODEL"),
                 embedding_model=g("EMBEDDING_MODEL"),
                 embedding_dimensions=gi("EMBEDDING_DIMENSIONS", 768),

@@ -28,9 +28,10 @@ import numpy as np
 from lattice_tpu.core.errors import VectorStoreError
 from lattice_tpu.ops import topk as topk_ops
 
-# Payload fields with inverted indexes (reference `embeddings/client.py:103-113`).
+# Payload fields with inverted indexes (reference `embeddings/client.py:103-113`
+# plus graph_node_id, the vector->graph join key used by the context builder).
 INDEXED_FIELDS = ("file_path", "entity_type", "language", "content_hash",
-                  "project_name")
+                  "project_name", "graph_node_id")
 
 
 class ChunkStore:

