@@ -1,0 +1,90 @@
+"""Benchmark: flat cosine top-k search QPS on the resident device index.
+
+Measures the retrieval core (BASELINE config 1/3 shape: 768-d chunk
+embeddings, top-10) on whatever device JAX provides (the real TPU chip under
+the driver; CPU elsewhere) and compares against a single-host NumPy exact
+scan — the stand-in for the CPU comparison system, since the Qdrant server
+of BASELINE.md cannot run in this offline image. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import os
+
+N_ROWS = int(os.environ.get("BENCH_ROWS", 100_000))
+DIM = 768
+BATCH = 64
+K = 10
+DEVICE_ITERS = int(os.environ.get("BENCH_ITERS", 8))
+HOST_ITERS = 2
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lattice_tpu.ops import topk as topk_ops
+
+    rng = np.random.default_rng(0)
+    corpus = topk_ops.l2_normalize(
+        rng.normal(size=(N_ROWS, DIM)).astype(np.float32))
+    queries = topk_ops.l2_normalize(
+        rng.normal(size=(BATCH, DIM)).astype(np.float32))
+    valid = np.ones(N_ROWS, dtype=bool)
+
+    device = jax.devices()[0]
+    emb_dev = jax.device_put(jnp.asarray(corpus, dtype=jnp.bfloat16), device)
+    valid_dev = jax.device_put(jnp.asarray(valid), device)
+    q_dev = jax.device_put(jnp.asarray(queries), device)
+
+    # Warm-up / compile; np.asarray forces a real device round-trip
+    # (block_until_ready alone does not drain the axon relay queue).
+    scores, idx = topk_ops.flat_topk(q_dev, emb_dev, valid_dev, K)
+    np.asarray(idx)
+
+    # Timing covers dispatch of all iterations THROUGH final readback, so
+    # queued-but-unexecuted work cannot inflate the rate.
+    t0 = time.perf_counter()
+    for _ in range(DEVICE_ITERS):
+        scores, idx = topk_ops.flat_topk(q_dev, emb_dev, valid_dev, K)
+    idx_np = np.asarray(idx)
+    device_s = time.perf_counter() - t0
+    device_qps = BATCH * DEVICE_ITERS / device_s
+
+    # Host exact-scan baseline (single process, float32 BLAS).
+    t0 = time.perf_counter()
+    for _ in range(HOST_ITERS):
+        host_scores = queries @ corpus.T
+        part = np.argpartition(-host_scores, K, axis=1)[:, :K]
+    host_s = time.perf_counter() - t0
+    host_qps = BATCH * HOST_ITERS / host_s
+
+    # Sanity: device recall@10 vs exact host top-10 must be ~1 (same corpus).
+    exact = np.argsort(-host_scores, axis=1)[:, :K]
+    recall = np.mean([
+        len(set(idx_np[i].tolist()) & set(exact[i].tolist())) / K
+        for i in range(BATCH)
+    ])
+
+    print(json.dumps({
+        "metric": f"flat_topk_qps_{N_ROWS // 1000}k_{DIM}d_bf16",
+        "value": round(device_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(device_qps / host_qps, 2),
+        "extra": {
+            "host_exact_qps": round(host_qps, 1),
+            "recall_at_10_vs_exact": round(float(recall), 4),
+            "device": str(device),
+            "batch": BATCH,
+            "k": K,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

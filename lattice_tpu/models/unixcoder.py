@@ -1,0 +1,254 @@
+"""UniXcoder (RoBERTa-base encoder) as a Flax module for on-device embedding.
+
+Replaces the reference's torch implementation
+(`providers/unixcoder_provider.py:54-155`): RobertaModel run in encoder-only
+mode with mode-token framing, whose sentence embedding is the
+attention-mask-weighted mean-pool of the final hidden states. Config matches
+`microsoft/unixcoder-base` (12 layers, 768 hidden, 12 heads, 3072 FFN,
+vocab 51416); weights load from a local HF checkpoint directory when
+available, otherwise deterministic random init keeps the full pipeline
+runnable offline (embeddings are then lexically meaningless but shape- and
+speed-faithful; the hash provider is the offline quality default).
+
+TPU notes: everything is jit-compiled with static (batch, length) buckets;
+matmuls run in bf16 with f32 accumulation via `preferred_element_type`
+(MXU-friendly), LayerNorms and the final pool in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniXcoderConfig:
+    vocab_size: int = 51416
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 1026
+    type_vocab_size: int = 10
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1           # RoBERTa pad
+    dtype: str = "bfloat16"         # compute dtype; params stay f32
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class SelfAttention(nn.Module):
+    config: UniXcoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask):
+        cfg = self.config
+        head_dim = cfg.hidden_size // cfg.num_heads
+        dense = lambda name: nn.Dense(  # noqa: E731
+            cfg.hidden_size, dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+
+        def split(x):
+            return x.reshape(x.shape[0], x.shape[1], cfg.num_heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(head_dim)
+        # attention mask: [B, L] -> additive [B, 1, 1, L]
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9)
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cfg.compute_dtype), v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(hidden.shape[0], hidden.shape[1], cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype,
+                       param_dtype=jnp.float32, name="output")(
+            ctx.astype(cfg.compute_dtype))
+        return out
+
+
+class EncoderLayer(nn.Module):
+    config: UniXcoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask):
+        cfg = self.config
+        attn_out = SelfAttention(cfg, name="attention")(hidden, mask)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                              name="attention_norm")(
+            hidden.astype(jnp.float32) + attn_out.astype(jnp.float32))
+        hidden = hidden.astype(cfg.compute_dtype)
+        inter = nn.Dense(cfg.intermediate_size, dtype=cfg.compute_dtype,
+                         param_dtype=jnp.float32, name="intermediate")(hidden)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype,
+                       param_dtype=jnp.float32, name="output")(inter)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                              name="output_norm")(
+            hidden.astype(jnp.float32) + out.astype(jnp.float32))
+        return hidden.astype(cfg.compute_dtype)
+
+
+class UniXcoderEncoder(nn.Module):
+    """Embeddings + N transformer layers + mean-pool sentence embedding."""
+
+    config: UniXcoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        cfg = self.config
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                        param_dtype=jnp.float32, name="word_embeddings")(
+            input_ids)
+        # RoBERTa positions: pad tokens get pad_id; others count from pad+1.
+        positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask \
+            + cfg.pad_token_id
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       param_dtype=jnp.float32, name="position_embeddings")(
+            positions)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                              name="embeddings_norm")(word + pos)
+        hidden = hidden.astype(cfg.compute_dtype)
+        for i in range(cfg.num_layers):
+            hidden = EncoderLayer(cfg, name=f"layer_{i}")(hidden, attention_mask)
+        # Mask-weighted mean-pool (reference `unixcoder_provider.py:137-155`).
+        mask_f = attention_mask.astype(jnp.float32)[:, :, None]
+        hidden_f = hidden.astype(jnp.float32)
+        pooled = (hidden_f * mask_f).sum(axis=1) / jnp.maximum(
+            mask_f.sum(axis=1), 1.0)
+        return hidden, pooled
+
+
+class UniXcoderModel:
+    """Host-facing wrapper: params + jitted forward with length bucketing."""
+
+    LENGTH_BUCKETS = (64, 128, 256, 512)
+
+    def __init__(self, config: UniXcoderConfig | None = None,
+                 weights_dir: str | Path | None = None, seed: int = 0):
+        self.config = config or UniXcoderConfig()
+        self.module = UniXcoderEncoder(self.config)
+        rng = jax.random.PRNGKey(seed)
+        dummy_ids = jnp.zeros((1, 8), dtype=jnp.int32)
+        dummy_mask = jnp.ones((1, 8), dtype=jnp.int32)
+        self.params = self.module.init(rng, dummy_ids, dummy_mask)["params"]
+        self.loaded_pretrained = False
+        if weights_dir is not None:
+            self.loaded_pretrained = self._load_hf_weights(Path(weights_dir))
+        self._forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, params, input_ids, attention_mask):
+        _, pooled = self.module.apply({"params": params}, input_ids,
+                                      attention_mask)
+        return pooled
+
+    def bucket_length(self, n: int) -> int:
+        for b in self.LENGTH_BUCKETS:
+            if n <= b:
+                return b
+        return self.LENGTH_BUCKETS[-1]
+
+    def encode(self, input_ids: np.ndarray,
+               attention_mask: np.ndarray) -> np.ndarray:
+        """Pooled [B, H] embeddings; pads L up to a static bucket."""
+        ids = np.asarray(input_ids, dtype=np.int32)
+        mask = np.asarray(attention_mask, dtype=np.int32)
+        if ids.ndim == 1:
+            ids, mask = ids[None, :], mask[None, :]
+        length = self.bucket_length(ids.shape[1])
+        ids = ids[:, :length]
+        mask = mask[:, :length]
+        if ids.shape[1] < length:
+            pad = length - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)),
+                         constant_values=self.config.pad_token_id)
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        pooled = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(pooled, dtype=np.float32)
+
+    # ---- HF weight loading (optional, offline-gated) -------------------
+
+    def _load_hf_weights(self, weights_dir: Path) -> bool:
+        """Map a local `microsoft/unixcoder-base` torch checkpoint into the
+        Flax param tree. Returns False (random init) when unavailable."""
+        state = _read_torch_state(weights_dir)
+        if state is None:
+            logger.warning("no loadable weights under %s; using random init",
+                           weights_dir)
+            return False
+        try:
+            self.params = _map_roberta_params(state, self.config, self.params)
+            return True
+        except KeyError as exc:
+            logger.warning("weight mapping failed (%s); using random init", exc)
+            return False
+
+
+def _read_torch_state(weights_dir: Path) -> dict | None:
+    for name in ("model.safetensors",):
+        path = weights_dir / name
+        if path.is_file():
+            try:
+                from safetensors.numpy import load_file
+                return dict(load_file(str(path)))
+            except Exception:
+                pass
+    for name in ("pytorch_model.bin",):
+        path = weights_dir / name
+        if path.is_file():
+            try:
+                import torch
+                state = torch.load(str(path), map_location="cpu",
+                                   weights_only=True)
+                return {k: v.numpy() for k, v in state.items()}
+            except Exception:
+                pass
+    return None
+
+
+def _map_roberta_params(state: dict, cfg: UniXcoderConfig, params: dict) -> dict:
+    """HF `roberta.*` names -> this module's param tree."""
+    def g(key: str) -> np.ndarray:
+        for prefix in ("roberta.", "", "model."):
+            k = prefix + key
+            if k in state:
+                return np.asarray(state[k])
+        raise KeyError(key)
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    out["word_embeddings"]["embedding"] = g("embeddings.word_embeddings.weight")
+    out["position_embeddings"]["embedding"] = g("embeddings.position_embeddings.weight")
+    out["embeddings_norm"]["scale"] = g("embeddings.LayerNorm.weight")
+    out["embeddings_norm"]["bias"] = g("embeddings.LayerNorm.bias")
+    for i in range(cfg.num_layers):
+        hf = f"encoder.layer.{i}."
+        layer = out[f"layer_{i}"]
+        attn = layer["attention"]
+        for ours, theirs in (("query", "attention.self.query"),
+                             ("key", "attention.self.key"),
+                             ("value", "attention.self.value"),
+                             ("output", "attention.output.dense")):
+            attn[ours]["kernel"] = g(hf + theirs + ".weight").T
+            attn[ours]["bias"] = g(hf + theirs + ".bias")
+        layer["attention_norm"]["scale"] = g(hf + "attention.output.LayerNorm.weight")
+        layer["attention_norm"]["bias"] = g(hf + "attention.output.LayerNorm.bias")
+        layer["intermediate"]["kernel"] = g(hf + "intermediate.dense.weight").T
+        layer["intermediate"]["bias"] = g(hf + "intermediate.dense.bias")
+        layer["output"]["kernel"] = g(hf + "output.dense.weight").T
+        layer["output"]["bias"] = g(hf + "output.dense.bias")
+        layer["output_norm"]["scale"] = g(hf + "output.LayerNorm.weight")
+        layer["output_norm"]["bias"] = g(hf + "output.LayerNorm.bias")
+    return out

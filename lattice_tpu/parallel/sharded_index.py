@@ -1,0 +1,124 @@
+"""Corpus-sharded search: per-shard top-k + merge over ICI.
+
+SURVEY §2.4 "data-parallel index sharding" + "distributed top-k merge":
+the chunk-embedding matrix `[N, d]` is row-sharded over the `data` mesh
+axis, queries are replicated, every chip scores its shard on the MXU and
+selects a local top-k, and the (score, global-id) pairs merge across chips.
+For k << N the merge payload is k pairs per chip; an `all_gather` of
+`[B, k]` over ICI followed by a local re-select is bandwidth-optimal at
+this size (a ppermute tree ladder only wins once D*k outgrows VMEM, far
+beyond code-search regimes).
+
+Built on `shard_map` so the per-shard body is exactly the single-chip
+kernel from `ops/topk.py` — one code path, one oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from lattice_tpu.ops import topk as topk_ops
+from lattice_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+
+class ShardedIndex:
+    """Row-sharded read-mostly view of an embedding matrix for search."""
+
+    def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
+                 mesh: Mesh | None = None, dtype: str = "bfloat16"):
+        self.mesh = mesh or make_mesh()
+        n_data = self.mesh.shape[DATA_AXIS]
+        n, d = embeddings.shape
+        # Pad rows to a multiple of the data-axis size; padding rows invalid.
+        pad = (-n) % n_data
+        if pad:
+            embeddings = np.concatenate(
+                [embeddings, np.zeros((pad, d), embeddings.dtype)], axis=0)
+            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+        self.n_rows = n
+        self.rows_per_shard = (n + pad) // n_data
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self.embeddings = jax.device_put(
+            jnp.asarray(embeddings, dtype=jnp.dtype(dtype)), sharding)
+        self.valid = jax.device_put(
+            jnp.asarray(valid), NamedSharding(self.mesh, P(DATA_AXIS)))
+        self._search_cache: dict[int, callable] = {}
+
+    def _build_search(self, k: int):
+        mesh = self.mesh
+        rows_per_shard = self.rows_per_shard
+        # A shard can hold fewer rows than k; select what exists locally and
+        # let the merge re-select the global k.
+        k_local = min(k, rows_per_shard)
+
+        def local_search(queries, emb_shard, valid_shard):
+            # queries replicated; emb/valid are this chip's rows.
+            scores, idx = topk_ops.flat_topk(queries, emb_shard, valid_shard,
+                                             k_local)
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            global_idx = idx + shard_id * rows_per_shard
+            # ICI merge: gather all shards' candidate lists, re-select.
+            all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0,
+                                            tiled=False)   # [D, B, k]
+            all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=0)
+            d, b, kk = all_scores.shape
+            flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d * kk)
+            flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d * kk)
+            top_scores, pos = jax.lax.top_k(flat_scores, min(k, d * kk))
+            top_idx = jnp.take_along_axis(flat_idx, pos, axis=-1)
+            return top_scores, top_idx
+
+        fn = shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Global (scores [B,k], row ids [B,k]) across all shards."""
+        fn = self._search_cache.get(k)
+        if fn is None:
+            fn = self._build_search(k)
+            self._search_cache[k] = fn
+        q = jnp.asarray(topk_ops.l2_normalize(np.atleast_2d(queries)))
+        scores, idx = fn(q, self.embeddings, self.valid)
+        return np.asarray(scores), np.asarray(idx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "axis_name"))
+def tree_merge_topk(scores: jax.Array, idx: jax.Array, k: int,
+                    axis_name: str = DATA_AXIS):
+    """Alternative ppermute reduce ladder for very large D*k merges.
+
+    log2(D) rounds; each round halves the live participants by pairwise
+    `merge_topk`. Exposed for benchmarking against the all_gather path.
+    """
+    n = jax.lax.axis_size(axis_name)
+    rounds = max(int(np.ceil(np.log2(max(n, 1)))), 0)
+    my = jax.lax.axis_index(axis_name)
+
+    def body(i, carry):
+        s, x = carry
+        stride = 2 ** i
+        perm = [(j, (j - stride) % n) for j in range(n)]
+        rs = jax.lax.ppermute(s, axis_name, perm)
+        rx = jax.lax.ppermute(x, axis_name, perm)
+        ns, nx = topk_ops.merge_topk(s, x, rs, rx, k)
+        take = (my % (2 * stride)) == 0
+        s = jnp.where(take, ns, s)
+        x = jnp.where(take, nx, x)
+        return (s, x)
+
+    s, x = scores, idx
+    for i in range(rounds):
+        s, x = body(i, (s, x))
+    return s, x

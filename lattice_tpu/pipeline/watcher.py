@@ -1,0 +1,202 @@
+"""File watcher: incremental reindexing on change.
+
+Parity target: reference `src/lattice/pipeline/watcher.py:21-329` —
+`FileChangeHandler` relevance filter, an asyncio queue decoupling fs events
+from async processing, change handling (re-parse, delete graph entities,
+rebuild graph + vectors, recalc CALLS), delete handling (graph + vectors +
+AST cache), and updated/deleted/error counters.
+
+watchdog is not installed in this environment, so change detection is a
+polling scanner over (mtime, size) with SHA-256 confirmation — the same
+`FileScanner` the pipeline uses, which also fixes two reference bugs
+(SURVEY §2.2): deletes go through a `VectorIndexer.delete_file` that
+actually exists, and graph deletes use the same relative paths the builder
+stored.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from lattice_tpu.config.settings import Settings, get_settings
+from lattice_tpu.embeddings.indexer import VectorIndexer
+from lattice_tpu.graph.builder import GraphBuilder
+from lattice_tpu.parsing.models import FileInfo, ParsedFile
+from lattice_tpu.parsing.parser import CodeParser
+from lattice_tpu.parsing.scanner import FileScanner
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(slots=True)
+class FileEvent:
+    kind: str          # changed | created | deleted
+    relative_path: str
+    file_info: FileInfo | None = None
+
+
+@dataclass
+class WatchStats:
+    """Reference counters (`watcher.py:104-107`)."""
+
+    updated: int = 0
+    deleted: int = 0
+    errors: int = 0
+    polls: int = 0
+
+
+class FileWatcher:
+    def __init__(
+        self,
+        repo_path: str | Path,
+        graph_builder: GraphBuilder,
+        indexer: VectorIndexer,
+        parser: CodeParser | None = None,
+        settings: Settings | None = None,
+        project_name: str | None = None,
+        poll_interval_s: float = 1.0,
+    ):
+        settings = settings or get_settings()
+        self.repo_path = Path(repo_path).resolve()
+        self.scanner = FileScanner(self.repo_path, settings.files)
+        self.parser = parser or CodeParser()
+        self.graph_builder = graph_builder
+        self.indexer = indexer
+        self.project_name = project_name or self.repo_path.name
+        self.poll_interval_s = poll_interval_s
+        self.stats = WatchStats()
+        self._queue: asyncio.Queue[FileEvent] = asyncio.Queue()
+        self._known: dict[str, str] = {}          # rel path -> content hash
+        self._parsed_by_path: dict[str, ParsedFile] = {}
+        self._running = False
+
+    # ---- detection (replaces the watchdog Observer thread) --------------
+
+    def prime(self, parsed_files: list[ParsedFile]) -> None:
+        """Seed known-file state from an initial index run."""
+        for parsed in parsed_files:
+            info = parsed.file_info
+            self._known[info.relative_path] = info.content_hash
+            self._parsed_by_path[info.relative_path] = parsed
+
+    def poll_once(self) -> list[FileEvent]:
+        """One scan pass; emits created/changed/deleted events."""
+        self.stats.polls += 1
+        events: list[FileEvent] = []
+        seen: set[str] = set()
+        for info in self.scanner.scan():
+            seen.add(info.relative_path)
+            old = self._known.get(info.relative_path)
+            if old is None:
+                events.append(FileEvent("created", info.relative_path, info))
+            elif old != info.content_hash:
+                events.append(FileEvent("changed", info.relative_path, info))
+        for rel in list(self._known):
+            if rel not in seen:
+                events.append(FileEvent("deleted", rel))
+        return events
+
+    # ---- processing (reference `watcher.py:208-313`) --------------------
+
+    async def _handle_changed(self, event: FileEvent) -> None:
+        info = event.file_info
+        assert info is not None
+        try:
+            parsed = await asyncio.to_thread(self.parser.parse_file, info)
+            self._parsed_by_path[info.relative_path] = parsed
+            all_parsed = list(self._parsed_by_path.values())
+            await asyncio.to_thread(
+                self.graph_builder.rebuild_file,
+                info.relative_path, parsed, all_parsed)
+            await asyncio.to_thread(
+                self.indexer.index_file, parsed, self.project_name, True)
+            self._known[info.relative_path] = info.content_hash
+            self.stats.updated += 1
+            logger.info("reindexed %s", info.relative_path)
+        except Exception as exc:
+            self.stats.errors += 1
+            logger.warning("watch update failed for %s: %s",
+                           info.relative_path, exc)
+
+    async def _handle_deleted(self, event: FileEvent) -> None:
+        rel = event.relative_path
+        try:
+            parsed = self._parsed_by_path.pop(rel, None)
+            if parsed is not None:
+                self.graph_builder.registry.remove_by_prefix(
+                    parsed.file_info.module_name)
+            self.graph_builder.store.remove_file_nodes(rel)
+            self.graph_builder.store.finalize()
+            self.indexer.delete_file(rel)
+            self.parser.ast_cache.remove(Path(self.repo_path / rel))
+            self._known.pop(rel, None)
+            self.stats.deleted += 1
+            logger.info("removed %s from index", rel)
+        except Exception as exc:
+            self.stats.errors += 1
+            logger.warning("watch delete failed for %s: %s", rel, exc)
+
+    async def process_events(self, events: list[FileEvent]) -> None:
+        for event in events:
+            if event.kind in ("changed", "created"):
+                await self._handle_changed(event)
+            else:
+                await self._handle_deleted(event)
+
+    # ---- loop -----------------------------------------------------------
+
+    async def run(self, max_polls: int | None = None) -> None:
+        """Poll -> queue -> process loop (reference `watcher.py:181-206`)."""
+        self._running = True
+        polls = 0
+        while self._running:
+            events = await asyncio.to_thread(self.poll_once)
+            await self.process_events(events)
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                break
+            await asyncio.sleep(self.poll_interval_s)
+
+    def stop(self) -> None:
+        self._running = False
+
+
+async def watch_repository(repo_path: Path, settings: Settings) -> int:
+    """CLI entry: full index then watch loop, persisting on change."""
+    from lattice_tpu.embeddings.embedder import Embedder
+    from lattice_tpu.pipeline.orchestrator import PipelineOrchestrator
+    from lattice_tpu.providers.factory import get_embedding_provider
+    from lattice_tpu.storage import persistence
+
+    embedder = Embedder(get_embedding_provider(settings.ai))
+    orchestrator = PipelineOrchestrator(repo_path, embedder, settings=settings)
+    ctx = await orchestrator.run()
+    watcher = FileWatcher(repo_path, ctx.graph_builder, ctx.indexer,
+                          ctx.parser, settings, ctx.project_name)
+    watcher.prime(ctx.parsed)
+    data_dir = repo_path / settings.storage.data_dir
+    print(f"watching {repo_path} (ctrl-c to stop)")
+    last_save = time.time()
+    try:
+        while True:
+            events = await asyncio.to_thread(watcher.poll_once)
+            if events:
+                await watcher.process_events(events)
+                if time.time() - last_save > 5.0:
+                    persistence.save_index(
+                        data_dir, ctx.graph_builder.store, ctx.indexer,
+                        project=ctx.project_name,
+                        provider=settings.ai.embedding_provider,
+                        file_hashes=dict(watcher._known))
+                    last_save = time.time()
+                print(f"updated={watcher.stats.updated} "
+                      f"deleted={watcher.stats.deleted} "
+                      f"errors={watcher.stats.errors}")
+            await asyncio.sleep(1.0)
+    except KeyboardInterrupt:
+        print("stopped")
+    return 0

@@ -1,0 +1,84 @@
+"""UniXcoder embedding provider: tokenize on host, encode on TPU.
+
+Parity target: reference `src/lattice/providers/unixcoder_provider.py:87-282`
+— mode-token framing `<encoder-only>` with CLS/SEP, max_length 512 with
+padding, mask-weighted mean-pool sentence embeddings, an lru-cached
+singleton model, and batched no-grad embedding. The torch module becomes the
+Flax encoder in `models/unixcoder.py`; the 1-worker ThreadPoolExecutor that
+serialized torch inference (`:260-282`) disappears — JAX dispatch is
+async and the jitted forward is reentrant.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import lru_cache
+
+import numpy as np
+
+from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
+from lattice_tpu.providers.base import BaseEmbeddingProvider, ProviderConfig
+from lattice_tpu.text.tokenizer import CodeTokenizer
+
+logger = logging.getLogger(__name__)
+
+EMBEDDING_DIM = 768          # reference `unixcoder_provider.py:229`
+MAX_LENGTH = 512             # reference `unixcoder_provider.py:90`
+
+
+@lru_cache(maxsize=2)
+def _get_model(weights_dir: str | None, seed: int = 0) -> UniXcoderModel:
+    """Singleton model (reference lru-cached loader, `:157-174`)."""
+    return UniXcoderModel(UniXcoderConfig(), weights_dir=weights_dir, seed=seed)
+
+
+class UniXcoderEmbedder:
+    """Synchronous core satisfying the `Embedder` protocol."""
+
+    def __init__(self, weights_dir: str | None = None,
+                 max_length: int = MAX_LENGTH, batch_size: int = 64):
+        self.model = _get_model(weights_dir)
+        self.tokenizer = CodeTokenizer(
+            vocab_size=self.model.config.vocab_size,
+            vocab_dir=weights_dir)
+        self.max_length = max_length
+        self.batch_size = batch_size
+        if not self.model.loaded_pretrained:
+            logger.info(
+                "UniXcoder running with random-init weights (no checkpoint "
+                "at %r); use the hash provider for offline retrieval quality",
+                weights_dir)
+
+    @property
+    def dimensions(self) -> int:
+        return EMBEDDING_DIM
+
+    def embed(self, text: str) -> list[float]:
+        return self.embed_batch([text])[0]
+
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for start in range(0, len(texts), self.batch_size):
+            group = texts[start:start + self.batch_size]
+            ids, mask = self.tokenizer.encode_batch(group, self.max_length)
+            pooled = self.model.encode(np.asarray(ids), np.asarray(mask))
+            out.extend(pooled.astype(np.float32).tolist())
+        return out
+
+
+class UniXcoderEmbeddingProvider(BaseEmbeddingProvider):
+    """Async provider seam (reference `:229-282`)."""
+
+    def __init__(self, config: ProviderConfig | None = None,
+                 weights_dir: str | None = None):
+        config = config or ProviderConfig(name="unixcoder",
+                                          dimensions=EMBEDDING_DIM)
+        config.dimensions = EMBEDDING_DIM
+        super().__init__(config)
+        self._impl = UniXcoderEmbedder(weights_dir=weights_dir)
+
+    async def _embed(self, text: str) -> list[float]:
+        return self._impl.embed(text)
+
+    async def _embed_batch(self, texts: list[str]) -> list[list[float]]:
+        return self._impl.embed_batch(texts)

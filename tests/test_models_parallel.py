@@ -1,0 +1,127 @@
+"""UniXcoder Flax model, contrastive trainer, and sharded index tests.
+
+Runs on the 8-device virtual CPU mesh (conftest). Tiny configs keep this
+fast; the code paths are identical to full-size.
+"""
+
+import numpy as np
+import pytest
+
+from lattice_tpu.models.train import ContrastiveTrainer, make_dummy_batch
+from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
+from lattice_tpu.parallel.mesh import make_mesh
+from lattice_tpu.parallel.sharded_index import ShardedIndex
+from lattice_tpu.ops import topk as topk_ops
+
+TINY = UniXcoderConfig(
+    vocab_size=256, hidden_size=32, num_layers=2, num_heads=4,
+    intermediate_size=64, max_position_embeddings=64, dtype="float32")
+
+
+class TestUniXcoderModel:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return UniXcoderModel(TINY)
+
+    def test_encode_shape_and_finite(self, model):
+        ids = np.random.default_rng(0).integers(5, 256, size=(3, 20))
+        mask = np.ones((3, 20), dtype=np.int64)
+        out = model.encode(ids, mask)
+        assert out.shape == (3, TINY.hidden_size)
+        assert np.all(np.isfinite(out))
+
+    def test_padding_invariance(self, model):
+        """Mean-pool over the mask must ignore pad tokens."""
+        rng = np.random.default_rng(1)
+        ids = rng.integers(5, 256, size=(1, 10))
+        mask = np.ones((1, 10), dtype=np.int64)
+        short = model.encode(ids, mask)
+        ids_padded = np.pad(ids, ((0, 0), (0, 6)), constant_values=TINY.pad_token_id)
+        mask_padded = np.pad(mask, ((0, 0), (0, 6)))
+        padded = model.encode(ids_padded, mask_padded)
+        np.testing.assert_allclose(short, padded, atol=1e-4)
+
+    def test_deterministic(self, model):
+        ids = np.random.default_rng(2).integers(5, 256, size=(2, 12))
+        mask = np.ones((2, 12), dtype=np.int64)
+        a = model.encode(ids, mask)
+        b = model.encode(ids, mask)
+        np.testing.assert_array_equal(a, b)
+
+    def test_bucket_padding(self, model):
+        assert model.bucket_length(30) == 64
+        assert model.bucket_length(200) == 256
+        assert model.bucket_length(9999) == 512
+
+
+class TestUniXcoderProviderFraming:
+    def test_mode_token_framing(self):
+        from lattice_tpu.text.tokenizer import CodeTokenizer
+        tok = CodeTokenizer(vocab_size=1000)
+        ids, mask = tok.encode("def f(): pass", max_length=16)
+        assert ids[:3] == [tok.CLS, tok.MODE_ENCODER, tok.SEP]
+        assert ids[-1] == tok.SEP
+        assert len(ids) == len(mask) <= 16
+
+    def test_batch_padding(self):
+        from lattice_tpu.text.tokenizer import CodeTokenizer
+        tok = CodeTokenizer(vocab_size=1000)
+        ids, mask = tok.encode_batch(["a", "a much longer piece of code"], 32)
+        assert len(ids[0]) == len(ids[1])
+        assert mask[0][-1] == 0  # padded
+        assert mask[1][-1] == 1
+
+
+class TestContrastiveTrainer:
+    def test_single_device_step_decreases_loss(self):
+        trainer = ContrastiveTrainer(TINY, mesh=None, learning_rate=1e-3)
+        batch = make_dummy_batch(batch_size=4, length=12, vocab_size=256)
+        losses = [trainer.train_step(batch) for _ in range(4)]
+        assert all(np.isfinite(x) for x in losses)
+        assert losses[-1] < losses[0]
+        assert trainer.state.step == 4
+
+    def test_sharded_step_matches_shape(self):
+        mesh = make_mesh(8, model_parallel=2)
+        trainer = ContrastiveTrainer(TINY, mesh=mesh)
+        batch = make_dummy_batch(batch_size=8, length=12, vocab_size=256)
+        loss = trainer.train_step(batch)
+        assert np.isfinite(loss)
+
+
+class TestShardedIndex:
+    def test_matches_single_chip_oracle(self):
+        rng = np.random.default_rng(0)
+        emb = topk_ops.l2_normalize(rng.normal(size=(500, 32)))
+        valid = np.ones(500, dtype=bool)
+        valid[123] = False
+        queries = topk_ops.l2_normalize(rng.normal(size=(4, 32)))
+        index = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
+        scores, idx = index.search(queries, k=7)
+        o_scores, o_idx = topk_ops.topk_oracle(queries, emb, valid, 7)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-5)
+        for got, want in zip(idx, o_idx):
+            assert set(got.tolist()) == set(want.tolist())
+        assert 123 not in idx
+
+    def test_row_padding_not_returned(self):
+        rng = np.random.default_rng(1)
+        emb = topk_ops.l2_normalize(rng.normal(size=(13, 16)))  # 13 % 8 != 0
+        valid = np.ones(13, dtype=bool)
+        index = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
+        scores, idx = index.search(emb[:2], k=13)
+        assert idx.max() < 13
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import jax
+
+        import __graft_entry__ as graft
+        fn, args = graft.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[0] == 8
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as graft
+        graft.dryrun_multichip(8)
