@@ -1,0 +1,253 @@
+"""Watcher, summarizer, metadata, projects, and MCP server tests.
+
+Parity model: reference `tests/test_summarization.py` (mocked LLM),
+`tests/test_metadata_generator.py` (mocked agent), plus watcher/MCP flows
+the reference leaves untested (SURVEY §2.2 notes its watcher bugs).
+"""
+
+import asyncio
+import json
+import shutil
+
+import pytest
+
+from lattice_tpu.config.settings import Settings
+from lattice_tpu.core.types import EdgeType
+from lattice_tpu.embeddings.embedder import Embedder
+from lattice_tpu.pipeline.orchestrator import PipelineOrchestrator
+from lattice_tpu.pipeline.watcher import FileWatcher
+from lattice_tpu.providers.hash_provider import HashEmbedder
+
+
+class FakeLLM:
+    """Canned-response provider (reference `test_summarization.py:21-25`)."""
+
+    def __init__(self, response="A canned summary."):
+        self.response = response
+        self.calls = []
+
+    async def complete(self, messages, **kwargs):
+        self.calls.append(messages)
+        return self.response
+
+
+@pytest.fixture()
+def workspace(tmp_path, sample_project_path):
+    root = tmp_path / "proj"
+    shutil.copytree(sample_project_path, root)
+    return root
+
+
+@pytest.fixture()
+def indexed_ws(workspace):
+    embedder = Embedder(HashEmbedder(dimensions=128))
+    orchestrator = PipelineOrchestrator(workspace, embedder,
+                                        project_name="ws")
+    ctx = asyncio.run(orchestrator.run())
+    return workspace, ctx
+
+
+class TestWatcher:
+    def test_change_detection_and_reindex(self, indexed_ws):
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws")
+        watcher.prime(ctx.parsed)
+        assert watcher.poll_once() == []  # steady state
+
+        target = workspace / "app" / "utils" / "validators.py"
+        target.write_text(target.read_text() + (
+            "\n\ndef brand_new_helper(x):\n"
+            "    \"\"\"Completely new function.\"\"\"\n"
+            "    return normalize_name(x)\n"))
+        events = watcher.poll_once()
+        assert [e.kind for e in events] == ["changed"]
+        asyncio.run(watcher.process_events(events))
+        assert watcher.stats.updated == 1
+        store = ctx.graph_builder.store
+        nid = store.id_of("app.utils.validators.brand_new_helper")
+        assert nid is not None
+        # new CALLS edge resolved to the sibling function
+        callees = store.k_hop([nid], EdgeType.CALLS, hops=1)
+        target_id = store.id_of("app.utils.validators.normalize_name")
+        assert target_id in callees
+        # vectors updated too
+        rows = ctx.indexer.code.scroll(
+            {"graph_node_id": "app.utils.validators.brand_new_helper"})
+        assert rows
+
+    def test_delete_detection(self, indexed_ws):
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws")
+        watcher.prime(ctx.parsed)
+        (workspace / "app" / "api" / "routes.py").unlink()
+        events = watcher.poll_once()
+        assert [e.kind for e in events] == ["deleted"]
+        asyncio.run(watcher.process_events(events))
+        assert watcher.stats.deleted == 1
+        store = ctx.graph_builder.store
+        assert store.id_of("app.api.routes.handle_create_user") is None
+        assert ctx.indexer.code.scroll(
+            {"file_path": "app/api/routes.py"}) == []
+
+
+class TestSummarizer:
+    def test_llm_path(self, indexed_ws):
+        from lattice_tpu.summarization.summarizer import CodeSummarizer
+        _, ctx = indexed_ws
+        llm = FakeLLM("Validates user emails and normalizes names.")
+        summarizer = CodeSummarizer(llm)
+        parsed = next(p for p in ctx.parsed
+                      if p.file_info.relative_path.endswith("validators.py"))
+        summary = asyncio.run(summarizer.summarize_file(parsed))
+        assert summary == "Validates user emails and normalizes names."
+        assert llm.calls
+
+    def test_offline_fallback(self, indexed_ws):
+        from lattice_tpu.summarization.summarizer import CodeSummarizer
+        _, ctx = indexed_ws
+        summarizer = CodeSummarizer(None)
+        parsed = next(p for p in ctx.parsed
+                      if p.file_info.relative_path.endswith("validators.py"))
+        summary = asyncio.run(summarizer.summarize_file(parsed))
+        assert "validators" in summary
+        assert "validate_email_format" in summary
+
+    def test_entity_summary(self, indexed_ws):
+        from lattice_tpu.summarization.summarizer import CodeSummarizer
+        _, ctx = indexed_ws
+        summarizer = CodeSummarizer(None)
+        parsed = next(p for p in ctx.parsed
+                      if p.file_info.relative_path.endswith("user_service.py"))
+        entity = parsed.classes[0]
+        summary = asyncio.run(summarizer.summarize_entity(entity))
+        assert "UserService" in summary
+
+
+class TestMetadata:
+    def test_generate_all_offline(self, indexed_ws, tmp_path):
+        from lattice_tpu.metadata.generator import MetadataGenerator
+        from lattice_tpu.metadata.repository import MetadataRepository
+        workspace, ctx = indexed_ws
+        repo = MetadataRepository(tmp_path / "meta")
+        generator = MetadataGenerator(
+            workspace, "ws", repository=repo,
+            graph_store=ctx.graph_builder.store)
+        record = asyncio.run(generator.generate_all())
+        assert record["status"] == "completed"
+        assert record["tech_stack"]["languages"]["python"] >= 5
+        dep_names = [d["name"] for d in record["dependencies"]]
+        assert isinstance(dep_names, list)
+        assert record["folder_structure"]["name"]
+        assert any(e["kind"] for e in record["entry_points"]) or \
+            record["entry_points"] == []
+        assert record["core_features"]
+        assert "graph TD" in record["architecture_diagram"]
+        # versioning + log
+        assert repo.get_latest("ws")["version"] == 1
+        record2 = asyncio.run(generator.generate_all())
+        assert record2["version"] == 2
+        log = repo.get_log("ws")
+        assert len(log) == 14  # 7 fields x 2 runs
+        assert all(entry["status"] == "completed" for entry in log)
+
+    def test_llm_polish(self, workspace, tmp_path):
+        from lattice_tpu.metadata.generator import MetadataGenerator
+        llm = FakeLLM("A polished overview.")
+        generator = MetadataGenerator(workspace, "ws", llm=llm)
+        record = asyncio.run(generator.generate_all())
+        assert record["project_overview"] == "A polished overview."
+
+
+class TestProjects:
+    def test_register_list_delete(self, indexed_ws, tmp_path):
+        from lattice_tpu.projects.manager import ProjectManager
+        from lattice_tpu.storage import persistence
+        workspace, ctx = indexed_ws
+        data_dir = workspace / ".lattice"
+        persistence.save_index(
+            data_dir, ctx.graph_builder.store, ctx.indexer, project="ws",
+            provider="hash",
+            file_hashes={f.relative_path: f.content_hash for f in ctx.files})
+        manager = ProjectManager(registry_path=tmp_path / "registry.json")
+        manager.repository.register("ws", workspace)
+        index = manager.list_projects()
+        assert index.get("ws") is not None
+        assert index.get("ws").chunk_count > 0
+        assert index.total_files > 0
+        assert manager.delete_project("ws")
+        assert not data_dir.exists()
+        assert manager.get_project("ws") is None
+
+    def test_cleanup_stale(self, tmp_path):
+        from lattice_tpu.projects.manager import ProjectManager
+        manager = ProjectManager(registry_path=tmp_path / "registry.json")
+        manager.repository.register("ghost", tmp_path / "nowhere")
+        assert manager.cleanup() == 1
+        assert manager.list_projects().projects == ()
+
+
+class TestMCPServer:
+    @pytest.fixture()
+    def server(self, indexed_ws):
+        from lattice_tpu.mcp.server import MCPServer
+        from lattice_tpu.storage import persistence
+        workspace, ctx = indexed_ws
+        persistence.save_index(
+            workspace / ".lattice", ctx.graph_builder.store, ctx.indexer,
+            project="ws", provider="hash", file_hashes={})
+        settings = Settings()
+        settings.ai.embedding_provider = "hash"
+        settings.ai.embedding_dimensions = 128
+        return MCPServer(workspace, settings)
+
+    def _call(self, server, method, params=None, rid=1):
+        return asyncio.run(server.handle_request(
+            {"jsonrpc": "2.0", "id": rid, "method": method,
+             "params": params or {}}))
+
+    def test_initialize_and_list(self, server):
+        resp = self._call(server, "initialize")
+        assert resp["result"]["serverInfo"]["name"] == "lattice-tpu"
+        resp = self._call(server, "tools/list")
+        names = [t["name"] for t in resp["result"]["tools"]]
+        assert names == ["index_repository", "query_code_graph",
+                         "get_code_snippet", "semantic_search"]
+
+    def test_semantic_search_tool(self, server):
+        resp = self._call(server, "tools/call", {
+            "name": "semantic_search",
+            "arguments": {"query": "validate email format", "limit": 5},
+        })
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert payload["results"]
+        assert any("validate" in r["name"] for r in payload["results"])
+
+    def test_query_tool(self, server):
+        resp = self._call(server, "tools/call", {
+            "name": "query_code_graph",
+            "arguments": {"question": "who calls validate_email_format?"},
+        })
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert payload["intent"] == "find_usage"
+        assert payload["answer"]
+
+    def test_snippet_tool_and_guard(self, server):
+        resp = self._call(server, "tools/call", {
+            "name": "get_code_snippet",
+            "arguments": {"entity": "UserService"},
+        })
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert "class UserService" in payload["code"]
+        # unknown entity -> error payload, not crash
+        resp = self._call(server, "tools/call", {
+            "name": "get_code_snippet",
+            "arguments": {"entity": "DoesNotExist"},
+        })
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert "error" in payload
+
+    def test_unknown_method(self, server):
+        resp = self._call(server, "nope/nope")
+        assert resp["error"]["code"] == -32601
