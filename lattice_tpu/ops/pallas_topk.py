@@ -1,0 +1,157 @@
+"""Pallas fused score+select top-k kernel.
+
+SURVEY §7 step 4: fuse the Q@E^T score matmul with top-k selection so the
+[B, N] score matrix never round-trips to HBM. The XLA path
+(`ops/topk.py`) materializes scores [B, N] (N x 4 bytes per query of HBM
+write+read traffic before `lax.top_k`); at 1M rows that is ~8 MB per query
+of pure overhead. This kernel streams the embedding matrix through VMEM
+tile by tile and keeps a running [B, k] selection in VMEM scratch, so HBM
+traffic is exactly one read of E plus the [B, k] result — the memory lower
+bound for a flat scan.
+
+Design (per the Pallas TPU guide):
+- grid over row tiles of E; the TPU grid is sequential, so VMEM scratch
+  carries the running top-k between iterations
+- per tile: scores = Q @ tile^T on the MXU (bf16 in, f32 accumulate),
+  invalid rows masked to -inf
+- selection: concatenate running [B, k] with tile scores [B, T] and take
+  k maxima by an unrolled argmax-and-mask loop (k is small and static; the
+  VPU work is negligible next to the MXU tile)
+- outputs written once, on the final tile
+
+Correctness oracle: `ops/topk.topk_oracle`; tests run this kernel in
+interpreter mode on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# Row-tile size: 512 rows x 768 dims x 2B (bf16) = 768 KB per buffered tile,
+# comfortably inside the ~16 MB VMEM budget alongside Q and scratch.
+DEFAULT_TILE = 512
+
+
+def _topk_kernel(q_ref, e_ref, valid_ref, out_s_ref, out_i_ref,
+                 best_s, best_i, *, k: int, tile: int, n_rows: int):
+    j = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        best_s[:] = jnp.full_like(best_s, NEG_INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = q_ref[:]                                  # [B, d]
+    e_tile = e_ref[:]                             # [T, d]
+    scores = jax.lax.dot_general(
+        q.astype(e_tile.dtype), e_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # [B, T]
+    b = scores.shape[0]
+    row_base = j * tile
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1) + row_base
+    alive = valid_ref[:].reshape(1, tile) != 0
+    in_range = col_ids < n_rows
+    scores = jnp.where(alive & in_range, scores, NEG_INF)
+
+    cat_s = jnp.concatenate([best_s[:], scores], axis=-1)        # [B, k+T]
+    cat_i = jnp.concatenate([best_i[:], col_ids], axis=-1)
+    width = k + tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+    new_s = []
+    new_i = []
+    for _ in range(k):
+        m = jnp.max(cat_s, axis=-1, keepdims=True)               # [B, 1]
+        a = jnp.argmax(cat_s, axis=-1).astype(jnp.int32)         # [B]
+        hit = lane == a[:, None]
+        # one-hot reduce instead of take_along_axis: Mosaic has no general
+        # gather, but masked sums lower cleanly to the VPU
+        picked = jnp.sum(jnp.where(hit, cat_i, 0), axis=-1,
+                         keepdims=True).astype(jnp.int32)        # [B, 1]
+        new_s.append(m)
+        new_i.append(picked)
+        cat_s = jnp.where(hit, NEG_INF, cat_s)
+    best_s[:] = jnp.concatenate(new_s, axis=-1)
+    best_i[:] = jnp.concatenate(new_i, axis=-1)
+
+    @pl.when(j == n_tiles - 1)
+    def _emit():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = best_i[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "interpret"))
+def fused_topk(
+    queries: jax.Array,      # [B, d] f32 (normalized)
+    embeddings: jax.Array,   # [N, d] bf16/f32, N % tile == 0 (pad rows invalid)
+    valid: jax.Array,        # [N] bool/int8
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused flat-scan top-k. Returns (scores [B,k] f32, indices [B,k] i32)."""
+    n, d = embeddings.shape
+    b = queries.shape[0]
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    n_tiles = n // tile
+    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+
+    kernel = functools.partial(_topk_kernel, k=k, tile=tile, n_rows=n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * embeddings.dtype.itemsize + b * d * 4
+            + 2 * b * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, embeddings, valid_i8)
+    return out_s, out_i
+
+
+def pad_for_tile(embeddings: np.ndarray, valid: np.ndarray,
+                 tile: int = DEFAULT_TILE) -> tuple[np.ndarray, np.ndarray]:
+    """Pad rows to a tile multiple; padded rows marked invalid."""
+    n, d = embeddings.shape
+    pad = (-n) % tile
+    if pad == 0:
+        return embeddings, valid
+    emb = np.concatenate(
+        [embeddings, np.zeros((pad, d), dtype=embeddings.dtype)], axis=0)
+    val = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+    return emb, val

@@ -1,0 +1,115 @@
+"""Vectorized hybrid-ranking fuse over node-aligned device arrays.
+
+SURVEY §7 step 6: the reference scores each result in a Python loop
+(`query/ranking/scorer.py:9-126`) over <=70 materialized results. On device
+the same formulas evaluate for *every graph node at once* — graph evidence
+(BFS depth, relationship class, degree) and vector evidence (cosine
+similarity scattered to node rows) fuse in one elementwise pass followed by
+`top_k`, so corpus-scale candidate sets (the 1M-chunk regime) rank without
+leaving HBM.
+
+Formula parity with `ResultScorer` / `HybridRanker`:
+  side_g = w_g·(decay^depth · relevance) + bonus·match + w_c·cent + w_x·rich
+  side_v = w_v·sim + bonus·match + w_c·cent + w_x·quality
+  fused  = both present ? (side_g + side_v)/2 · boost : side_g + side_v
+with centrality = min(1, degree/cap) (`scorer.py:60`) and the mean x 1.1
+duplicate-merge rule (`ranker.py:171-202`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_tpu.ops.graph_kernels import UNREACHED
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class FuseWeights:
+    graph_weight: float = 0.5
+    vector_weight: float = 0.5
+    centrality_weight: float = 0.2
+    context_weight: float = 0.1
+    entity_match_bonus: float = 0.3
+    hybrid_boost: float = 1.1
+    depth_decay: float = 0.8
+    degree_cap: float = 50.0
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_rank(
+    graph_depth: jax.Array,     # [N] i32, UNREACHED where node not in context
+    relevance: jax.Array,       # [N] f32, relationship relevance (0 if none)
+    vector_scores: jax.Array,   # [N] f32 cosine, NEG_INF where no vector hit
+    entity_match: jax.Array,    # [N] f32 in [0, 1]
+    degree: jax.Array,          # [N] i32 (in+out CALLS degree)
+    quality: jax.Array,         # [N] f32 content-quality heuristic
+    weights: jax.Array,         # [8] f32: packed FuseWeights
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (fused scores [k], node ids [k]) over all N nodes."""
+    w_g, w_v, w_c, w_x, bonus, boost, decay, cap = (
+        weights[0], weights[1], weights[2], weights[3], weights[4],
+        weights[5], weights[6], weights[7])
+    in_graph = graph_depth < UNREACHED
+    has_vec = vector_scores > NEG_INF / 2
+    depth_f = jnp.where(in_graph, graph_depth, 0).astype(jnp.float32)
+    base = jnp.power(decay, depth_f) * relevance
+    cent = jnp.minimum(1.0, degree.astype(jnp.float32) / cap)
+    richness = jnp.where(in_graph, 0.5, 0.0) + jnp.where(has_vec, 0.5, 0.0)
+
+    side_g = jnp.where(
+        in_graph,
+        w_g * base + bonus * entity_match + w_c * cent + w_x * richness,
+        0.0)
+    side_v = jnp.where(
+        has_vec,
+        w_v * jnp.maximum(vector_scores, 0.0) + bonus * entity_match
+        + w_c * cent + w_x * quality,
+        0.0)
+    both = in_graph & has_vec
+    fused = jnp.where(both, (side_g + side_v) * 0.5 * boost, side_g + side_v)
+    fused = jnp.where(in_graph | has_vec, fused, NEG_INF)
+    k_eff = min(k, fused.shape[0])
+    top_scores, top_idx = jax.lax.top_k(fused, k_eff)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+def pack_weights(w: FuseWeights) -> np.ndarray:
+    return np.asarray([
+        w.graph_weight, w.vector_weight, w.centrality_weight,
+        w.context_weight, w.entity_match_bonus, w.hybrid_boost,
+        w.depth_decay, w.degree_cap,
+    ], dtype=np.float32)
+
+
+def rank_oracle(graph_depth, relevance, vector_scores, entity_match, degree,
+                quality, w: FuseWeights, k: int):
+    """NumPy reference of the fuse for kernel tests."""
+    n = len(graph_depth)
+    fused = np.full(n, NEG_INF, dtype=np.float64)
+    for i in range(n):
+        in_graph = graph_depth[i] < UNREACHED
+        has_vec = vector_scores[i] > NEG_INF / 2
+        cent = min(1.0, degree[i] / w.degree_cap)
+        richness = (0.5 if in_graph else 0.0) + (0.5 if has_vec else 0.0)
+        side_g = (w.graph_weight * (w.depth_decay ** graph_depth[i])
+                  * relevance[i] + w.entity_match_bonus * entity_match[i]
+                  + w.centrality_weight * cent
+                  + w.context_weight * richness) if in_graph else 0.0
+        side_v = (w.vector_weight * max(vector_scores[i], 0.0)
+                  + w.entity_match_bonus * entity_match[i]
+                  + w.centrality_weight * cent
+                  + w.context_weight * quality[i]) if has_vec else 0.0
+        if in_graph and has_vec:
+            fused[i] = (side_g + side_v) / 2.0 * w.hybrid_boost
+        elif in_graph or has_vec:
+            fused[i] = side_g + side_v
+    order = np.argsort(-fused, kind="stable")[:k]
+    return fused[order], order.astype(np.int32)

@@ -1,0 +1,137 @@
+"""Pallas fused top-k (interpreter mode) + IVF recall harness.
+
+BASELINE's contract is measured recall: IVF recall@10 vs the exact oracle
+at given nprobe on clustered data (the realistic embedding regime).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lattice_tpu.ops import topk as topk_ops
+from lattice_tpu.ops.ivf import IVFIndex, kmeans_fit
+from lattice_tpu.ops.pallas_topk import fused_topk, pad_for_tile
+
+
+def clustered_data(n, d, n_clusters, seed=0, spread=0.25):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    data = centers[assign] + spread * rng.normal(size=(n, d))
+    return topk_ops.l2_normalize(data), assign
+
+
+class TestFusedTopK:
+    @pytest.mark.parametrize("n,tile,k", [(1024, 256, 10), (640, 128, 5)])
+    def test_matches_oracle(self, n, tile, k):
+        rng = np.random.default_rng(1)
+        emb = topk_ops.l2_normalize(rng.normal(size=(n, 64)))
+        valid = np.ones(n, dtype=bool)
+        valid[n // 3] = False
+        q = topk_ops.l2_normalize(rng.normal(size=(3, 64)))
+        pemb, pval = pad_for_tile(emb, valid, tile=tile)
+        s, i = fused_topk(jnp.asarray(q), jnp.asarray(pemb),
+                          jnp.asarray(pval), k, tile=tile, interpret=True)
+        o_s, o_i = topk_ops.topk_oracle(q, emb, valid, k)
+        np.testing.assert_allclose(np.asarray(s), o_s, atol=1e-5)
+        for row_got, row_want in zip(np.asarray(i), o_i):
+            assert set(row_got.tolist()) == set(row_want.tolist())
+
+    def test_all_invalid_rows(self):
+        rng = np.random.default_rng(2)
+        emb = topk_ops.l2_normalize(rng.normal(size=(256, 32)))
+        valid = np.zeros(256, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 32)))
+        s, _ = fused_topk(jnp.asarray(q), jnp.asarray(emb),
+                          jnp.asarray(valid), 5, tile=128, interpret=True)
+        assert np.all(np.asarray(s) <= -1e29)
+
+    def test_bf16_storage(self):
+        rng = np.random.default_rng(3)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 64)))
+        valid = np.ones(512, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 64)))
+        s, i = fused_topk(jnp.asarray(q), jnp.asarray(emb, dtype=jnp.bfloat16),
+                          jnp.asarray(valid), 10, tile=128, interpret=True)
+        o_s, _ = topk_ops.topk_oracle(q, emb, valid, 10)
+        np.testing.assert_allclose(np.asarray(s), o_s, atol=2e-2)
+
+
+class TestKMeans:
+    def test_recovers_clusters(self):
+        data, true_assign = clustered_data(600, 32, 4, spread=0.05)
+        valid = np.ones(600, dtype=bool)
+        centroids, assign = kmeans_fit(
+            jnp.asarray(data), jnp.asarray(valid),
+            jnp.asarray(np.arange(4, dtype=np.int32) * 150), 4, iters=15)
+        assign = np.asarray(assign)
+        # cluster labels are permuted; check purity instead
+        purity = 0
+        for c in range(4):
+            members = true_assign[assign == c]
+            if len(members):
+                purity += np.bincount(members).max()
+        assert purity / len(data) > 0.95
+
+    def test_centroids_normalized(self):
+        data, _ = clustered_data(200, 16, 3)
+        centroids, _ = kmeans_fit(
+            jnp.asarray(data), jnp.asarray(np.ones(200, bool)),
+            jnp.asarray(np.array([0, 50, 100], np.int32)), 3, iters=5)
+        norms = np.linalg.norm(np.asarray(centroids), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        data, _ = clustered_data(3000, 64, 24, spread=0.3)
+        valid = np.ones(3000, dtype=bool)
+        valid[[7, 2000]] = False
+        return data, valid
+
+    def test_full_probe_equals_exact(self, corpus):
+        data, valid = corpus
+        index = IVFIndex.build(data, valid, n_clusters=16, dtype="float32")
+        q = topk_ops.l2_normalize(np.random.default_rng(5).normal(size=(4, 64)))
+        s, i = index.search(q, k=10, nprobe=16)
+        o_s, o_i = topk_ops.topk_oracle(q, data, valid, 10)
+        np.testing.assert_allclose(s, o_s, atol=1e-4)
+        for got, want in zip(i, o_i):
+            assert set(got.tolist()) == set(want.tolist())
+
+    def test_recall_at_low_nprobe(self, corpus):
+        data, valid = corpus
+        index = IVFIndex.build(data, valid, n_clusters=24, dtype="float32")
+        rng = np.random.default_rng(6)
+        # queries near corpus points (realistic retrieval)
+        q = topk_ops.l2_normalize(
+            data[rng.integers(0, 3000, 32)] + 0.1 * rng.normal(size=(32, 64)))
+        _, o_i = topk_ops.topk_oracle(q, data, valid, 10)
+
+        def recall_at(nprobe):
+            _, i = index.search(q, k=10, nprobe=nprobe)
+            return np.mean([
+                len(set(i[r].tolist()) & set(o_i[r].tolist())) / 10
+                for r in range(len(q))
+            ])
+
+        # monotone recall/nprobe tradeoff on overlapping clusters
+        assert recall_at(6) >= 0.75
+        assert recall_at(12) >= 0.9
+        assert recall_at(24) == 1.0
+
+    def test_invalid_rows_never_returned(self, corpus):
+        data, valid = corpus
+        index = IVFIndex.build(data, valid, n_clusters=16, dtype="float32")
+        q = topk_ops.l2_normalize(np.random.default_rng(7).normal(size=(2, 64)))
+        _, i = index.search(q, k=50, nprobe=16)
+        assert 7 not in i and 2000 not in i and -1 not in i
+
+    def test_memory_accounting(self, corpus):
+        data, valid = corpus
+        index = IVFIndex.build(data, valid, n_clusters=16, dtype="bfloat16")
+        assert index.memory_bytes() > 0
+        assert index.bucket_size % 8 == 0
