@@ -64,25 +64,34 @@ def _topk_kernel(q_ref, e_ref, valid_ref, out_s_ref, out_i_ref,
     in_range = col_ids < n_rows
     scores = jnp.where(alive & in_range, scores, NEG_INF)
 
-    cat_s = jnp.concatenate([best_s[:], scores], axis=-1)        # [B, k+T]
-    cat_i = jnp.concatenate([best_i[:], col_ids], axis=-1)
-    width = k + tile
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
-    new_s = []
-    new_i = []
-    for _ in range(k):
-        m = jnp.max(cat_s, axis=-1, keepdims=True)               # [B, 1]
-        a = jnp.argmax(cat_s, axis=-1).astype(jnp.int32)         # [B]
-        hit = lane == a[:, None]
-        # one-hot reduce instead of take_along_axis: Mosaic has no general
-        # gather, but masked sums lower cleanly to the VPU
-        picked = jnp.sum(jnp.where(hit, cat_i, 0), axis=-1,
-                         keepdims=True).astype(jnp.int32)        # [B, 1]
-        new_s.append(m)
-        new_i.append(picked)
-        cat_s = jnp.where(hit, NEG_INF, cat_s)
-    best_s[:] = jnp.concatenate(new_s, axis=-1)
-    best_i[:] = jnp.concatenate(new_i, axis=-1)
+    # Threshold skip: after the first few tiles the running k-th score
+    # usually dominates a whole tile's max, so the (VPU-serial) selection
+    # loop is predicated away and the tile costs only its MXU matmul.
+    kth = jnp.min(best_s[:], axis=-1)                            # [B]
+    tile_max = jnp.max(scores, axis=-1)                          # [B]
+    any_improves = jnp.any(tile_max > kth)
+
+    @pl.when(any_improves)
+    def _merge():
+        cat_s = jnp.concatenate([best_s[:], scores], axis=-1)    # [B, k+T]
+        cat_i = jnp.concatenate([best_i[:], col_ids], axis=-1)
+        width = k + tile
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+        new_s = []
+        new_i = []
+        for _ in range(k):
+            m = jnp.max(cat_s, axis=-1, keepdims=True)           # [B, 1]
+            a = jnp.argmax(cat_s, axis=-1).astype(jnp.int32)     # [B]
+            hit = lane == a[:, None]
+            # one-hot reduce instead of take_along_axis: Mosaic has no
+            # general gather, but masked sums lower cleanly to the VPU
+            picked = jnp.sum(jnp.where(hit, cat_i, 0), axis=-1,
+                             keepdims=True).astype(jnp.int32)    # [B, 1]
+            new_s.append(m)
+            new_i.append(picked)
+            cat_s = jnp.where(hit, NEG_INF, cat_s)
+        best_s[:] = jnp.concatenate(new_s, axis=-1)
+        best_i[:] = jnp.concatenate(new_i, axis=-1)
 
     @pl.when(j == n_tiles - 1)
     def _emit():
