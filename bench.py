@@ -16,9 +16,9 @@ import numpy as np
 
 import os
 
-N_ROWS = int(os.environ.get("BENCH_ROWS", 100_000))
+N_ROWS = int(os.environ.get("BENCH_ROWS", 131_072))   # 2048-row tiles
 DIM = 768
-BATCH = 64
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
 K = 10
 DEVICE_ITERS = int(os.environ.get("BENCH_ITERS", 8))
 HOST_ITERS = 2
@@ -29,6 +29,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from lattice_tpu.ops import topk as topk_ops
+    from lattice_tpu.ops import pallas_topk as pallas_ops
 
     rng = np.random.default_rng(0)
     corpus = topk_ops.l2_normalize(
@@ -38,20 +39,30 @@ def main() -> None:
     valid = np.ones(N_ROWS, dtype=bool)
 
     device = jax.devices()[0]
+    on_tpu = device.platform.lower() in ("tpu", "axon")
     emb_dev = jax.device_put(jnp.asarray(corpus, dtype=jnp.bfloat16), device)
     valid_dev = jax.device_put(jnp.asarray(valid), device)
     q_dev = jax.device_put(jnp.asarray(queries), device)
 
+    tile = pallas_ops.pick_tile(N_ROWS, BATCH) if on_tpu else None
+
+    def run_topk():
+        # Pallas fused score+select on TPU; XLA path elsewhere.
+        if tile is not None:
+            return pallas_ops.fused_topk(q_dev, emb_dev, valid_dev, K,
+                                         tile=tile)
+        return topk_ops.flat_topk(q_dev, emb_dev, valid_dev, K)
+
     # Warm-up / compile; np.asarray forces a real device round-trip
     # (block_until_ready alone does not drain the axon relay queue).
-    scores, idx = topk_ops.flat_topk(q_dev, emb_dev, valid_dev, K)
+    scores, idx = run_topk()
     np.asarray(idx)
 
     # Timing covers dispatch of all iterations THROUGH final readback, so
     # queued-but-unexecuted work cannot inflate the rate.
     t0 = time.perf_counter()
     for _ in range(DEVICE_ITERS):
-        scores, idx = topk_ops.flat_topk(q_dev, emb_dev, valid_dev, K)
+        scores, idx = run_topk()
     idx_np = np.asarray(idx)
     device_s = time.perf_counter() - t0
     device_qps = BATCH * DEVICE_ITERS / device_s
@@ -72,7 +83,7 @@ def main() -> None:
     ])
 
     print(json.dumps({
-        "metric": f"flat_topk_qps_{N_ROWS // 1000}k_{DIM}d_bf16",
+        "metric": f"fused_topk_qps_{N_ROWS // 1000}k_{DIM}d_bf16",
         "value": round(device_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(device_qps / host_qps, 2),
@@ -82,6 +93,8 @@ def main() -> None:
             "device": str(device),
             "batch": BATCH,
             "k": K,
+            "kernel": "pallas_fused" if tile is not None else "xla_flat",
+            "tile": tile,
         },
     }))
 

@@ -27,6 +27,7 @@ import numpy as np
 
 from lattice_tpu.core.errors import VectorStoreError
 from lattice_tpu.ops import topk as topk_ops
+from lattice_tpu.ops import pallas_topk as pallas_ops
 
 # Payload fields with inverted indexes (reference `embeddings/client.py:103-113`
 # plus graph_node_id, the vector->graph join key used by the context builder).
@@ -51,6 +52,8 @@ class ChunkStore:
         self._next = 0
         self._inverted: dict[str, dict[Any, set[int]]] = {f: {} for f in INDEXED_FIELDS}
         self._device_put = device_put
+        self._ivf = None           # lazily built IVF partition (ops/ivf.py)
+        self._ivf_dirty = True
 
     # ---- capacity ------------------------------------------------------
 
@@ -107,6 +110,7 @@ class ChunkStore:
                 if f in payload and payload[f] is not None:
                     self._inverted[f].setdefault(payload[f], set()).add(row)
         self._size += n
+        self._ivf_dirty = True
         return rows
 
     def _drop_row(self, row: int) -> None:
@@ -134,6 +138,7 @@ class ChunkStore:
         self._valid = self._valid.at[idx].set(False)
         for r in live:
             self._drop_row(r)
+        self._ivf_dirty = True
         return len(live)
 
     def delete_by_filter(self, filters: dict[str, Any]) -> int:
@@ -182,13 +187,62 @@ class ChunkStore:
 
     # ---- queries -------------------------------------------------------
 
+    def build_ivf(self, n_clusters: int | None = None, iters: int = 10,
+                  seed: int = 0):
+        """Build (or rebuild) the IVF partition over current live rows.
+
+        BASELINE config 3: the IVF scan is the large-corpus ANN path; row
+        ids in the IVF buckets are this store's row ids, so payload
+        materialization is shared with the flat path.
+        """
+        from lattice_tpu.ops.ivf import IVFIndex
+        emb = np.asarray(self._emb, dtype=np.float32)
+        self._ivf = IVFIndex.build(
+            emb, self._valid_host.copy(), n_clusters=n_clusters, iters=iters,
+            dtype=str(self.dtype), seed=seed)
+        self._ivf_dirty = False
+        return self._ivf
+
+    def search_ivf(self, query_vectors: np.ndarray, k: int,
+                   nprobe: int = 8
+                   ) -> list[list[tuple[int, float, dict[str, Any]]]]:
+        """ANN search through the IVF partition (no payload filters —
+        callers needing filters use the flat path)."""
+        if self._size == 0:
+            return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
+        if self._ivf is None or self._ivf_dirty:
+            self.build_ivf()
+        scores, ids = self._ivf.search(np.atleast_2d(query_vectors), k, nprobe)
+        out: list[list[tuple[int, float, dict[str, Any]]]] = []
+        for qi in range(len(scores)):
+            hits = []
+            for score, row in zip(scores[qi], ids[qi]):
+                if row < 0 or score <= topk_ops.NEG_INF / 2:
+                    continue
+                payload = self._payloads[int(row)]
+                if payload is not None:
+                    hits.append((int(row), float(score), payload))
+            out.append(hits)
+        return out
+
+    def _device_is_tpu(self) -> bool:
+        try:
+            return jax.devices()[0].platform.lower() in ("tpu", "axon")
+        except Exception:
+            return False
+
     def search(self, query_vectors: np.ndarray, k: int,
-               filters: dict[str, Any] | None = None
+               filters: dict[str, Any] | None = None,
+               method: str = "auto",
                ) -> list[list[tuple[int, float, dict[str, Any]]]]:
         """Top-k cosine search. Returns per-query [(row, score, payload)].
 
         Reference: `query_points` with must-match filter build
         (`embeddings/client.py:132-176`).
+
+        `method`: "auto" picks the Pallas fused score+select kernel on TPU
+        when the capacity tiles evenly, else the XLA path; "flat"/"pallas"
+        force a path. Payload filters AND into the validity mask either way.
         """
         if self._size == 0:
             q = np.atleast_2d(query_vectors)
@@ -196,12 +250,20 @@ class ChunkStore:
         q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
         k_eff = min(k, self._cap)
         mask = self.filter_mask(filters)
-        if mask is None:
-            scores, idx = topk_ops.flat_topk(
-                jnp.asarray(q), self._emb, self._valid, k_eff)
+        valid = self._valid if mask is None else (self._valid & mask)
+        tile = pallas_ops.pick_tile(self._cap, len(q))
+        use_pallas = (
+            method == "pallas"
+            or (method == "auto" and self._device_is_tpu()
+                and tile is not None and k_eff <= 64)
+        )
+        if use_pallas:
+            scores, idx = pallas_ops.fused_topk(
+                jnp.asarray(q), self._emb, valid, k_eff,
+                tile=tile or pallas_ops.DEFAULT_TILE)
         else:
-            scores, idx = topk_ops.flat_topk_filtered(
-                jnp.asarray(q), self._emb, self._valid, mask, k_eff)
+            scores, idx = topk_ops.flat_topk(
+                jnp.asarray(q), self._emb, valid, k_eff)
         scores_np = np.asarray(scores)
         idx_np = np.asarray(idx)
         out: list[list[tuple[int, float, dict[str, Any]]]] = []

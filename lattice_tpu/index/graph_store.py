@@ -228,14 +228,27 @@ class GraphStore:
             out.append([int(v) for v in indices[lo:hi] if self._alive[v]])
         return out
 
+    # Edge count beyond which k_hop dispatches to the device frontier
+    # kernel instead of the host CSR walk. Host BFS is O(edges touched)
+    # with Python overhead; the device kernel is O(hops * E) but fully
+    # vectorized — the crossover sits around tens of thousands of edges.
+    DEVICE_BFS_THRESHOLD = 50_000
+
     def k_hop(self, node_ids: list[int], edge_type: EdgeType, hops: int,
-              reverse: bool = False) -> dict[int, int]:
+              reverse: bool = False, device: bool | None = None
+              ) -> dict[int, int]:
         """{node_id: depth} for nodes within `hops`, excluding the seeds.
 
-        Host BFS over CSR; semantics of FIND_TRANSITIVE_CALLERS/CALLEES
-        (`queries.py:2-50`) with depth ordering.
+        Semantics of FIND_TRANSITIVE_CALLERS/CALLEES (`queries.py:2-50`)
+        with depth ordering. Dispatches to the scatter-max frontier kernel
+        (`ops/graph_kernels.bfs_distances`) for large graphs; the host CSR
+        walk serves small ones and doubles as the kernel's oracle in tests.
         """
         self._ensure_final()
+        if device is None:
+            device = self.n_edges(edge_type) >= self.DEVICE_BFS_THRESHOLD
+        if device:
+            return self._k_hop_device(node_ids, edge_type, hops, reverse)
         dist: dict[int, int] = {nid: 0 for nid in node_ids}
         frontier = list(node_ids)
         for hop in range(1, hops + 1):
@@ -249,6 +262,23 @@ class GraphStore:
             if not frontier:
                 break
         return {k: v for k, v in dist.items() if v > 0}
+
+    def _k_hop_device(self, node_ids: list[int], edge_type: EdgeType,
+                      hops: int, reverse: bool) -> dict[int, int]:
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops import graph_kernels as gk
+
+        n = self.n_nodes()
+        src, dst = self.edges(edge_type, reverse=reverse)
+        psrc, pdst = gk.pad_edges(src, dst)
+        seeds = np.zeros(n, dtype=bool)
+        seeds[np.asarray(node_ids, dtype=np.int64)] = True
+        dist = np.asarray(gk.bfs_distances(
+            jnp.asarray(psrc), jnp.asarray(pdst), jnp.asarray(seeds),
+            n, hops))
+        reached = np.flatnonzero((dist > 0) & (dist < gk.UNREACHED))
+        return {int(v): int(dist[v]) for v in reached if self._alive[v]}
 
     def degree(self, node_ids: list[int], edge_type: EdgeType) -> list[tuple[int, int]]:
         """[(out_degree, in_degree)] — `GET_ENTITY_CENTRALITY` (`queries.py:314-329`)."""

@@ -35,9 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# Row-tile size: 512 rows x 768 dims x 2B (bf16) = 768 KB per buffered tile,
-# comfortably inside the ~16 MB VMEM budget alongside Q and scratch.
-DEFAULT_TILE = 512
+# Row-tile size: 1024 rows x 768 dims x 2B (bf16) = 1.5 MB per buffered
+# tile, comfortably inside the ~16 MB VMEM budget alongside Q and scratch.
+# Measured on v5e (131072x768, k=10): tile 1024 is fastest at B<=128 and
+# tile 2048 at larger batches (`pick_tile`).
+DEFAULT_TILE = 1024
+
+
+def pick_tile(capacity: int, batch: int) -> int | None:
+    """Largest measured-good tile that divides the store capacity."""
+    preferred = (2048, 1024, 512) if batch >= 128 else (1024, 2048, 512)
+    for tile in preferred:
+        if capacity % tile == 0:
+            return tile
+    return None
 
 
 def _topk_kernel(q_ref, e_ref, valid_ref, out_s_ref, out_i_ref,

@@ -1,0 +1,85 @@
+"""Lightweight phase tracing + optional jax.profiler capture.
+
+Parity target: SURVEY §5 tracing — the reference keeps a per-phase
+wall-clock dict on the query engine (`query/engine.py:114-201`) and records
+metadata durations; it has no profiler. The TPU-native upgrade is a process
+-wide `Tracer` that aggregates named spans (count/total/max) and can wrap a
+region in a `jax.profiler` trace for offline analysis with
+tensorboard/xprof.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SpanStats:
+    count: int = 0
+    total_ms: float = 0.0
+    max_ms: float = 0.0
+
+    def record(self, ms: float) -> None:
+        self.count += 1
+        self.total_ms += ms
+        self.max_ms = max(self.max_ms, ms)
+
+    @property
+    def mean_ms(self) -> float:
+        return self.total_ms / self.count if self.count else 0.0
+
+
+@dataclass
+class Tracer:
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    spans: dict[str, SpanStats] = field(
+        default_factory=lambda: defaultdict(SpanStats))
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            ms = (time.perf_counter() - t0) * 1000
+            with self._lock:
+                self.spans[name].record(ms)
+
+    def report(self) -> dict[str, dict]:
+        with self._lock:
+            return {
+                name: {"count": s.count, "total_ms": round(s.total_ms, 2),
+                       "mean_ms": round(s.mean_ms, 2),
+                       "max_ms": round(s.max_ms, 2)}
+                for name, s in sorted(self.spans.items())
+            }
+
+    def reset(self) -> None:
+        with self._lock:
+            self.spans.clear()
+
+
+_GLOBAL = Tracer()
+
+
+def get_tracer() -> Tracer:
+    return _GLOBAL
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace for everything inside the region.
+
+    View with `tensorboard --logdir <log_dir>` (xprof plugin).
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

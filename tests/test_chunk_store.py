@@ -120,3 +120,28 @@ class TestChunkStore:
         row, score, _ = results[0][0]
         assert row == 0
         assert score == pytest.approx(1.0, abs=2e-2)
+
+
+class TestChunkStoreIVF:
+    def test_ivf_path_matches_flat_at_full_probe(self):
+        s = ChunkStore(dim=32, dtype="float32", initial_capacity=64)
+        vecs = _vecs(40, 32, seed=11)
+        s.add(vecs, [{"file_path": f"f{i}.py", "content_hash": "h"}
+                     for i in range(40)])
+        ivf = s.build_ivf(n_clusters=6)
+        q = _vecs(2, 32, seed=12)
+        flat = s.search(q, k=5)
+        ann = s.search_ivf(q, k=5, nprobe=6)
+        for fr, ar in zip(flat, ann):
+            assert {r for r, _, _ in fr} == {r for r, _, _ in ar}
+
+    def test_ivf_rebuilds_after_mutation(self):
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
+        vecs = _vecs(20, 16, seed=13)
+        s.add(vecs, [{"file_path": "a.py", "content_hash": "h"}] * 20)
+        s.search_ivf(_vecs(1, 16), k=3)
+        assert not s._ivf_dirty
+        s.add(_vecs(1, 16, seed=14), [{"file_path": "b.py", "content_hash": "h"}])
+        assert s._ivf_dirty
+        hits = s.search_ivf(_vecs(1, 16), k=3)  # triggers rebuild
+        assert hits[0]

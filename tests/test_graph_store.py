@@ -144,3 +144,30 @@ class TestDeviceKernelsVsOracle:
         up, down = np.asarray(up), np.asarray(down)
         assert up[2] == 1 and up[0] == gk.UNREACHED      # ancestors of node 1
         assert down[0] == 1 and down[3] == 1             # descendants of node 1
+
+
+class TestDeviceDispatch:
+    def test_device_khop_equals_host(self, call_graph):
+        g, ids = call_graph
+        host = g.k_hop([ids["a"]], EdgeType.CALLS, hops=3, device=False)
+        dev = g.k_hop([ids["a"]], EdgeType.CALLS, hops=3, device=True)
+        assert host == dev
+        host_r = g.k_hop([ids["d"]], EdgeType.CALLS, hops=5, reverse=True,
+                         device=False)
+        dev_r = g.k_hop([ids["d"]], EdgeType.CALLS, hops=5, reverse=True,
+                        device=True)
+        assert host_r == dev_r
+
+
+class TestTracer:
+    def test_span_aggregation(self):
+        from lattice_tpu.utils.tracing import Tracer
+        tracer = Tracer()
+        for _ in range(3):
+            with tracer.span("phase.x"):
+                pass
+        report = tracer.report()
+        assert report["phase.x"]["count"] == 3
+        assert report["phase.x"]["total_ms"] >= 0
+        tracer.reset()
+        assert tracer.report() == {}
