@@ -145,13 +145,13 @@ class PipelineOrchestrator:
         ctx.tracker.finish_stage()
 
     async def _stage_summarize(self) -> None:
-        """Reference: `orchestrator.py:428-523`; skipped without an LLM."""
+        """Reference: `orchestrator.py:428-523`. Without an LLM the
+        summarizer produces deterministic extractive summaries, so the
+        summaries collection is populated offline too."""
         ctx = self.ctx
         if ctx.summarizer is None:
-            ctx.tracker.start_stage(PipelineStage.SUMMARIZING, total=1,
-                                    message="skipped (no LLM provider)")
-            ctx.tracker.finish_stage()
-            return
+            from lattice_tpu.summarization.summarizer import CodeSummarizer
+            ctx.summarizer = CodeSummarizer(None)
         changed = ctx.changed if not self.force else ctx.parsed
         ctx.tracker.start_stage(PipelineStage.SUMMARIZING, total=len(changed))
         batch = ctx.settings.indexing.max_concurrent
@@ -175,6 +175,22 @@ class PipelineOrchestrator:
                         language=parsed.file_info.language.value,
                         project_name=ctx.project_name,
                         content_hash=parsed.file_info.content_hash)
+                # class/function entity summaries (reference summarizes
+                # file + entities, `orchestrator.py:467-520`)
+                for entity in parsed.classes[:10] + parsed.functions[:10]:
+                    try:
+                        summary = await ctx.summarizer.summarize_entity(entity)
+                    except Exception:
+                        continue
+                    if summary:
+                        ctx.indexer.index_summary(
+                            entity_qn=entity.qualified_name,
+                            summary=summary,
+                            file_path=parsed.file_info.relative_path,
+                            entity_type=entity.entity_type.value,
+                            language=parsed.file_info.language.value,
+                            project_name=ctx.project_name,
+                            content_hash=parsed.file_info.content_hash)
                 ctx.tracker.advance(1, summaries_created=1)
         ctx.tracker.finish_stage()
 

@@ -251,3 +251,54 @@ class TestMCPServer:
     def test_unknown_method(self, server):
         resp = self._call(server, "nope/nope")
         assert resp["error"]["code"] == -32601
+
+
+class TestGraphSearcher:
+    @pytest.fixture()
+    def searcher(self, indexed_ws):
+        from lattice_tpu.query.graph_search import GraphSearcher
+        _, ctx = indexed_ws
+        return GraphSearcher(ctx.graph_builder.store)
+
+    def test_find_by_name_with_type_filter(self, searcher):
+        hits = searcher.find_entity_by_name("UserService", entity_type="class")
+        assert hits and hits[0].entity_type == "class"
+
+    def test_invalid_entity_type_raises(self, searcher):
+        from lattice_tpu.core.errors import QueryError
+        with pytest.raises(QueryError):
+            searcher.search_by_name("x", entity_type="nonsense")
+
+    def test_callers_by_name(self, searcher):
+        callers = searcher.find_callers("validate_email_format")
+        names = [r.entity.qualified_name for r in callers]
+        assert "app.services.user_service.UserService.create_user" in names
+
+    def test_hierarchy_by_name(self, searcher):
+        rels = searcher.find_class_hierarchy("AdminUser")
+        kinds = {(r.entity.name, r.relationship) for r in rels}
+        assert ("User", "ancestor") in kinds
+        assert ("BaseModel", "ancestor") in kinds
+
+    def test_file_entities_and_deps(self, searcher):
+        ents = searcher.get_file_entities("app/services/user_service.py")
+        assert any(e.name == "UserService" for e in ents)
+        deps = searcher.find_file_dependencies("app/services/user_service.py")
+        dep_paths = {d.qualified_name for d in deps}
+        assert any("models/user" in p for p in dep_paths)
+
+    def test_related_entities_dedup(self, searcher):
+        rels = searcher.find_related_entities("UserService")
+        names = [r.entity.qualified_name for r in rels]
+        assert len(names) == len(set(names))
+
+
+class TestOfflineSummariesIndexed:
+    def test_summaries_collection_populated(self, indexed_ws):
+        _, ctx = indexed_ws
+        assert len(ctx.indexer.summaries) > 0
+        rows = ctx.indexer.summaries.scroll(
+            {"file_path": "app/utils/validators.py"}, limit=10)
+        assert rows
+        assert any(p["entity_type"] == "file" for _, p in rows)
+        assert any(p["entity_type"] == "function" for _, p in rows)
