@@ -71,36 +71,71 @@ def farthest_first_init(
     return centroids
 
 
+# Rows per assignment block: keeps the [block, C] score slab small (a full
+# [N, C] matrix at 1M x 1024 would be 4 GB of HBM).
+KMEANS_BLOCK = 65536
+
+
+def _assign_stats(data_blocks, valid_blocks, centroids, n_clusters):
+    """Chunked assignment pass: per-block argmax + partial sums under scan.
+
+    Returns (assignments [nb, block], sums [C, d], counts [C], own_sim
+    [nb, block]).
+    """
+    d = data_blocks.shape[-1]
+
+    def block_step(carry, inputs):
+        sums, counts = carry
+        block, v = inputs
+        scores = jax.lax.dot_general(
+            block, centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [block, C]
+        assign = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        own_sim = jnp.max(scores, axis=-1)
+        w = v.astype(jnp.float32)
+        sums = sums.at[assign].add(block * w[:, None])
+        counts = counts.at[assign].add(w)
+        return (sums, counts), (assign, own_sim)
+
+    (sums, counts), (assigns, sims) = jax.lax.scan(
+        block_step,
+        (jnp.zeros((n_clusters, d), jnp.float32),
+         jnp.zeros((n_clusters,), jnp.float32)),
+        (data_blocks, valid_blocks))
+    return assigns, sums, counts, sims
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
 def kmeans_fit(
-    data: jax.Array,       # [N, d] f32, rows L2-normalized
+    data: jax.Array,       # [N, d] f32, rows L2-normalized, N % block == 0
     valid: jax.Array,      # [N] bool
     init_idx: jax.Array,   # [C] i32 initial centroid rows
     n_clusters: int,
     iters: int = 10,
 ) -> tuple[jax.Array, jax.Array]:
-    """Spherical k-means with empty-cluster reseeding.
-
-    Returns (centroids [C,d], assignments [N] i32).
+    """Spherical k-means with empty-cluster reseeding, HBM-bounded via
+    blockwise assignment. Returns (centroids [C,d], assignments [N] i32).
     """
     n, d = data.shape
+    block = min(KMEANS_BLOCK, n)
+    pad = (-n) % block
+    if pad:
+        data = jnp.concatenate([data, jnp.zeros((pad, d), data.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, dtype=bool)])
+    nb = (n + pad) // block
+    data_blocks = data.reshape(nb, block, d)
+    valid_blocks = valid.reshape(nb, block)
     centroids = farthest_first_init(data, valid, init_idx[0], n_clusters)
 
     def step(centroids, _):
-        scores = jax.lax.dot_general(
-            data, centroids,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [N, C]
-        assign = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        weights = valid.astype(jnp.float32)
-        sums = jnp.zeros((n_clusters, d), jnp.float32).at[assign].add(
-            data * weights[:, None])
-        counts = jnp.zeros((n_clusters,), jnp.float32).at[assign].add(weights)
+        _, sums, counts, sims = _assign_stats(
+            data_blocks, valid_blocks, centroids, n_clusters)
         new = sums / jnp.maximum(counts[:, None], 1.0)
         # Empty clusters reseed to the worst-served point (farthest from its
         # current centroid) instead of freezing in place.
-        own_sim = jnp.max(scores, axis=-1)
-        worst = jnp.argmin(jnp.where(valid, own_sim, jnp.inf)).astype(jnp.int32)
+        flat_sims = sims.reshape(-1)
+        worst = jnp.argmin(jnp.where(valid, flat_sims, jnp.inf)).astype(jnp.int32)
         empty = counts[:, None] <= 0
         first_empty = jnp.argmax(empty[:, 0]).astype(jnp.int32)
         reseeded = jnp.where(
@@ -112,11 +147,9 @@ def kmeans_fit(
         return new, None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
-    scores = jax.lax.dot_general(
-        data, centroids,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    assignments = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    assigns, _, _, _ = _assign_stats(
+        data_blocks, valid_blocks, centroids, n_clusters)
+    assignments = assigns.reshape(-1)[:n]
     return centroids, assignments
 
 
@@ -201,17 +234,21 @@ class IVFIndex:
         bucket_data = np.zeros((n_clusters, cap, d), dtype=np.float32)
         bucket_ids = np.full((n_clusters, cap), -1, dtype=np.int32)
         bucket_valid = np.zeros((n_clusters, cap), dtype=bool)
-        fill = np.zeros(n_clusters, dtype=np.int64)
-        overflow: list[int] = []
-        for row in np.flatnonzero(valid):
-            c = assign[row]
-            if fill[c] < cap:
-                bucket_data[c, fill[c]] = emb[row]
-                bucket_ids[c, fill[c]] = row
-                bucket_valid[c, fill[c]] = True
-                fill[c] += 1
-            else:
-                overflow.append(row)
+        # Vectorized fill: sort live rows by cluster, compute within-cluster
+        # positions, scatter everything under capacity in one shot.
+        live = np.flatnonzero(valid)
+        a_live = assign[live]
+        order = np.argsort(a_live, kind="stable")
+        live_sorted = live[order]
+        a_sorted = a_live[order]
+        starts = np.searchsorted(a_sorted, np.arange(n_clusters))
+        pos = np.arange(len(a_sorted)) - starts[a_sorted]
+        in_cap = pos < cap
+        bucket_data[a_sorted[in_cap], pos[in_cap]] = emb[live_sorted[in_cap]]
+        bucket_ids[a_sorted[in_cap], pos[in_cap]] = live_sorted[in_cap]
+        bucket_valid[a_sorted[in_cap], pos[in_cap]] = True
+        fill = np.minimum(counts, cap).astype(np.int64)
+        overflow: list[int] = [int(r) for r in live_sorted[~in_cap]]
         # Overflow rows (cap < max cluster size) spill round-robin into
         # whatever buckets still have room; their centroid distance is
         # slightly worse but they remain findable.
