@@ -49,21 +49,50 @@ _REGEX_PREFIX = frozenset("=([{,;:!&|?+-*%^~<>")
 
 
 def mask_source(source: str) -> str:
-    """Blank comments/strings/templates/regex bodies, preserving offsets."""
+    """Blank comments/strings/template text/regex bodies, preserving offsets.
+
+    A mode-stack scanner: `code` (top level and inside `${}` interpolations,
+    where expressions stay visible) and `template` (text masked). Template
+    literals nest arbitrarily through interpolations.
+    """
     n = len(source)
     out = list(source)
     i = 0
-    # Stack of template-literal nesting: each entry is depth of ${} braces.
-    last_significant = ""  # last non-space char outside strings/comments
+    last_significant = ""  # last non-space char in code mode
+    # stack entries: ["code"] or ["template"] or ["interp", brace_depth]
+    stack: list[list] = [["code"]]
 
     def blank(a: int, b: int) -> None:
         for j in range(a, b):
-            if out[j] not in ("\n",):
+            if out[j] != "\n":
                 out[j] = " "
 
-    template_stack: list[int] = []
     while i < n:
+        mode = stack[-1][0]
         c = source[i]
+
+        if mode == "template":
+            if c == "\\":
+                out[i] = " "
+                if i + 1 < n and source[i + 1] != "\n":
+                    out[i + 1] = " "
+                i += 2
+                continue
+            if c == "`":
+                stack.pop()
+                last_significant = "`"
+                i += 1
+                continue
+            if c == "$" and i + 1 < n and source[i + 1] == "{":
+                stack.append(["interp", 0])
+                i += 2
+                continue
+            if c != "\n":
+                out[i] = " "
+            i += 1
+            continue
+
+        # code / interp modes share expression scanning
         if c == "/" and i + 1 < n:
             nxt = source[i + 1]
             if nxt == "/":
@@ -79,8 +108,7 @@ def mask_source(source: str) -> str:
                 i = j
                 continue
             # Regex literal heuristic: '/' in expression position.
-            if last_significant == "" or last_significant in _REGEX_PREFIX or \
-               last_significant.isalpha() and False:
+            if last_significant == "" or last_significant in _REGEX_PREFIX:
                 j = i + 1
                 in_class = False
                 while j < n:
@@ -98,7 +126,6 @@ def mask_source(source: str) -> str:
                         break  # not actually a regex
                     j += 1
                 if j < n and source[j] == "/":
-                    # skip flags
                     k = j + 1
                     while k < n and source[k].isalpha():
                         k += 1
@@ -120,55 +147,18 @@ def mask_source(source: str) -> str:
             last_significant = c
             continue
         if c == "`":
-            # Template literal: blank until closing backtick, but recurse
-            # into ${...} so expressions inside stay visible.
-            j = i + 1
-            while j < n:
-                cj = source[j]
-                if cj == "\\":
-                    out[j] = " "
-                    if j + 1 < n and source[j + 1] != "\n":
-                        out[j + 1] = " "
-                    j += 2
-                    continue
-                if cj == "`":
-                    break
-                if cj == "$" and j + 1 < n and source[j + 1] == "{":
-                    # leave the interpolation expression unmasked
-                    depth = 1
-                    k = j + 2
-                    while k < n and depth:
-                        ck = source[k]
-                        if ck == "{":
-                            depth += 1
-                        elif ck == "}":
-                            depth -= 1
-                        elif ck in ("'", '"', "`"):
-                            # nested string inside interpolation: blank it
-                            q = ck
-                            m = k + 1
-                            while m < n:
-                                if source[m] == "\\":
-                                    m += 2
-                                    continue
-                                if source[m] == q:
-                                    break
-                                m += 1
-                            for t in range(k + 1, min(m, n)):
-                                if source[t] != "\n":
-                                    out[t] = " "
-                            k = m
-                        k += 1
-                    j = k
-                    continue
-                if cj != "\n":
-                    out[j] = " "
-                j += 1
-            i = min(j + 1, n)
-            last_significant = "`"
+            stack.append(["template"])
+            i += 1
             continue
-        if template_stack:
-            pass
+        if mode == "interp":
+            if c == "{":
+                stack[-1][1] += 1
+            elif c == "}":
+                if stack[-1][1] == 0:
+                    stack.pop()  # back to template text
+                    i += 1
+                    continue
+                stack[-1][1] -= 1
         if not c.isspace():
             last_significant = c
         i += 1
