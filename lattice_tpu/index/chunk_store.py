@@ -196,10 +196,10 @@ class ChunkStore:
         materialization is shared with the flat path.
         """
         from lattice_tpu.ops.ivf import IVFIndex
-        emb = np.asarray(self._emb, dtype=np.float32)
-        self._ivf = IVFIndex.build(
-            emb, self._valid_host.copy(), n_clusters=n_clusters, iters=iters,
-            dtype=str(self.dtype), seed=seed)
+        # device-resident build: rows never round-trip to the host
+        self._ivf = IVFIndex.build_from_device(
+            self._emb, self._valid_host.copy(), n_clusters=n_clusters,
+            iters=iters, dtype=str(self.dtype), seed=seed)
         self._ivf_dirty = False
         return self._ivf
 

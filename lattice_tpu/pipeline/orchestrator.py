@@ -195,12 +195,27 @@ class PipelineOrchestrator:
         ctx.tracker.finish_stage()
 
     async def _stage_metadata(self) -> None:
-        """Reference: `orchestrator.py:538-605`; local generator by default."""
+        """Reference: `orchestrator.py:538-605`; the local deterministic
+        generator runs by default (`MetadataSettings.enabled`)."""
         ctx = self.ctx
         ctx.tracker.start_stage(PipelineStage.METADATA, total=1)
-        if ctx.metadata_generator is not None:
+        generator = ctx.metadata_generator
+        if generator is None and ctx.settings.metadata.enabled:
             try:
-                await ctx.metadata_generator.generate_all()
+                from lattice_tpu.metadata.generator import MetadataGenerator
+                from lattice_tpu.metadata.repository import MetadataRepository
+                repo = MetadataRepository(
+                    ctx.repo_path / ctx.settings.storage.data_dir,
+                    ctx.settings.storage.metadata_db)
+                generator = MetadataGenerator(
+                    ctx.repo_path, ctx.project_name, repository=repo,
+                    graph_store=ctx.graph_builder.store)
+            except Exception as exc:
+                ctx.errors.append(f"metadata init: {exc}")
+                generator = None
+        if generator is not None:
+            try:
+                await generator.generate_all()
             except Exception as exc:
                 ctx.errors.append(f"metadata: {exc}")
                 ctx.tracker.advance(0, errors=1)

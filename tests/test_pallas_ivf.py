@@ -135,3 +135,24 @@ class TestIVF:
         index = IVFIndex.build(data, valid, n_clusters=16, dtype="bfloat16")
         assert index.memory_bytes() > 0
         assert index.bucket_size % 8 == 0
+
+
+class TestDeviceBuild:
+    def test_build_from_device_matches_host_build(self):
+        import jax.numpy as jnp
+        data, _ = clustered_data(800, 32, 8, spread=0.15)
+        valid = np.ones(800, dtype=bool)
+        valid[5] = False
+        host_index = IVFIndex.build(data, valid, n_clusters=8,
+                                    dtype="float32", iters=8)
+        dev_index = IVFIndex.build_from_device(
+            jnp.asarray(data), valid, n_clusters=8, dtype="float32", iters=8)
+        q = topk_ops.l2_normalize(
+            np.random.default_rng(3).normal(size=(4, 32)))
+        hs, hi = host_index.search(q, k=10, nprobe=8)
+        ds, di = dev_index.search(q, k=10, nprobe=8)
+        # full probe => both exact
+        o_s, o_i = topk_ops.topk_oracle(q, data, valid, 10)
+        for got, want in zip(di, o_i):
+            assert set(got.tolist()) == set(want.tolist())
+        np.testing.assert_allclose(ds, o_s, atol=1e-4)

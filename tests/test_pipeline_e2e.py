@@ -20,9 +20,14 @@ from lattice_tpu.query.query_planner import QueryIntent
 
 @pytest.fixture(scope="module")
 def indexed(sample_project_path):
+    from lattice_tpu.config.settings import Settings
+    settings = Settings()
+    # keep the checked-in fixture tree pristine (no .lattice side effects)
+    settings.metadata.enabled = False
     embedder = Embedder(HashEmbedder(dimensions=256))
     orchestrator = PipelineOrchestrator(
-        sample_project_path, embedder, project_name="sample")
+        sample_project_path, embedder, project_name="sample",
+        settings=settings)
     ctx = asyncio.run(orchestrator.run())
     return ctx
 
@@ -63,10 +68,13 @@ class TestPipeline:
         assert indexed.indexer.stats["files_indexed"] > 0
 
     def test_incremental_skip_on_rerun(self, indexed, sample_project_path):
+        from lattice_tpu.config.settings import Settings
+        settings = Settings()
+        settings.metadata.enabled = False
         embedder = Embedder(HashEmbedder(dimensions=256))
         orchestrator = PipelineOrchestrator(
             sample_project_path, embedder, project_name="sample",
-            indexer=indexed.indexer)
+            indexer=indexed.indexer, settings=settings)
         ctx2 = asyncio.run(orchestrator.run())
         # every file that produced chunks on run 1 is hash-skipped on run 2
         # (empty __init__.py files produce no chunks and are counted in
@@ -183,3 +191,19 @@ class TestPersistence:
         embedder = Embedder(HashEmbedder(dimensions=128))
         with pytest.raises(StorageError):
             persistence.load_index(tmp_path, embedder)
+
+
+class TestMetadataInPipeline:
+    def test_metadata_generated_by_default(self, tmp_path, sample_project_path):
+        import shutil
+        from lattice_tpu.metadata.repository import MetadataRepository
+        root = tmp_path / "proj"
+        shutil.copytree(sample_project_path, root)
+        embedder = Embedder(HashEmbedder(dimensions=64))
+        orchestrator = PipelineOrchestrator(root, embedder, project_name="mp")
+        asyncio.run(orchestrator.run())
+        repo = MetadataRepository(root / ".lattice")
+        meta = repo.get_latest("mp")
+        assert meta is not None
+        assert meta["status"] in ("completed", "partial")
+        assert meta["tech_stack"]["languages"]["python"] > 0
