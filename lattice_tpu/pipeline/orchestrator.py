@@ -167,7 +167,11 @@ class PipelineOrchestrator:
                     ctx.tracker.advance(1, errors=1)
                     continue
                 if result:
-                    ctx.indexer.index_summary(
+                    # index_summary embeds synchronously; keep it off the
+                    # event loop (async providers bridge through their own
+                    # loop when called from a plain thread)
+                    await asyncio.to_thread(
+                        ctx.indexer.index_summary,
                         entity_qn=parsed.file_info.module_name,
                         summary=result,
                         file_path=parsed.file_info.relative_path,
@@ -183,7 +187,8 @@ class PipelineOrchestrator:
                     except Exception:
                         continue
                     if summary:
-                        ctx.indexer.index_summary(
+                        await asyncio.to_thread(
+                            ctx.indexer.index_summary,
                             entity_qn=entity.qualified_name,
                             summary=summary,
                             file_path=parsed.file_info.relative_path,

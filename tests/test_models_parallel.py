@@ -125,3 +125,63 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as graft
         graft.dryrun_multichip(8)
+
+
+class TestWeightLoading:
+    def test_maps_synthetic_hf_checkpoint(self, tmp_path):
+        """Fabricate a roberta.* torch state dict for the tiny config and
+        verify the Flax tree receives every tensor (transposed kernels)."""
+        import numpy as onp
+        import torch
+
+        cfg = TINY
+        rng = onp.random.default_rng(0)
+        state = {}
+
+        def t(shape):
+            return torch.from_numpy(
+                rng.normal(size=shape).astype(onp.float32))
+
+        state["roberta.embeddings.word_embeddings.weight"] = t(
+            (cfg.vocab_size, cfg.hidden_size))
+        state["roberta.embeddings.position_embeddings.weight"] = t(
+            (cfg.max_position_embeddings, cfg.hidden_size))
+        state["roberta.embeddings.LayerNorm.weight"] = t((cfg.hidden_size,))
+        state["roberta.embeddings.LayerNorm.bias"] = t((cfg.hidden_size,))
+        for i in range(cfg.num_layers):
+            p = f"roberta.encoder.layer.{i}."
+            for sub in ("attention.self.query", "attention.self.key",
+                        "attention.self.value", "attention.output.dense"):
+                state[p + sub + ".weight"] = t((cfg.hidden_size, cfg.hidden_size))
+                state[p + sub + ".bias"] = t((cfg.hidden_size,))
+            state[p + "attention.output.LayerNorm.weight"] = t((cfg.hidden_size,))
+            state[p + "attention.output.LayerNorm.bias"] = t((cfg.hidden_size,))
+            state[p + "intermediate.dense.weight"] = t(
+                (cfg.intermediate_size, cfg.hidden_size))
+            state[p + "intermediate.dense.bias"] = t((cfg.intermediate_size,))
+            state[p + "output.dense.weight"] = t(
+                (cfg.hidden_size, cfg.intermediate_size))
+            state[p + "output.dense.bias"] = t((cfg.hidden_size,))
+            state[p + "output.LayerNorm.weight"] = t((cfg.hidden_size,))
+            state[p + "output.LayerNorm.bias"] = t((cfg.hidden_size,))
+        torch.save(state, tmp_path / "pytorch_model.bin")
+
+        model = UniXcoderModel(cfg, weights_dir=tmp_path)
+        assert model.loaded_pretrained
+        got = onp.asarray(model.params["word_embeddings"]["embedding"])
+        onp.testing.assert_allclose(
+            got, state["roberta.embeddings.word_embeddings.weight"].numpy())
+        kernel = onp.asarray(
+            model.params["layer_0"]["intermediate"]["kernel"])
+        onp.testing.assert_allclose(
+            kernel,
+            state["roberta.encoder.layer.0.intermediate.dense.weight"]
+            .numpy().T)
+        # loaded model produces finite embeddings
+        ids = onp.ones((2, 10), dtype=onp.int32) * 5
+        out = model.encode(ids, onp.ones((2, 10), dtype=onp.int32))
+        assert onp.all(onp.isfinite(out))
+
+    def test_missing_checkpoint_falls_back(self, tmp_path):
+        model = UniXcoderModel(TINY, weights_dir=tmp_path / "nope")
+        assert not model.loaded_pretrained

@@ -207,3 +207,27 @@ class TestMetadataInPipeline:
         assert meta is not None
         assert meta["status"] in ("completed", "partial")
         assert meta["tech_stack"]["languages"]["python"] > 0
+
+
+class TestAsyncProviderPath:
+    def test_pipeline_with_async_factory_provider(self, tmp_path,
+                                                  sample_project_path):
+        """The CLI path uses async providers; the summarize stage must not
+        call sync embeds on the event loop (regression: on-device E2E)."""
+        import shutil
+        from lattice_tpu.config.settings import Settings
+        from lattice_tpu.providers.hash_provider import HashEmbeddingProvider
+        from lattice_tpu.providers.base import ProviderConfig
+        root = tmp_path / "proj"
+        shutil.copytree(sample_project_path, root)
+        settings = Settings()
+        settings.metadata.enabled = False
+        provider = HashEmbeddingProvider(
+            ProviderConfig(name="hash", dimensions=64))
+        orchestrator = PipelineOrchestrator(
+            root, Embedder(provider), project_name="async-path",
+            settings=settings)
+        ctx = asyncio.run(orchestrator.run())
+        assert not ctx.errors, ctx.errors[:3]
+        assert len(ctx.indexer.code) > 0
+        assert len(ctx.indexer.summaries) > 0
