@@ -273,11 +273,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path", default=".")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
 
     p = sub.add_parser("query", help="ask a question about the code")
     p.add_argument("question")
     p.add_argument("--path", default=".")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
 
     p = sub.add_parser("status", help="index statistics")
     p.add_argument("--path", default=".")

@@ -122,7 +122,13 @@ def fused_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat-scan top-k. Returns (scores [B,k] f32, indices [B,k] i32)."""
     n, d = embeddings.shape
-    b = queries.shape[0]
+    b_in = queries.shape[0]
+    # Mosaic needs >= one full sublane group of rows; pad tiny batches
+    # (B=1 single-query serving) up to 8 and slice the outputs back.
+    b = max(8, ((b_in + 7) // 8) * 8)
+    if b != b_in:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b - b_in, d), queries.dtype)], axis=0)
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
     valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
@@ -161,7 +167,7 @@ def fused_topk(
         ),
         interpret=interpret,
     )(queries, embeddings, valid_i8)
-    return out_s, out_i
+    return out_s[:b_in], out_i[:b_in]
 
 
 def pad_for_tile(embeddings: np.ndarray, valid: np.ndarray,

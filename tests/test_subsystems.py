@@ -302,3 +302,35 @@ class TestOfflineSummariesIndexed:
         assert rows
         assert any(p["entity_type"] == "file" for _, p in rows)
         assert any(p["entity_type"] == "function" for _, p in rows)
+
+
+class TestLocalDatabase:
+    def test_crud_roundtrip(self, tmp_path):
+        from lattice_tpu.storage.database import LocalDatabase
+
+        async def run():
+            async with LocalDatabase(tmp_path / "t.sqlite3") as db:
+                await db.executescript(
+                    "CREATE TABLE kv (k TEXT PRIMARY KEY, v TEXT);")
+                n = await db.execute(
+                    "INSERT INTO kv (k, v) VALUES (?, ?)", "a", "1")
+                assert n == 1
+                row = await db.fetchrow("SELECT * FROM kv WHERE k = ?", "a")
+                assert row == {"k": "a", "v": "1"}
+                assert await db.fetchval("SELECT COUNT(*) FROM kv") == 1
+                rows = await db.fetch("SELECT * FROM kv")
+                assert len(rows) == 1
+                assert await db.health_check()
+
+        asyncio.run(run())
+
+    def test_error_wrapped(self, tmp_path):
+        from lattice_tpu.core.errors import StorageError
+        from lattice_tpu.storage.database import LocalDatabase
+
+        async def run():
+            db = LocalDatabase(tmp_path / "t.sqlite3")
+            with pytest.raises(StorageError):
+                await db.fetch("SELECT * FROM missing_table")
+
+        asyncio.run(run())
