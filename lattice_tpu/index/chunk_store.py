@@ -54,6 +54,8 @@ class ChunkStore:
         self._device_put = device_put
         self._ivf = None           # lazily built IVF partition (ops/ivf.py)
         self._ivf_dirty = True
+        self._quant = None         # int8 shadow (ops/quant.py)
+        self._quant_dirty = True
 
     # ---- capacity ------------------------------------------------------
 
@@ -111,6 +113,7 @@ class ChunkStore:
                     self._inverted[f].setdefault(payload[f], set()).add(row)
         self._size += n
         self._ivf_dirty = True
+        self._quant_dirty = True
         return rows
 
     def _drop_row(self, row: int) -> None:
@@ -139,6 +142,7 @@ class ChunkStore:
         for r in live:
             self._drop_row(r)
         self._ivf_dirty = True
+        self._quant_dirty = True
         return len(live)
 
     def delete_by_filter(self, filters: dict[str, Any]) -> int:
@@ -224,6 +228,44 @@ class ChunkStore:
                     hits.append((int(row), float(score), payload))
             out.append(hits)
         return out
+
+    def search_quantized(self, query_vectors: np.ndarray, k: int,
+                         rescore: bool = True
+                         ) -> list[list[tuple[int, float, dict[str, Any]]]]:
+        """Int8 first-stage scan (+ optional full-precision rescore).
+
+        Half the HBM traffic of bf16 at 2x MXU rate (ops/quant.py) — the
+        equal-memory/2x-capacity lever from BASELINE's recall contract.
+        """
+        from lattice_tpu.ops.quant import QuantizedView
+        if self._size == 0:
+            return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
+        if self._quant is None or self._quant_dirty:
+            self._quant = QuantizedView(np.asarray(self._emb, np.float32))
+            self._quant_dirty = False
+        q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
+        scores, idx = self._quant.search(
+            q, self._valid, min(k, self._cap),
+            full_precision=self._emb if rescore else None)
+        out: list[list[tuple[int, float, dict[str, Any]]]] = []
+        for qi in range(len(q)):
+            hits = []
+            for score, row in zip(scores[qi], idx[qi]):
+                if score <= topk_ops.NEG_INF / 2:
+                    continue
+                payload = self._payloads[int(row)]
+                if payload is not None:
+                    hits.append((int(row), float(score), payload))
+            out.append(hits)
+        return out
+
+    def to_sharded(self, mesh=None):
+        """Multi-chip view: rows sharded over the data axis with ICI top-k
+        merge (parallel/sharded_index.py)."""
+        from lattice_tpu.parallel.sharded_index import ShardedIndex
+        emb = np.asarray(self._emb, dtype=np.float32)
+        return ShardedIndex(emb, self._valid_host.copy(), mesh=mesh,
+                            dtype=str(self.dtype))
 
     def _device_is_tpu(self) -> bool:
         try:

@@ -1,0 +1,110 @@
+"""Int8 quantized scoring: half the HBM traffic, double the MXU rate.
+
+BASELINE §"recall at equal memory" points at quantization: v5e's MXU runs
+int8 at 2x its bf16 rate and an int8 row costs half the HBM bytes of bf16,
+so a quantized flat scan is ~2x faster at equal corpus size — or holds 2x
+the corpus at equal memory. Scheme: symmetric per-row scales,
+
+    q_i8[i, :] = round(127 * e[i, :] / max_abs(e[i, :]))
+    score(q, i) ~= (q_q . q_i8[i]) * scale_q * scale_i
+
+Scores stay exact enough for retrieval (cosine error ~1e-2, like bf16);
+the quantized path reuses the same -inf masking + top_k select. The
+dequantized rescore of the top candidates (two-stage search) recovers
+full-precision ordering when needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+def quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization. Returns (values i8, scales f32)."""
+    x = np.asarray(x, dtype=np.float32)
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    scales = (amax / 127.0).astype(np.float32)
+    safe = np.maximum(scales, 1e-12)
+    values = np.clip(np.rint(x / safe), -127, 127).astype(np.int8)
+    return values, scales[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def int8_topk(
+    q_values: jax.Array,    # [B, d] i8
+    q_scales: jax.Array,    # [B] f32
+    e_values: jax.Array,    # [N, d] i8
+    e_scales: jax.Array,    # [N] f32
+    valid: jax.Array,       # [N] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized cosine top-k: int8 matmul with i32 accumulation, rescaled."""
+    acc = jax.lax.dot_general(
+        q_values, e_values,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, N] i32
+    scores = acc.astype(jnp.float32) * q_scales[:, None] * e_scales[None, :]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+def quantized_search(
+    queries: np.ndarray,
+    e_values: jax.Array, e_scales: jax.Array, valid: jax.Array,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host entry: quantize queries, run the int8 kernel."""
+    q_values, q_scales = quantize_rows(np.atleast_2d(queries))
+    s, i = int8_topk(jnp.asarray(q_values), jnp.asarray(q_scales),
+                     e_values, e_scales, valid, k)
+    return np.asarray(s), np.asarray(i)
+
+
+class QuantizedView:
+    """Int8 shadow of an embedding matrix for fast first-stage scanning.
+
+    Two-stage search: int8 scan selects `rescore_factor * k` candidates,
+    then the full-precision rows rescore them (gather of k' rows — tiny).
+    """
+
+    def __init__(self, embeddings: np.ndarray):
+        values, scales = quantize_rows(embeddings)
+        self.values = jnp.asarray(values)
+        self.scales = jnp.asarray(scales)
+        self.n, self.d = values.shape
+
+    def memory_bytes(self) -> int:
+        return self.values.size + self.scales.size * 4
+
+    def search(self, queries: np.ndarray, valid: jax.Array, k: int,
+               full_precision: jax.Array | None = None,
+               rescore_factor: int = 4) -> tuple[np.ndarray, np.ndarray]:
+        if full_precision is None:
+            return quantized_search(queries, self.values, self.scales,
+                                    valid, k)
+        k1 = min(rescore_factor * k, self.n)
+        _, cand = quantized_search(queries, self.values, self.scales,
+                                   valid, k1)
+        s, i = _rescore(jnp.asarray(np.atleast_2d(queries).astype(np.float32)),
+                        full_precision, jnp.asarray(cand), k)
+        return np.asarray(s), np.asarray(i)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rescore(queries: jax.Array, embeddings: jax.Array,
+             candidates: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Full-precision rescore of [B, k1] candidate rows."""
+    rows = embeddings[candidates]                       # [B, k1, d]
+    scores = jnp.einsum("bd,bkd->bk", queries.astype(embeddings.dtype), rows,
+                        preferred_element_type=jnp.float32)
+    top_scores, pos = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+    top_idx = jnp.take_along_axis(candidates, pos, axis=-1)
+    return top_scores, top_idx

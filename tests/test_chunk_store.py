@@ -145,3 +145,41 @@ class TestChunkStoreIVF:
         assert s._ivf_dirty
         hits = s.search_ivf(_vecs(1, 16), k=3)  # triggers rebuild
         assert hits[0]
+
+
+class TestQuantizedStorePath:
+    def test_quantized_matches_flat(self):
+        s = ChunkStore(dim=48, dtype="float32", initial_capacity=128)
+        vecs = _vecs(60, 48, seed=21)
+        s.add(vecs, [{"file_path": f"f{i}.py", "content_hash": "h"}
+                     for i in range(60)])
+        q = _vecs(3, 48, seed=22)
+        flat = s.search(q, k=8)
+        quant = s.search_quantized(q, k=8)
+        for fr, qr in zip(flat, quant):
+            assert {r for r, _, _ in fr} == {r for r, _, _ in qr}
+
+    def test_quant_rebuilds_after_mutation(self):
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
+        s.add(_vecs(10, 16), [{"file_path": "a.py", "content_hash": "h"}] * 10)
+        s.search_quantized(_vecs(1, 16), k=3)
+        assert not s._quant_dirty
+        s.remove([0])
+        assert s._quant_dirty
+        hits = s.search_quantized(_vecs(1, 16), k=3)
+        assert all(r != 0 for r, _, _ in hits[0])
+
+
+class TestShardedView:
+    def test_to_sharded_matches_flat(self):
+        from lattice_tpu.parallel.mesh import make_mesh
+        s = ChunkStore(dim=32, dtype="float32", initial_capacity=64)
+        vecs = _vecs(50, 32, seed=31)
+        s.add(vecs, [{"file_path": f"f{i}.py", "content_hash": "h"}
+                     for i in range(50)])
+        sharded = s.to_sharded(mesh=make_mesh(8))
+        q = _vecs(2, 32, seed=32)
+        flat = s.search(q, k=6)
+        scores, idx = sharded.search(q, k=6)
+        for qi in range(2):
+            assert {r for r, _, _ in flat[qi]} == set(idx[qi].tolist())

@@ -78,3 +78,56 @@ class TestFlatTopK:
         np.testing.assert_allclose(np.asarray(merged_s), o_scores, atol=1e-5)
         for row_dev, row_oracle in zip(np.asarray(merged_i), o_idx):
             assert set(row_dev.tolist()) == set(row_oracle.tolist())
+
+
+class TestQuantized:
+    def test_int8_topk_close_to_exact(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import QuantizedView, quantize_rows
+        rng = np.random.default_rng(0)
+        emb = topk_ops.l2_normalize(rng.normal(size=(500, 64)))
+        valid = np.ones(500, dtype=bool)
+        valid[100] = False
+        q = topk_ops.l2_normalize(rng.normal(size=(4, 64)))
+        view = QuantizedView(emb)
+        s, i = view.search(q, jnp.asarray(valid), k=10)
+        o_s, o_i = topk_ops.topk_oracle(q, emb, valid, 10)
+        # quantized recall@10 vs exact should be near-perfect
+        recall = np.mean([
+            len(set(i[r].tolist()) & set(o_i[r].tolist())) / 10
+            for r in range(4)
+        ])
+        assert recall >= 0.9
+        np.testing.assert_allclose(s, o_s, atol=5e-2)
+        assert 100 not in i
+
+    def test_rescore_recovers_exact_order(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import QuantizedView
+        rng = np.random.default_rng(1)
+        emb = topk_ops.l2_normalize(rng.normal(size=(400, 32)))
+        valid = np.ones(400, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(3, 32)))
+        view = QuantizedView(emb)
+        s, i = view.search(q, jnp.asarray(valid), k=5,
+                           full_precision=jnp.asarray(emb, dtype=jnp.float32),
+                           rescore_factor=8)
+        o_s, o_i = topk_ops.topk_oracle(q, emb, valid, 5)
+        for got, want in zip(i, o_i):
+            assert set(got.tolist()) == set(want.tolist())
+        np.testing.assert_allclose(s, o_s, atol=1e-5)
+
+    def test_memory_halves(self):
+        from lattice_tpu.ops.quant import QuantizedView
+        emb = np.random.default_rng(2).normal(size=(256, 64)).astype(np.float32)
+        view = QuantizedView(emb)
+        bf16_bytes = emb.size * 2
+        assert view.memory_bytes() < 0.6 * bf16_bytes
+
+    def test_quantize_roundtrip_error_bounded(self):
+        from lattice_tpu.ops.quant import quantize_rows
+        emb = topk_ops.l2_normalize(
+            np.random.default_rng(3).normal(size=(50, 64)))
+        values, scales = quantize_rows(emb)
+        recon = values.astype(np.float32) * scales[:, None]
+        assert np.abs(recon - emb).max() < 0.01
