@@ -244,6 +244,28 @@ def run_metadata(args: argparse.Namespace, settings: Settings) -> int:
     return 2
 
 
+def run_train(args: argparse.Namespace, settings: Settings) -> int:
+    """Fine-tune UniXcoder on (NL, code) pairs mined from the saved index."""
+    from lattice_tpu.models.finetune import finetune_from_index
+
+    repo_path = Path(args.path).resolve()
+    embedder = _make_embedder(settings)
+    _graph, indexer, _manifest = persistence.load_index(
+        _data_dir(repo_path, settings), embedder)
+
+    def on_progress(step, total, loss):
+        if step % 10 == 0 or step == total:
+            print(f"step {step}/{total} loss={loss:.4f}", flush=True)
+
+    report = finetune_from_index(
+        indexer.code, indexer.summaries,
+        data_dir=_data_dir(repo_path, settings),
+        steps=args.steps, batch_size=args.batch_size,
+        learning_rate=args.lr, progress=on_progress)
+    print(json.dumps(report, indent=1))
+    return 0 if report["status"] in ("completed", "skipped") else 1
+
+
 def run_watch(args: argparse.Namespace, settings: Settings) -> int:
     """Reference: `main.py:105-109` + watcher (`pipeline/watcher.py`)."""
     from lattice_tpu.pipeline.watcher import watch_repository
@@ -301,6 +323,13 @@ def build_parser() -> argparse.ArgumentParser:
         mp.add_argument("--path", default=".")
         mp.add_argument("--project")
 
+    p = sub.add_parser("train", help="contrastively fine-tune the embedder "
+                                     "on pairs mined from the index")
+    p.add_argument("--path", default=".")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-5)
+
     p = sub.add_parser("watch", help="watch a repo and reindex on change")
     p.add_argument("path")
 
@@ -326,6 +355,7 @@ def main(argv: list[str] | None = None) -> int:
         "settings": run_settings,
         "projects": run_projects,
         "metadata": run_metadata,
+        "train": run_train,
         "watch": run_watch,
     }
     if args.cmd == "mcp":
