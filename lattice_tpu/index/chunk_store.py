@@ -241,7 +241,7 @@ class ChunkStore:
         if self._size == 0:
             return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
         if self._quant is None or self._quant_dirty:
-            self._quant = QuantizedView(np.asarray(self._emb, np.float32))
+            self._quant = QuantizedView(self._emb)  # device-side quantization
             self._quant_dirty = False
         q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
         scores, idx = self._quant.search(

@@ -170,6 +170,131 @@ def fused_topk(
     return out_s[:b_in], out_i[:b_in]
 
 
+def _topk_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
+                      out_s_ref, out_i_ref, best_s, best_i,
+                      *, k: int, tile: int, n_rows: int):
+    """Int8 variant: i8 x i8 -> i32 on the MXU, rescaled to f32 cosine."""
+    j = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        best_s[:] = jnp.full_like(best_s, NEG_INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = q_ref[:]                                  # [B, d] i8
+    e_tile = e_ref[:]                             # [T, d] i8
+    acc = jax.lax.dot_general(
+        q, e_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                             # [B, T] i32
+    b = acc.shape[0]
+    scores = acc.astype(jnp.float32) * qs_ref[:] * es_ref[:].reshape(1, tile)
+    row_base = j * tile
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1) + row_base
+    alive = valid_ref[:].reshape(1, tile) != 0
+    in_range = col_ids < n_rows
+    scores = jnp.where(alive & in_range, scores, NEG_INF)
+
+    kth = jnp.min(best_s[:], axis=-1)
+    tile_max = jnp.max(scores, axis=-1)
+    any_improves = jnp.any(tile_max > kth)
+
+    @pl.when(any_improves)
+    def _merge():
+        cat_s = jnp.concatenate([best_s[:], scores], axis=-1)
+        cat_i = jnp.concatenate([best_i[:], col_ids], axis=-1)
+        width = k + tile
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+        new_s = []
+        new_i = []
+        for _ in range(k):
+            m = jnp.max(cat_s, axis=-1, keepdims=True)
+            a = jnp.argmax(cat_s, axis=-1).astype(jnp.int32)
+            hit = lane == a[:, None]
+            picked = jnp.sum(jnp.where(hit, cat_i, 0), axis=-1,
+                             keepdims=True).astype(jnp.int32)
+            new_s.append(m)
+            new_i.append(picked)
+            cat_s = jnp.where(hit, NEG_INF, cat_s)
+        best_s[:] = jnp.concatenate(new_s, axis=-1)
+        best_i[:] = jnp.concatenate(new_i, axis=-1)
+
+    @pl.when(j == n_tiles - 1)
+    def _emit():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = best_i[:]
+
+
+# Measured on v5e at 1M x 768, B=256, k=10: int8 runs at parity with bf16
+# (~16 ms/batch) — the scan is SELECTION-bound, not bandwidth-bound: the
+# k-iteration argmax merge costs ~k*B*N VPU element-visits (~8 ms) and
+# dominates once the matmul drops below it. Round-2 lever: hierarchical
+# in-tile selection (sub-block maxima first) or an early-exit while_loop
+# merge, which would let the int8 path realize its 2x byte advantage.
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def fused_topk_int8(
+    q_values: jax.Array,     # [B, d] i8
+    q_scales: jax.Array,     # [B] f32
+    e_values: jax.Array,     # [N, d] i8, N % tile == 0
+    e_scales: jax.Array,     # [N] f32
+    valid: jax.Array,        # [N] bool/int8
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized fused scan: half the HBM bytes of bf16, int8 MXU rate."""
+    n, d = e_values.shape
+    b_in = q_values.shape[0]
+    b = max(32, ((b_in + 31) // 32) * 32)   # int8 sublane group is 32
+    if b != b_in:
+        q_values = jnp.concatenate(
+            [q_values, jnp.zeros((b - b_in, d), q_values.dtype)], axis=0)
+        q_scales = jnp.concatenate(
+            [q_scales, jnp.zeros((b - b_in,), q_scales.dtype)], axis=0)
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    n_tiles = n // tile
+    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    q_scales_col = q_scales.reshape(b, 1)
+    e_scales_col = e_scales.reshape(n, 1)
+
+    kernel = functools.partial(_topk_kernel_int8, k=k, tile=tile, n_rows=n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + b * d + 2 * b * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_values, q_scales_col, e_values, e_scales_col, valid_i8)
+    return out_s[:b_in], out_i[:b_in]
+
+
 def pad_for_tile(embeddings: np.ndarray, valid: np.ndarray,
                  tile: int = DEFAULT_TILE) -> tuple[np.ndarray, np.ndarray]:
     """Pad rows to a tile multiple; padded rows marked invalid."""

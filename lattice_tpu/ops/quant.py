@@ -35,6 +35,17 @@ def quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return values, scales[:, 0]
 
 
+@jax.jit
+def quantize_rows_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side row quantization (no host round-trip at corpus scale)."""
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scales = amax / 127.0
+    safe = jnp.maximum(scales, 1e-12)
+    values = jnp.clip(jnp.round(x / safe), -127, 127).astype(jnp.int8)
+    return values, scales[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def int8_topk(
     q_values: jax.Array,    # [B, d] i8
@@ -75,26 +86,47 @@ class QuantizedView:
     then the full-precision rows rescore them (gather of k' rows — tiny).
     """
 
-    def __init__(self, embeddings: np.ndarray):
-        values, scales = quantize_rows(embeddings)
-        self.values = jnp.asarray(values)
-        self.scales = jnp.asarray(scales)
-        self.n, self.d = values.shape
+    def __init__(self, embeddings: np.ndarray | jax.Array):
+        if isinstance(embeddings, jax.Array):
+            self.values, self.scales = quantize_rows_device(embeddings)
+        else:
+            values, scales = quantize_rows(embeddings)
+            self.values = jnp.asarray(values)
+            self.scales = jnp.asarray(scales)
+        self.n, self.d = self.values.shape
 
     def memory_bytes(self) -> int:
         return self.values.size + self.scales.size * 4
+
+    def _first_stage(self, queries: np.ndarray, valid: jax.Array,
+                     k: int) -> tuple[jax.Array, jax.Array]:
+        """Pallas fused int8 scan on TPU (XLA upcasts int8 dots and is ~100x
+        slower there); XLA path elsewhere."""
+        q_values, q_scales = quantize_rows(np.atleast_2d(queries))
+        try:
+            on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from lattice_tpu.ops.pallas_topk import fused_topk_int8, pick_tile
+            tile = pick_tile(self.n, len(q_values))
+            if tile is not None:
+                return fused_topk_int8(
+                    jnp.asarray(q_values), jnp.asarray(q_scales),
+                    self.values, self.scales, valid, k, tile=tile)
+        return int8_topk(jnp.asarray(q_values), jnp.asarray(q_scales),
+                         self.values, self.scales, valid, k)
 
     def search(self, queries: np.ndarray, valid: jax.Array, k: int,
                full_precision: jax.Array | None = None,
                rescore_factor: int = 4) -> tuple[np.ndarray, np.ndarray]:
         if full_precision is None:
-            return quantized_search(queries, self.values, self.scales,
-                                    valid, k)
+            s, i = self._first_stage(queries, valid, k)
+            return np.asarray(s), np.asarray(i)
         k1 = min(rescore_factor * k, self.n)
-        _, cand = quantized_search(queries, self.values, self.scales,
-                                   valid, k1)
+        _, cand = self._first_stage(queries, valid, k1)
         s, i = _rescore(jnp.asarray(np.atleast_2d(queries).astype(np.float32)),
-                        full_precision, jnp.asarray(cand), k)
+                        full_precision, cand, k)
         return np.asarray(s), np.asarray(i)
 
 
