@@ -41,6 +41,78 @@ NEG_INF = -1e30
 # tile 2048 at larger batches (`pick_tile`).
 DEFAULT_TILE = 1024
 
+# ---- packed-key selection ------------------------------------------------
+#
+# The selection loop is the kernel's bottleneck at scale (measured: ~8 ms of
+# a 16 ms 1M-row scan at B=256 — the matmul is ~2 ms). A naive top-k
+# iteration costs 4 full-width VPU passes (max, argmax, one-hot id extract,
+# clear). Packing (quantized score, column id) into one monotonic int32 key
+# collapses max+argmax+extract into a single reduction:
+#
+#   key = (bits(clip(score)+2.0) >> SHIFT) << SHIFT | col
+#
+# score+2 is positive, so its IEEE-754 bits are order-preserving as int32;
+# truncating to the top (32-SHIFT) bits leaves ~11 mantissa bits of score
+# resolution (~1e-3 — comparable to bf16's own rounding) and SHIFT bits for
+# the column. Two passes per iteration: max(keys), then clear-by-equality.
+
+_KEY_SHIFT = 12            # supports tile + k <= 4096 candidate columns
+_MASKED_SCORE = -1.5       # masked entries sort below all real cosines
+
+
+def _pack_keys(scores, cols):
+    clipped = jnp.clip(scores, -1.2, 1.2)
+    clipped = jnp.where(scores <= NEG_INF / 2, _MASKED_SCORE, clipped)
+    bits = jax.lax.bitcast_convert_type(clipped + 2.0, jnp.int32)
+    return ((bits >> _KEY_SHIFT) << _KEY_SHIFT) | cols
+
+
+def _unpack_score(keys):
+    bits = (keys >> _KEY_SHIFT) << _KEY_SHIFT
+    score = jax.lax.bitcast_convert_type(bits, jnp.float32) - 2.0
+    return jnp.where(score < -1.3, NEG_INF, score)
+
+
+def _unpack_col(keys):
+    return keys & ((1 << _KEY_SHIFT) - 1)
+
+
+def _select_topk_packed(scores, row_base, best_s_ref, best_i_ref, k):
+    """Merge tile scores into the running top-k via packed-key iterations.
+
+    Two full-width VPU passes per selected element (max + clear). Winner
+    ids never require a full-width scan: packed columns < k index the old
+    running best (k-wide gather); columns >= k are tile positions, so the
+    global row id is row_base + (col - k).
+    """
+    b = scores.shape[0]
+    old_best_i = best_i_ref[:]                               # [B, k]
+    local_cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + k
+    running_cols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    keys = jnp.concatenate([
+        _pack_keys(best_s_ref[:], running_cols),
+        _pack_keys(scores, local_cols),
+    ], axis=-1)                                              # [B, k+T]
+    new_keys = []
+    for _ in range(k):
+        kmax = jnp.max(keys, axis=-1, keepdims=True)         # [B, 1]
+        new_keys.append(kmax)
+        keys = jnp.where(keys == kmax, jnp.int32(0), keys)
+    top_keys = jnp.concatenate(new_keys, axis=-1)            # [B, k]
+    cols = _unpack_col(top_keys)                             # [B, k]
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    ids = []
+    for j in range(k):
+        col_j = cols[:, j:j + 1]                             # [B, 1]
+        from_running = jnp.sum(
+            jnp.where(lane_k == col_j, old_best_i, 0), axis=-1,
+            keepdims=True)                                   # k-wide only
+        from_tile = row_base + (col_j - k)
+        ids.append(jnp.where(col_j < k, from_running, from_tile)
+                   .astype(jnp.int32))
+    best_s_ref[:] = _unpack_score(top_keys)
+    best_i_ref[:] = jnp.concatenate(ids, axis=-1)
+
 
 def pick_tile(capacity: int, batch: int) -> int | None:
     """Largest measured-good tile that divides the store capacity."""
@@ -84,25 +156,7 @@ def _topk_kernel(q_ref, e_ref, valid_ref, out_s_ref, out_i_ref,
 
     @pl.when(any_improves)
     def _merge():
-        cat_s = jnp.concatenate([best_s[:], scores], axis=-1)    # [B, k+T]
-        cat_i = jnp.concatenate([best_i[:], col_ids], axis=-1)
-        width = k + tile
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
-        new_s = []
-        new_i = []
-        for _ in range(k):
-            m = jnp.max(cat_s, axis=-1, keepdims=True)           # [B, 1]
-            a = jnp.argmax(cat_s, axis=-1).astype(jnp.int32)     # [B]
-            hit = lane == a[:, None]
-            # one-hot reduce instead of take_along_axis: Mosaic has no
-            # general gather, but masked sums lower cleanly to the VPU
-            picked = jnp.sum(jnp.where(hit, cat_i, 0), axis=-1,
-                             keepdims=True).astype(jnp.int32)    # [B, 1]
-            new_s.append(m)
-            new_i.append(picked)
-            cat_s = jnp.where(hit, NEG_INF, cat_s)
-        best_s[:] = jnp.concatenate(new_s, axis=-1)
-        best_i[:] = jnp.concatenate(new_i, axis=-1)
+        _select_topk_packed(scores, row_base, best_s, best_i, k)
 
     @pl.when(j == n_tiles - 1)
     def _emit():
@@ -203,23 +257,7 @@ def _topk_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
 
     @pl.when(any_improves)
     def _merge():
-        cat_s = jnp.concatenate([best_s[:], scores], axis=-1)
-        cat_i = jnp.concatenate([best_i[:], col_ids], axis=-1)
-        width = k + tile
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
-        new_s = []
-        new_i = []
-        for _ in range(k):
-            m = jnp.max(cat_s, axis=-1, keepdims=True)
-            a = jnp.argmax(cat_s, axis=-1).astype(jnp.int32)
-            hit = lane == a[:, None]
-            picked = jnp.sum(jnp.where(hit, cat_i, 0), axis=-1,
-                             keepdims=True).astype(jnp.int32)
-            new_s.append(m)
-            new_i.append(picked)
-            cat_s = jnp.where(hit, NEG_INF, cat_s)
-        best_s[:] = jnp.concatenate(new_s, axis=-1)
-        best_i[:] = jnp.concatenate(new_i, axis=-1)
+        _select_topk_packed(scores, row_base, best_s, best_i, k)
 
     @pl.when(j == n_tiles - 1)
     def _emit():

@@ -35,7 +35,9 @@ class TestFusedTopK:
         s, i = fused_topk(jnp.asarray(q), jnp.asarray(pemb),
                           jnp.asarray(pval), k, tile=tile, interpret=True)
         o_s, o_i = topk_ops.topk_oracle(q, emb, valid, k)
-        np.testing.assert_allclose(np.asarray(s), o_s, atol=1e-5)
+        # packed-key selection quantizes scores to ~1e-3 (comparable to
+        # bf16 storage rounding); indices stay exact
+        np.testing.assert_allclose(np.asarray(s), o_s, atol=2e-3)
         for row_got, row_want in zip(np.asarray(i), o_i):
             assert set(row_got.tolist()) == set(row_want.tolist())
 
