@@ -114,9 +114,17 @@ def _select_topk_packed(scores, row_base, best_s_ref, best_i_ref, k):
     best_i_ref[:] = jnp.concatenate(ids, axis=-1)
 
 
-def pick_tile(capacity: int, batch: int) -> int | None:
-    """Largest measured-good tile that divides the store capacity."""
-    preferred = (2048, 1024, 512) if batch >= 128 else (1024, 2048, 512)
+def pick_tile(capacity: int, batch: int, k: int = 10) -> int | None:
+    """Largest measured-good tile that divides the store capacity.
+
+    Large k (the int8 rescore first stage asks for rescore_factor*k)
+    inflates the selection buffers; shrink the tile to stay inside the
+    ~16 MB VMEM scoped limit (measured OOM: tile 2048, B=256, k=40).
+    """
+    if batch >= 128 and k <= 16:
+        preferred = (2048, 1024, 512)
+    else:
+        preferred = (1024, 512, 2048)
     for tile in preferred:
         if capacity % tile == 0:
             return tile

@@ -109,7 +109,7 @@ class QuantizedView:
             on_tpu = False
         if on_tpu:
             from lattice_tpu.ops.pallas_topk import fused_topk_int8, pick_tile
-            tile = pick_tile(self.n, len(q_values))
+            tile = pick_tile(self.n, len(q_values), k=k)
             if tile is not None:
                 return fused_topk_int8(
                     jnp.asarray(q_values), jnp.asarray(q_scales),
