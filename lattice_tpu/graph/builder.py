@@ -26,7 +26,7 @@ from __future__ import annotations
 import logging
 
 from lattice_tpu.core.cache import FunctionRegistry
-from lattice_tpu.core.types import EdgeType, EntityType, Language
+from lattice_tpu.core.types import EdgeType, EntityType
 from lattice_tpu.index.graph_store import GraphStore
 from lattice_tpu.parsing.call_resolution.processor import CallProcessor
 from lattice_tpu.parsing.import_processor import ImportProcessor

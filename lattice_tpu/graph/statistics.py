@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from lattice_tpu.core.types import EdgeType, EntityType
+from lattice_tpu.core.types import EdgeType
 from lattice_tpu.index.graph_store import GraphStore
 
 

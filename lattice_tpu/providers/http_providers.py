@@ -23,7 +23,6 @@ from lattice_tpu.core.errors import ConnectionError as LatticeConnectionError
 from lattice_tpu.providers.base import (
     BaseEmbeddingProvider,
     BaseLLMProvider,
-    ProviderConfig,
 )
 
 

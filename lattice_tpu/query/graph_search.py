@@ -11,7 +11,7 @@ without a QueryPlan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from lattice_tpu.core.errors import QueryError
 from lattice_tpu.core.types import EdgeType, EntityType

@@ -26,7 +26,7 @@ from pathlib import Path
 import numpy as np
 
 from lattice_tpu.core.errors import StorageError
-from lattice_tpu.core.types import EdgeType, EntityType
+from lattice_tpu.core.types import EdgeType
 from lattice_tpu.embeddings.indexer import VectorIndexer
 from lattice_tpu.index.chunk_store import ChunkStore
 from lattice_tpu.index.graph_store import GraphStore
