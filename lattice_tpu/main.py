@@ -358,10 +358,16 @@ def main(argv: list[str] | None = None) -> int:
         "train": run_train,
         "watch": run_watch,
     }
-    if args.cmd == "mcp":
-        from lattice_tpu.mcp.server import run_stdio_server
-        return asyncio.run(run_stdio_server(Path(args.path).resolve(), settings))
-    return handlers[args.cmd](args, settings)
+    from lattice_tpu.core.errors import LatticeError
+    try:
+        if args.cmd == "mcp":
+            from lattice_tpu.mcp.server import run_stdio_server
+            return asyncio.run(run_stdio_server(Path(args.path).resolve(),
+                                                settings))
+        return handlers[args.cmd](args, settings)
+    except LatticeError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -1,0 +1,88 @@
+"""CLI integration: index -> search -> query -> status -> projects ->
+metadata through `main()` on the fixture repo, fully offline.
+
+Parity model: reference `main.py` subcommand surface (SURVEY §2 #53).
+"""
+
+import json
+import shutil
+
+import pytest
+
+from lattice_tpu import main as cli
+
+
+@pytest.fixture()
+def repo(tmp_path, sample_project_path, monkeypatch):
+    root = tmp_path / "proj"
+    shutil.copytree(sample_project_path, root)
+    # isolate the projects registry
+    monkeypatch.setattr(cli, "PROJECTS_REGISTRY",
+                        tmp_path / "registry.json")
+    # isolate settings: force hash provider + small dims via env file
+    env = tmp_path / "cli.env"
+    env.write_text(
+        "EMBEDDING_PROVIDER=hash\nEMBEDDING_DIMENSIONS=128\n"
+        "LATTICE_INDEX_DTYPE=float32\n")
+    return root, env
+
+
+def run(args, env):
+    return cli.main(["--env", str(env)] + args)
+
+
+class TestCLIRoundtrip:
+    def test_full_flow(self, repo, capsys):
+        root, env = repo
+        assert run(["index", str(root), "--project", "cli-test"], env) == 0
+        out = capsys.readouterr().out
+        assert "indexed cli-test" in out
+
+        assert run(["search", "who calls validate_email_format",
+                    "--path", str(root), "--json"], env) == 0
+        results = json.loads(capsys.readouterr().out)
+        names = [r["name"] for r in results]
+        assert "app.services.user_service.UserService.create_user" in names
+
+        assert run(["query", "what is the class hierarchy of AdminUser",
+                    "--path", str(root)], env) == 0
+        out = capsys.readouterr().out
+        assert "BaseModel" in out
+
+        assert run(["status", "--path", str(root)], env) == 0
+        out = capsys.readouterr().out
+        assert "project: cli-test" in out
+        assert "graph:" in out
+
+        assert run(["projects", "list"], env) == 0
+        out = capsys.readouterr().out
+        assert "cli-test" in out
+
+        assert run(["metadata", "show", "--path", str(root),
+                    "--project", "cli-test"], env) == 0
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["status"] in ("completed", "partial")
+
+        assert run(["settings"], env) == 0
+        dumped = json.loads(capsys.readouterr().out)
+        assert dumped["ai"]["embedding_provider"] == "hash"
+
+        assert run(["projects", "delete", "cli-test"], env) == 0
+        assert not (root / ".lattice").exists()
+
+    def test_search_without_index_errors(self, repo, tmp_path, capsys):
+        _, env = repo
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        rc = run(["search", "anything", "--path", str(empty)], env)
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "no index found" in err
+
+    def test_incremental_reindex_skips(self, repo, capsys):
+        root, env = repo
+        run(["index", str(root), "--project", "cli-test"], env)
+        capsys.readouterr()
+        assert run(["index", str(root), "--project", "cli-test"], env) == 0
+        out = capsys.readouterr().out
+        assert "indexed cli-test" in out
