@@ -20,10 +20,16 @@ def module_qname(relative_path: str | Path) -> str:
     """Derive a dotted module qualified name from a repo-relative path.
 
     Reference semantics: `graph/builder.py:252-259` (strip extension, join
-    path parts with '.', drop `__init__` / `index` leaf names).
+    path parts with '.', drop `__init__` / `index` leaf names). A leading
+    `src/` is dropped (standard src-layout): the import system addresses
+    such packages without the prefix, so keeping it would orphan every
+    absolute import from its module QN (the reference gets this implicitly
+    by probing repo dirs, `import_processor.py:61-185`).
     """
     p = Path(relative_path)
     parts = list(p.parts)
+    if len(parts) > 1 and parts[0] == "src":
+        parts = parts[1:]
     if parts:
         stem = Path(parts[-1]).stem
         parts[-1] = stem
