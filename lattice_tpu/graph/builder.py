@@ -157,6 +157,17 @@ class GraphBuilder:
         info = parsed.file_info
         language = info.language
         module_qn = info.module_name
+        # Share constructor-established instance-attribute types with every
+        # method of the class (`self.client = MemgraphClient()` in __init__
+        # types `self.client.execute()` elsewhere).
+        for cls in parsed.classes:
+            init = next((c for c in cls.children
+                         if c.name in ("__init__", "constructor")), None)
+            if init is not None:
+                vmap = self.type_engine.infer_function_types(
+                    init, module_qn, language, cls.qualified_name)
+                self.type_engine.register_class_attrs(
+                    cls.qualified_name, vmap)
         for entity in parsed.all_entities:
             if entity.entity_type not in (EntityType.FUNCTION, EntityType.METHOD):
                 continue
@@ -171,9 +182,10 @@ class GraphBuilder:
                     call_text, entity, module_qn, language, class_qn)
                 if resolved.target_qn is not None:
                     if resolved.target_qn.startswith(
-                            ("builtins.", "js.builtin.", "cpp.builtin.")):
-                        # builtins resolve but produce no graph edge
-                        # (reference only links entities in the graph)
+                            ("builtins.", "js.builtin.", "cpp.builtin.",
+                             "ext.")):
+                        # builtins/externals resolve but produce no graph
+                        # edge (reference only links entities in the graph)
                         continue
                     dst_id = self.store.id_of(resolved.target_qn)
                     if dst_id is not None:

@@ -19,6 +19,56 @@ PYTHON_BUILTINS: frozenset[str] = frozenset({
     "range", "repr", "reversed", "round", "set", "setattr", "slice",
     "sorted", "staticmethod", "str", "sum", "super", "tuple", "type",
     "vars", "zip", "__import__",
+    # builtin exception constructors are calls too
+    "ValueError", "TypeError", "KeyError", "IndexError", "RuntimeError",
+    "AttributeError", "NotImplementedError", "StopIteration", "OSError",
+    "IOError", "FileNotFoundError", "PermissionError", "TimeoutError",
+    "ConnectionError", "Exception", "BaseException", "ZeroDivisionError",
+    "OverflowError", "AssertionError", "ImportError", "ModuleNotFoundError",
+    "UnicodeDecodeError", "KeyboardInterrupt", "SystemExit", "Warning",
+    "DeprecationWarning", "UserWarning",
+})
+
+# Top-level stdlib modules whose members resolve as external (no graph
+# edge), mirroring how the JS table treats `Math`/`JSON` receivers.
+PYTHON_STDLIB_MODULES: frozenset[str] = frozenset({
+    "abc", "argparse", "ast", "asyncio", "base64", "bisect", "collections",
+    "contextlib", "copy", "csv", "dataclasses", "datetime", "decimal",
+    "enum", "errno", "fnmatch", "functools", "glob", "gzip", "hashlib",
+    "heapq", "hmac", "html", "http", "importlib", "inspect", "io",
+    "itertools", "json", "logging", "math", "multiprocessing", "os",
+    "pathlib", "pickle", "platform", "pprint", "queue", "random", "re",
+    "secrets", "select", "shlex", "shutil", "signal", "socket", "sqlite3",
+    "stat", "string", "struct", "subprocess", "sys", "tempfile",
+    "textwrap", "threading", "time", "tomllib", "traceback", "types",
+    "typing", "unicodedata", "urllib", "uuid", "warnings", "weakref",
+    "xml", "zlib",
+})
+
+# Common container/str/path method names that resolve to Python object
+# protocols when nothing more specific matched (the analog of
+# JS_PROTOTYPE_METHODS; consulted only at the builtin step, after imports /
+# receiver types / same-module lookups have all failed).
+PYTHON_COMMON_METHODS: frozenset[str] = frozenset({
+    "append", "extend", "insert", "remove", "pop", "clear", "sort",
+    "reverse", "copy", "count", "index", "add", "discard", "update",
+    "keys", "values", "items", "get", "setdefault", "popitem", "strip",
+    "lstrip", "rstrip", "split", "rsplit", "splitlines", "join", "format",
+    "replace", "startswith", "endswith", "lower", "upper", "title",
+    "encode", "decode", "find", "rfind", "zfill", "ljust", "rjust",
+    "read", "write", "readline", "readlines", "close", "flush", "seek",
+    "exists", "is_file", "is_dir", "mkdir", "rmdir", "unlink", "resolve",
+    "absolute", "relative_to", "glob", "rglob", "read_text", "write_text",
+    "read_bytes", "write_bytes", "touch", "stem", "partition",
+    "rpartition", "casefold", "isdigit", "isalpha",
+})
+
+# `logger = logging.getLogger(__name__)` is a module-level convention the
+# import map cannot see; treat these receiver.method shapes as external.
+PYTHON_LOGGER_RECEIVERS: frozenset[str] = frozenset({"logger", "log"})
+PYTHON_LOGGER_METHODS: frozenset[str] = frozenset({
+    "debug", "info", "warning", "warn", "error", "exception", "critical",
+    "isEnabledFor", "setLevel",
 })
 
 JS_BUILTIN_TYPES: frozenset[str] = frozenset({

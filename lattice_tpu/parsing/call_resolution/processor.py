@@ -196,8 +196,17 @@ class CallProcessor:
         # 5a. whole dotted text through the import map (`np.array`,
         # `os.path.join`, imported function `helper`).
         hit = self.imports.resolve_name(module_qn, text)
-        if hit is not None and hit in self.registry:
-            return ResolvedCall(hit, resolution="import")
+        if hit is not None:
+            if hit in self.registry:
+                return ResolvedCall(hit, resolution="import")
+            # Imported but not repo-local: a third-party / stdlib call —
+            # resolved as external so it neither edges nor pollutes the
+            # fuzzy fallback (reference marks these unresolved; SURVEY §2.2
+            # notes its import maps never ran in production at all).
+            root = hit.split(".", 1)[0]
+            if not self.imports.is_local_module(root) \
+                    and not self.imports.is_local_module(hit):
+                return ResolvedCall(f"ext.{hit}", resolution="external")
         # 5b. var-typed receiver: `user.save()` where user: User.
         if rest:
             method = rest.split(".", 1)[0]
@@ -232,6 +241,9 @@ class CallProcessor:
             parts = text.split(".")
             if len(parts) >= 3:  # self.attr.method()
                 attr = vmap.instance_attrs.get(parts[1])
+                if attr is None:
+                    # constructor-established attrs shared class-wide
+                    attr = self.type_engine.class_attr_type(class_qn, parts[1])
                 return attr.type_name if attr else None
             return None
         inferred = vmap.get(receiver)
@@ -264,6 +276,17 @@ class CallProcessor:
         if language == Language.PYTHON:
             if text in bt.PYTHON_BUILTINS:
                 return ResolvedCall(bt.python_builtin_qn(text), resolution="builtin")
+            head = text.split(".", 1)[0]
+            if "." in text:
+                if head in bt.PYTHON_STDLIB_MODULES:
+                    return ResolvedCall(f"ext.{text}", resolution="external")
+                if head in bt.PYTHON_LOGGER_RECEIVERS \
+                        and simple in bt.PYTHON_LOGGER_METHODS:
+                    return ResolvedCall(f"ext.logging.{simple}",
+                                        resolution="external", confidence=0.7)
+                if simple in bt.PYTHON_COMMON_METHODS:
+                    return ResolvedCall(bt.python_builtin_qn(simple),
+                                        resolution="builtin", confidence=0.5)
             return None
         if language in _JS_FAMILY:
             head = text.split(".", 1)[0]

@@ -62,6 +62,25 @@ class TypeInferenceEngine:
         self.imports = imports
         self._in_progress: set[str] = set()  # recursion guard (reference `:44,469-479`)
         self._known_simple: set[str] | None = None
+        # class_qn -> instance-attribute types gathered from the
+        # constructor, shared across every method of the class (reference
+        # gathers `self.x` attrs per class, `engine.py:446-460`)
+        self._class_attrs: dict[str, VariableTypeMap] = {}
+
+    def register_class_attrs(self, class_qn: str,
+                             vmap: VariableTypeMap) -> None:
+        if vmap.instance_attrs:
+            existing = self._class_attrs.setdefault(class_qn,
+                                                    VariableTypeMap())
+            for name, inferred in vmap.instance_attrs.items():
+                existing.set_attr(name, inferred)
+
+    def class_attr_type(self, class_qn: str | None,
+                        attr: str) -> InferredType | None:
+        if class_qn is None:
+            return None
+        vmap = self._class_attrs.get(class_qn)
+        return vmap.instance_attrs.get(attr) if vmap else None
 
     # ---- public --------------------------------------------------------
 
@@ -153,14 +172,14 @@ class TypeInferenceEngine:
                             if tn:
                                 vmap.set(target.id, InferredType.of(tn, TypeSource.ANNOTATION))
                                 continue
-                        inferred = self._py_value_type(value, ctx)
+                        inferred = self._py_value_type(value, ctx, vmap)
                         if inferred is not None:
                             vmap.set(target.id, inferred)
                     elif (isinstance(target, ast.Attribute)
                           and isinstance(target.value, ast.Name)
                           and target.value.id == "self"):
                         # 4. `self.x = ...` instance attrs (`:446-460`).
-                        inferred = self._py_value_type(value, ctx)
+                        inferred = self._py_value_type(value, ctx, vmap)
                         if ann is not None:
                             tn = self._py_annotation_name(ann)
                             if tn:
@@ -192,11 +211,18 @@ class TypeInferenceEngine:
         return text or None
 
     def _py_value_type(self, value: ast.expr | None,
-                       ctx: TypeInferenceContext) -> InferredType | None:
+                       ctx: TypeInferenceContext,
+                       vmap: VariableTypeMap | None = None
+                       ) -> InferredType | None:
         if value is None:
             return None
         if isinstance(value, ast.Await):
             value = value.value
+        if isinstance(value, ast.Name) and vmap is not None:
+            # `self.client = client` propagates the (annotated) param type
+            known = vmap.get(value.id)
+            if known is not None:
+                return InferredType.of(known.type_name, TypeSource.ATTRIBUTE)
         if isinstance(value, ast.Call):
             name = self._py_call_name(value.func)
             if name is None:

@@ -346,3 +346,72 @@ class TestTypeInference:
                                            Language.PYTHON)
         assert vmap.get("u").type_name == "User"
         assert vmap.get("u").source == TypeSource.LOOP_ELEMENT
+
+
+class TestExternalResolution:
+    @pytest.fixture
+    def proc(self, world):
+        registry, imports, inheritance, parser = world
+        parsed = parser.parse_content(
+            "import asyncio\nimport json\n"
+            "from pathlib import Path\n"
+            "from rich.console import Console\n",
+            Language.PYTHON, "app/api/routes.py")
+        imports.parse_imports(parsed)
+        from lattice_tpu.parsing.type_inference.engine import TypeInferenceEngine
+        return CallProcessor(registry, imports, inheritance,
+                             TypeInferenceEngine(registry, imports)), parser
+
+    def _caller(self, parser, src="def go():\n    pass\n"):
+        return parser.parse_content(src, Language.PYTHON,
+                                    "app/api/routes.py").all_entities[-1]
+
+    def test_imported_external_class(self, proc):
+        p, parser = proc
+        r = p.resolve_call("Path", self._caller(parser), "app.api.routes",
+                           Language.PYTHON)
+        assert r.resolution == "external"
+        assert r.target_qn == "ext.pathlib.Path"
+
+    def test_third_party_import(self, proc):
+        p, parser = proc
+        r = p.resolve_call("Console", self._caller(parser), "app.api.routes",
+                           Language.PYTHON)
+        assert r.resolution == "external"
+
+    def test_stdlib_dotted(self, proc):
+        p, parser = proc
+        r = p.resolve_call("asyncio.gather", self._caller(parser),
+                           "app.api.routes", Language.PYTHON)
+        assert r.resolution == "external"
+
+    def test_builtin_exception(self, proc):
+        p, parser = proc
+        r = p.resolve_call("ValueError", self._caller(parser),
+                           "app.api.routes", Language.PYTHON)
+        assert r.target_qn == "builtins.ValueError"
+
+    def test_logger_convention(self, proc):
+        p, parser = proc
+        r = p.resolve_call("logger.warning", self._caller(parser),
+                           "app.api.routes", Language.PYTHON)
+        assert r.resolution == "external"
+
+    def test_common_method_no_false_fuzzy(self, proc):
+        p, parser = proc
+        r = p.resolve_call("entities.append", self._caller(parser),
+                           "app.api.routes", Language.PYTHON)
+        assert r.target_qn == "builtins.append"
+        assert r.resolution == "builtin"
+
+    def test_local_import_still_links(self, proc, world):
+        registry, imports, _, parser = world
+        parsed = parser.parse_content(
+            "from app.utils.helpers import format_name\n",
+            Language.PYTHON, "app/api/routes.py")
+        imports.parse_imports(parsed)
+        p, _ = proc
+        r = p.resolve_call("format_name", self._caller(parser),
+                           "app.api.routes", Language.PYTHON)
+        assert r.target_qn == "app.utils.helpers.format_name"
+        assert r.resolution == "import"
