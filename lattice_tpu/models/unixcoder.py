@@ -182,8 +182,17 @@ class UniXcoderModel:
     # ---- HF weight loading (optional, offline-gated) -------------------
 
     def _load_hf_weights(self, weights_dir: Path) -> bool:
-        """Map a local `microsoft/unixcoder-base` torch checkpoint into the
-        Flax param tree. Returns False (random init) when unavailable."""
+        """Load weights: our own fine-tune checkpoint
+        (`finetuned_params.npz`, flat slash-joined tree paths from
+        `models/finetune.py`) or a local `microsoft/unixcoder-base` torch
+        checkpoint. Returns False (random init) when unavailable."""
+        npz = weights_dir / "finetuned_params.npz"
+        if npz.is_file():
+            try:
+                self.params = _load_flat_npz(npz, self.params)
+                return True
+            except (KeyError, ValueError) as exc:
+                logger.warning("finetuned checkpoint mismatch (%s)", exc)
         state = _read_torch_state(weights_dir)
         if state is None:
             logger.warning("no loadable weights under %s; using random init",
@@ -195,6 +204,29 @@ class UniXcoderModel:
         except KeyError as exc:
             logger.warning("weight mapping failed (%s); using random init", exc)
             return False
+
+
+def _load_flat_npz(path: Path, params: dict) -> dict:
+    """Restore a param tree from the finetune driver's flat npz checkpoint."""
+    flat = np.load(path)
+
+    def fill(tree: dict, prefix: str) -> dict:
+        out = {}
+        for key, value in tree.items():
+            name = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, dict):
+                out[key] = fill(value, name)
+            else:
+                if name not in flat.files:
+                    raise KeyError(name)
+                stored = flat[name]
+                if stored.shape != value.shape:
+                    raise ValueError(
+                        f"{name}: shape {stored.shape} != {value.shape}")
+                out[key] = jnp.asarray(stored)
+        return out
+
+    return fill(params, "")
 
 
 def _read_torch_state(weights_dir: Path) -> dict | None:

@@ -70,3 +70,34 @@ class TestFinetuneDriver:
         report = finetune_from_index(empty, data_dir=tmp_path, config=TINY,
                                      steps=2, batch_size=4)
         assert report["status"] == "skipped"
+
+
+class TestCheckpointRoundtrip:
+    def test_finetuned_weights_reload(self, indexed, tmp_path):
+        from lattice_tpu.models.finetune import finetune_from_index
+        from lattice_tpu.models.unixcoder import UniXcoderModel
+        report = finetune_from_index(
+            indexed.indexer.code, indexed.indexer.summaries,
+            data_dir=tmp_path, config=TINY, steps=2, batch_size=4,
+            max_length=64, learning_rate=1e-3)
+        assert report["status"] == "completed"
+        model = UniXcoderModel(TINY, weights_dir=tmp_path)
+        assert model.loaded_pretrained
+        saved = np.load(tmp_path / "finetuned_params.npz")
+        got = np.asarray(model.params["word_embeddings"]["embedding"])
+        np.testing.assert_allclose(
+            got, saved["word_embeddings/embedding"], rtol=1e-6)
+
+    def test_shape_mismatch_falls_back(self, indexed, tmp_path):
+        from lattice_tpu.models.finetune import finetune_from_index
+        from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
+        finetune_from_index(
+            indexed.indexer.code, indexed.indexer.summaries,
+            data_dir=tmp_path, config=TINY, steps=1, batch_size=4,
+            max_length=64)
+        other = UniXcoderConfig(
+            vocab_size=128, hidden_size=16, num_layers=1, num_heads=2,
+            intermediate_size=32, max_position_embeddings=64,
+            dtype="float32")
+        model = UniXcoderModel(other, weights_dir=tmp_path)
+        assert not model.loaded_pretrained  # mismatch -> random init
