@@ -334,3 +334,67 @@ class TestLocalDatabase:
                 await db.fetch("SELECT * FROM missing_table")
 
         asyncio.run(run())
+
+
+class TestMCPIndexTool:
+    def test_index_repository_tool(self, workspace, tmp_path):
+        from lattice_tpu.mcp.server import MCPServer
+        settings = Settings()
+        settings.ai.embedding_provider = "hash"
+        settings.ai.embedding_dimensions = 64
+        settings.metadata.enabled = False
+        server = MCPServer(workspace, settings)
+        resp = asyncio.run(server.handle_request({
+            "jsonrpc": "2.0", "id": 7, "method": "tools/call",
+            "params": {"name": "index_repository",
+                       "arguments": {"path": str(workspace),
+                                     "project": "mcp-idx"}},
+        }))
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert payload["project"] == "mcp-idx"
+        assert payload["nodes"] > 20
+        assert payload["chunks"] > 10
+        # index persisted -> query tool works against it
+        resp = asyncio.run(server.handle_request({
+            "jsonrpc": "2.0", "id": 8, "method": "tools/call",
+            "params": {"name": "semantic_search",
+                       "arguments": {"query": "validate email"}},
+        }))
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert payload["results"]
+
+    def test_index_bad_path_errors(self, workspace):
+        from lattice_tpu.mcp.server import MCPServer
+        settings = Settings()
+        settings.ai.embedding_provider = "hash"
+        server = MCPServer(workspace, settings)
+        resp = asyncio.run(server.handle_request({
+            "jsonrpc": "2.0", "id": 9, "method": "tools/call",
+            "params": {"name": "index_repository",
+                       "arguments": {"path": "/nonexistent/nope"}},
+        }))
+        assert resp["result"]["isError"]
+
+
+class TestWatcherLoop:
+    def test_run_with_max_polls(self, indexed_ws):
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws",
+                              poll_interval_s=0.01)
+        watcher.prime(ctx.parsed)
+        (workspace / "app" / "newmod.py").write_text(
+            "def fresh_function():\n    return 1\n")
+        asyncio.run(watcher.run(max_polls=2))
+        assert watcher.stats.updated == 1
+        assert ctx.graph_builder.store.id_of("app.newmod.fresh_function") \
+            is not None
+
+    def test_stop_flag(self, indexed_ws):
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, poll_interval_s=0.01)
+        watcher.prime(ctx.parsed)
+        watcher.stop()
+        asyncio.run(watcher.run(max_polls=1))  # returns promptly
+        assert watcher.stats.polls <= 1
