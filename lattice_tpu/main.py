@@ -109,7 +109,10 @@ def run_search(args: argparse.Namespace, settings: Settings) -> int:
     """Reference: `main.py:647-686`."""
     repo_path = Path(args.path).resolve()
     engine, _ = _load_engine(repo_path, settings)
-    result = engine.search_sync(args.query, limit=args.limit)
+    if getattr(args, "deep", False):
+        result = engine.deep_search(args.query, limit=args.limit)
+    else:
+        result = engine.search_sync(args.query, limit=args.limit)
     if args.json:
         print(json.dumps([{
             "name": r.qualified_name or r.name,
@@ -295,6 +298,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path", default=".")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--deep", action="store_true",
+                   help="corpus-wide device-fused ranking (every chunk)")
     p.add_argument("-v", "--verbose", action="store_true")
 
     p = sub.add_parser("query", help="ask a question about the code")

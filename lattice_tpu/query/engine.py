@@ -39,6 +39,14 @@ from lattice_tpu.query.responder import ResponseGenerator
 logger = logging.getLogger(__name__)
 
 
+def _weights_tuple(cfg, plan):
+    """RankingConfig -> packed FuseWeights field order."""
+    g_weight, v_weight = cfg.weights_for(plan.intent)
+    return (g_weight, v_weight, cfg.centrality_weight, cfg.context_weight,
+            cfg.entity_match_bonus, cfg.hybrid_boost, cfg.depth_decay,
+            float(cfg.centrality_degree_cap))
+
+
 @dataclass(slots=True)
 class QueryResult:
     """Reference: `query/engine.py:21-28`. The reference's MCP tool read a
@@ -181,6 +189,112 @@ class QueryEngine:
     def query_sync(self, query_text: str, limit: int | None = None,
                    project_name: str | None = None) -> QueryResult:
         return asyncio.run(self.query(query_text, limit, project_name))
+
+    # ---- device-fused corpus ranking ------------------------------------
+
+    def deep_search(self, query_text: str, limit: int | None = None
+                    ) -> QueryResult:
+        """Corpus-wide hybrid ranking on device (SURVEY §7 step 6).
+
+        Where `search` ranks the ~70 materialized candidates host-side
+        (reference semantics), this path scores EVERY chunk row: vector
+        cosine for all rows in one MXU pass, graph evidence (BFS depth,
+        relationship relevance, degree) scattered from graph nodes to chunk
+        rows via the graph_node_id join, then one fused elementwise pass +
+        top_k (`ops/ranking.fused_rank`). Exhaustive-recall variant of the
+        hybrid ranker for corpus-scale result sets.
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lattice_tpu.ops import topk as topk_ops
+        from lattice_tpu.ops.graph_kernels import UNREACHED
+        from lattice_tpu.ops.ranking import FuseWeights, fused_rank, pack_weights
+        from lattice_tpu.query.ranking.scorer import (
+            _DEFAULT_RELEVANCE,
+            _RELATIONSHIP_RELEVANCE,
+        )
+
+        limit = limit or self.settings.search_limit
+        plan = self.planner.plan_heuristic(query_text)
+        graph_context = self._graph_phase(plan)
+        store = self.indexer.code
+        cap = store.capacity
+        if len(store) == 0:
+            return QueryResult(query=query_text, answer="", results=[],
+                               query_plan=plan, graph_context=graph_context)
+
+        t0 = time.perf_counter()
+        # vector side: cosine of every row
+        qvec = topk_ops.l2_normalize(
+            self.vector_searcher.embedder.embed(query_text)[None, :])
+        emb, valid = store.device_arrays
+        vec_scores = np.asarray(
+            topk_ops.batched_matmul_scores(jnp.asarray(qvec), emb))[0]
+        vec_scores = np.where(np.asarray(valid), vec_scores, -1e30)
+
+        # graph side scattered to rows
+        depth = np.full(cap, UNREACHED, dtype=np.int32)
+        relevance = np.zeros(cap, dtype=np.float32)
+        degree = np.zeros(cap, dtype=np.int32)
+        match = np.zeros(cap, dtype=np.float32)
+        quality = np.zeros(cap, dtype=np.float32)
+        relevance_map = _RELATIONSHIP_RELEVANCE.get(plan.intent,
+                                                    _DEFAULT_RELEVANCE)
+        inverted = store._inverted["graph_node_id"]
+        for node in graph_context.all_nodes():
+            rows = inverted.get(node.qualified_name)
+            if not rows:
+                continue
+            rel = relevance_map.get(
+                node.relationship,
+                _DEFAULT_RELEVANCE.get(node.relationship, 0.5))
+            out_deg, in_deg = graph_context.centrality.get(
+                node.qualified_name, (node.out_degree, node.in_degree))
+            for row in rows:
+                depth[row] = min(depth[row], node.depth)
+                relevance[row] = max(relevance[row], rel)
+                degree[row] = out_deg + in_deg
+        entity_names = {e.name.lower() for e in plan.entities}
+        for row, payload in store.scroll({}, limit=cap):
+            name = (payload.get("name") or "").rsplit(".", 1)[-1].lower()
+            if name and name in entity_names:
+                match[row] = 1.0
+            n = len(payload.get("content") or "")
+            quality[row] = 1.0 if 80 <= n <= 4000 else (0.5 if n else 0.0)
+
+        scores, rows = fused_rank(
+            jnp.asarray(depth), jnp.asarray(relevance),
+            jnp.asarray(vec_scores), jnp.asarray(match),
+            jnp.asarray(degree), jnp.asarray(quality),
+            jnp.asarray(pack_weights(FuseWeights(
+                *_weights_tuple(self.ranker.config, plan)))), limit)
+        elapsed_ms = (time.perf_counter() - t0) * 1000
+
+        from lattice_tpu.core.types import ResultSource
+        from lattice_tpu.query.ranking.models import RankedResult
+        results = []
+        for score, row in zip(np.asarray(scores), np.asarray(rows)):
+            payload = store.payload(int(row))
+            if payload is None or score <= -1e29:
+                continue
+            in_graph = depth[int(row)] < UNREACHED
+            results.append(RankedResult(
+                name=(payload.get("name") or "").rsplit(".", 1)[-1],
+                qualified_name=payload.get("graph_node_id") or "",
+                entity_type=payload.get("entity_type") or "",
+                file_path=payload.get("file_path") or "",
+                start_line=payload.get("start_line") or 0,
+                end_line=payload.get("end_line") or 0,
+                source=ResultSource.HYBRID if in_graph else ResultSource.VECTOR,
+                score=float(score),
+                content=payload.get("content") or "",
+            ))
+        return QueryResult(
+            query=query_text, answer="", results=results, query_plan=plan,
+            graph_context=graph_context,
+            phase_times_ms={"deep_fuse_ms": elapsed_ms},
+        )
 
     def get_statistics(self) -> dict:
         """Reference: `engine.py:281-309`."""

@@ -231,3 +231,23 @@ class TestAsyncProviderPath:
         assert not ctx.errors, ctx.errors[:3]
         assert len(ctx.indexer.code) > 0
         assert len(ctx.indexer.summaries) > 0
+
+
+class TestDeepSearch:
+    def test_deep_matches_known_targets(self, indexed):
+        engine = QueryEngine(indexed.graph_builder.store, indexed.indexer)
+        result = engine.deep_search("who calls validate_email_format?", limit=10)
+        names = [r.qualified_name for r in result.results]
+        assert "app.utils.validators.validate_email_format" in names or \
+            "app.services.user_service.UserService.create_user" in names
+        # graph-backed rows marked hybrid
+        from lattice_tpu.core.types import ResultSource
+        assert any(r.source == ResultSource.HYBRID for r in result.results)
+        assert result.phase_times_ms["deep_fuse_ms"] >= 0
+
+    def test_deep_semantic_only(self, indexed):
+        engine = QueryEngine(indexed.graph_builder.store, indexed.indexer)
+        result = engine.deep_search("email address format check", limit=5)
+        assert result.results
+        names = " ".join(r.qualified_name for r in result.results)
+        assert "validate" in names
