@@ -71,21 +71,54 @@ def run_index(args: argparse.Namespace, settings: Settings) -> int:
     embedder = _make_embedder(settings)
     project = args.project or repo_path.name
     t0 = time.time()
+
+    # rich progress bar when available (reference `main.py:180-214`),
+    # plain-line fallback otherwise.
+    rich_progress = None
+    rich_task = None
+    try:
+        if sys.stderr.isatty():
+            from rich.progress import (
+                BarColumn,
+                Progress,
+                TaskProgressColumn,
+                TextColumn,
+                TimeElapsedColumn,
+            )
+            rich_progress = Progress(
+                TextColumn("[bold blue]{task.fields[stage]}"),
+                BarColumn(), TaskProgressColumn(), TimeElapsedColumn(),
+                TextColumn("{task.fields[detail]}"),
+            )
+            rich_task = rich_progress.add_task(
+                "index", total=100.0, stage="scanning", detail="")
+    except ImportError:
+        rich_progress = None
+
     last_pct = -5.0
 
     def on_progress(snapshot) -> None:
         nonlocal last_pct
+        detail = (f"{snapshot.files_parsed} parsed · "
+                  f"{snapshot.graph_nodes} nodes · "
+                  f"{snapshot.chunks_indexed} chunks")
+        if rich_progress is not None:
+            rich_progress.update(rich_task, completed=snapshot.overall_pct,
+                                 stage=snapshot.stage.value, detail=detail)
+            return
         if snapshot.overall_pct - last_pct >= 5.0 or snapshot.overall_pct >= 100:
             last_pct = snapshot.overall_pct
             print(f"[{snapshot.overall_pct:5.1f}%] {snapshot.stage.value}: "
-                  f"{snapshot.files_parsed} parsed, "
-                  f"{snapshot.graph_nodes} nodes, "
-                  f"{snapshot.chunks_indexed} chunks", flush=True)
+                  f"{detail}", flush=True)
 
     orchestrator = PipelineOrchestrator(
         repo_path, embedder, project_name=project, settings=settings,
         progress_callback=on_progress, force=args.force)
-    ctx = asyncio.run(orchestrator.run())
+    if rich_progress is not None:
+        with rich_progress:
+            ctx = asyncio.run(orchestrator.run())
+    else:
+        ctx = asyncio.run(orchestrator.run())
     store = ctx.graph_builder.store
     persistence.save_index(
         _data_dir(repo_path, settings), store, ctx.indexer,
