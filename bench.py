@@ -30,8 +30,15 @@ HOST_SUBSAMPLE = int(os.environ.get("BENCH_HOST_ROWS", 65_536))
 
 
 def main() -> None:
+    import contextlib
+
     import jax
     import jax.numpy as jnp
+
+    # Optional xprof capture: BENCH_TRACE_DIR=/tmp/xprof python bench.py
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    trace_cm = (jax.profiler.trace(trace_dir) if trace_dir
+                else contextlib.nullcontext())
 
     from lattice_tpu.ops import pallas_topk as pallas_ops
     from lattice_tpu.ops import quant as quant_ops
@@ -75,7 +82,8 @@ def main() -> None:
         idx = np.asarray(out[1])
         return BATCH * DEVICE_ITERS / (time.perf_counter() - t0), idx
 
-    bf16_qps, idx_bf16 = timed(run_bf16)
+    with trace_cm:
+        bf16_qps, idx_bf16 = timed(run_bf16)
 
     # int8 first-stage + full-precision rescore (half the HBM bytes)
     q_view = quant_ops.QuantizedView(corpus_f32)

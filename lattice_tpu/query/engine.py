@@ -35,6 +35,7 @@ from lattice_tpu.query.query_planner import (
 from lattice_tpu.query.ranking.models import RankedResult
 from lattice_tpu.query.ranking.ranker import HybridRanker
 from lattice_tpu.query.responder import ResponseGenerator
+from lattice_tpu.utils.tracing import get_tracer
 
 logger = logging.getLogger(__name__)
 
@@ -108,17 +109,20 @@ class QueryEngine:
 
     async def _plan_and_retrieve(self, query_text: str, limit: int,
                                  project_name: str | None):
+        tracer = get_tracer()
         times: dict[str, float] = {}
         t0 = time.perf_counter()
-        plan = await self.planner.plan_query(query_text)
+        with tracer.span("query.planning"):
+            plan = await self.planner.plan_query(query_text)
         times["planning_ms"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
-        graph_task = asyncio.to_thread(self._graph_phase, plan)
-        vector_task = asyncio.to_thread(
-            self._vector_phase, plan, 2 * limit, project_name)
-        graph_context, vector_results = await asyncio.gather(
-            graph_task, vector_task)
+        with tracer.span("query.retrieve"):
+            graph_task = asyncio.to_thread(self._graph_phase, plan)
+            vector_task = asyncio.to_thread(
+                self._vector_phase, plan, 2 * limit, project_name)
+            graph_context, vector_results = await asyncio.gather(
+                graph_task, vector_task)
         elapsed = (time.perf_counter() - t0) * 1000
         times["graph_ms"] = elapsed
         times["vector_ms"] = elapsed
@@ -297,11 +301,12 @@ class QueryEngine:
         )
 
     def get_statistics(self) -> dict:
-        """Reference: `engine.py:281-309`."""
+        """Reference: `engine.py:281-309` (+ span aggregates, SURVEY §5)."""
         return {
             "graph": self.graph_store.stats,
             "vector": {
                 "code": self.indexer.code.stats,
                 "summaries": self.indexer.summaries.stats,
             },
+            "spans": get_tracer().report(),
         }

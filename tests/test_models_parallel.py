@@ -185,3 +185,40 @@ class TestWeightLoading:
     def test_missing_checkpoint_falls_back(self, tmp_path):
         model = UniXcoderModel(TINY, weights_dir=tmp_path / "nope")
         assert not model.loaded_pretrained
+
+
+class TestTreeMergeLadder:
+    def test_ladder_root_matches_global_topk(self):
+        """The ppermute reduce ladder leaves the global top-k on device 0."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from lattice_tpu.parallel.sharded_index import tree_merge_topk
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        k, d = 5, 16
+        emb = topk_ops.l2_normalize(rng.normal(size=(8 * 64, d)))
+        q = topk_ops.l2_normalize(rng.normal(size=(2, d)))
+
+        def local(q_rep, emb_shard):
+            scores, idx = topk_ops.flat_topk(
+                q_rep, emb_shard, jnp.ones(emb_shard.shape[0], bool), k)
+            shard = jax.lax.axis_index("data")
+            return tree_merge_topk(scores, idx + shard * 64, k,
+                                   axis_name="data")
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(), P("data", None)),
+                       out_specs=(P("data"), P("data")),
+                       check_vma=False)
+        scores, idx = jax.jit(fn)(jnp.asarray(q), jnp.asarray(emb))
+        # root (device 0) shard holds the fully merged result
+        root_scores = np.asarray(scores)[:2]
+        root_idx = np.asarray(idx)[:2]
+        o_s, o_i = topk_ops.topk_oracle(q, emb, np.ones(len(emb), bool), k)
+        np.testing.assert_allclose(root_scores, o_s, atol=1e-5)
+        for got, want in zip(root_idx, o_i):
+            assert set(got.tolist()) == set(want.tolist())
