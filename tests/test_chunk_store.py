@@ -183,3 +183,62 @@ class TestShardedView:
         scores, idx = sharded.search(q, k=6)
         for qi in range(2):
             assert {r for r, _, _ in flat[qi]} == set(idx[qi].tolist())
+
+
+class TestChunkerInvariants:
+    """Entity-aligned chunking split semantics (reference chunker
+    `:135-217`): full coverage, bounded token budget, overlap tails."""
+
+    def _chunker(self, max_tokens=60, overlap=15):
+        from lattice_tpu.config.settings import IndexingSettings
+        from lattice_tpu.embeddings.chunker import CodeChunker
+        return CodeChunker(IndexingSettings(
+            chunk_max_tokens=max_tokens, chunk_overlap_tokens=overlap))
+
+    def _parsed(self, n_lines=80):
+        from lattice_tpu.core.types import Language
+        from lattice_tpu.parsing.parser import CodeParser
+        body = "\n".join(f"    value_{i} = compute_{i}(arg_{i})"
+                         for i in range(n_lines))
+        src = f"def big_function(arg):\n{body}\n"
+        return CodeParser().parse_content(src, Language.PYTHON, "m.py")
+
+    def test_split_covers_every_line(self):
+        chunker = self._chunker()
+        parsed = self._parsed()
+        chunks = chunker.chunk_file(parsed)
+        assert len(chunks) > 1
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.start_line, c.end_line + 1))
+        entity = parsed.functions[0]
+        assert covered >= set(range(entity.start_line, entity.end_line + 1))
+
+    def test_parts_named_and_budgeted(self):
+        chunker = self._chunker()
+        chunks = chunker.chunk_file(self._parsed())
+        for i, c in enumerate(chunks):
+            assert c.part == i
+            assert "_part" in c.name
+            # each split chunk respects the token budget (+1 line slack)
+            assert chunker.counter.count(c.content) <= 60 + 20
+
+    def test_consecutive_parts_overlap(self):
+        # overlap budget must exceed one line's token cost (~16 here) for
+        # a tail to be carried — the budget is token-based, not line-based
+        chunker = self._chunker(max_tokens=80, overlap=40)
+        chunks = chunker.chunk_file(self._parsed())
+        assert len(chunks) > 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_line <= a.end_line, "no overlap tail"
+
+    def test_small_entity_single_chunk(self):
+        chunker = self._chunker(max_tokens=500)
+        from lattice_tpu.core.types import Language
+        from lattice_tpu.parsing.parser import CodeParser
+        parsed = CodeParser().parse_content(
+            "def tiny():\n    return 1\n", Language.PYTHON, "m.py")
+        chunks = chunker.chunk_file(parsed)
+        assert len(chunks) == 1
+        assert chunks[0].part == 0
+        assert chunks[0].graph_node_id == "m.tiny"
