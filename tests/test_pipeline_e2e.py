@@ -251,3 +251,50 @@ class TestDeepSearch:
         assert result.results
         names = " ".join(r.qualified_name for r in result.results)
         assert "validate" in names
+
+
+class TestGraphReasoningDispatch:
+    @pytest.fixture(scope="class")
+    def grengine(self, indexed):
+        from lattice_tpu.query.graph_reasoning.engine import GraphReasoningEngine
+        return GraphReasoningEngine(indexed.graph_builder.store)
+
+    def _plan(self, text):
+        from lattice_tpu.query.query_planner import QueryPlanner
+        return QueryPlanner().plan_heuristic(text)
+
+    def test_find_methods_dispatch(self, grengine):
+        ctx = grengine.execute_query_plan(self._plan("methods of UserService"))
+        names = {n.name for n in ctx.methods}
+        assert {"create_user", "get_user", "promote"} <= names
+        assert all(n.relationship == "method" for n in ctx.methods)
+
+    def test_find_imports_dispatch(self, grengine):
+        ctx = grengine.execute_query_plan(
+            self._plan("what does user_service.py import?"))
+        files = {n.name for n in ctx.imports}
+        assert "user.py" in files or "validators.py" in files
+
+    def test_file_context_dispatch(self, grengine):
+        ctx = grengine.execute_query_plan(
+            self._plan("what's in the file validators.py?"))
+        names = {n.name for n in ctx.file_entities}
+        assert "validate_email_format" in names
+        assert any(n.in_degree + n.out_degree >= 0 for n in ctx.file_entities)
+
+    def test_fuzzy_entity_lookup(self, grengine):
+        hits = grengine.find_entity("UserServ")
+        assert hits, "prefix fuzzy should match UserService"
+        rec = grengine.store.node(hits[0])
+        assert rec.name == "UserService"
+
+    def test_unknown_entity_noted(self, grengine):
+        ctx = grengine.execute_query_plan(
+            self._plan("who calls totally_missing_fn?"))
+        assert any("not found" in n for n in ctx.notes)
+
+    def test_comprehensive_fallback(self, grengine):
+        plan = self._plan("tell me about UserService generally please")
+        ctx = grengine.execute_query_plan(plan)
+        assert ctx.primary_entities
+        assert ctx.methods or ctx.callers or ctx.callees
