@@ -179,9 +179,15 @@ def ivf_search_batch(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [B, C]
     _, probe = jax.lax.top_k(c_scores, nprobe)           # [B, P]
-    gathered = bucket_data[probe]                        # [B, P, S, d]
-    ids = bucket_ids[probe]                              # [B, P, S]
-    alive = bucket_valid[probe]                          # [B, P, S]
+    b = queries.shape[0]
+    c, s, d = bucket_data.shape
+    probe_flat = probe.reshape(-1)                       # [B*P]
+    # flat takes along axis 0 (one contiguous S*d-sized row per cluster)
+    # lower far better than multi-dim fancy indexing on TPU
+    gathered = jnp.take(bucket_data.reshape(c, s * d), probe_flat,
+                        axis=0).reshape(b, nprobe, s, d)
+    ids = jnp.take(bucket_ids, probe_flat, axis=0).reshape(b, nprobe, s)
+    alive = jnp.take(bucket_valid, probe_flat, axis=0).reshape(b, nprobe, s)
     scores = jnp.einsum(
         "bd,bpsd->bps", queries.astype(bucket_data.dtype), gathered,
         preferred_element_type=jnp.float32)
