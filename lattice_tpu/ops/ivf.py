@@ -182,12 +182,26 @@ def ivf_search_batch(
     b = queries.shape[0]
     c, s, d = bucket_data.shape
     probe_flat = probe.reshape(-1)                       # [B*P]
-    # flat takes along axis 0 (one contiguous S*d-sized row per cluster)
-    # lower far better than multi-dim fancy indexing on TPU
-    gathered = jnp.take(bucket_data.reshape(c, s * d), probe_flat,
-                        axis=0).reshape(b, nprobe, s, d)
-    ids = jnp.take(bucket_ids, probe_flat, axis=0).reshape(b, nprobe, s)
-    alive = jnp.take(bucket_valid, probe_flat, axis=0).reshape(b, nprobe, s)
+    # One-hot matmul IS the TPU-native gather for big rows: XLA's gather
+    # lowers to a slow serial loop (~3 GB/s measured), while an
+    # [B*P, C] one-hot against the [C, S*d] bucket matrix rides the MXU at
+    # full bandwidth.
+    onehot = jax.nn.one_hot(probe_flat, c, dtype=bucket_data.dtype)
+    gathered = jax.lax.dot_general(
+        onehot, bucket_data.reshape(c, s * d),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=bucket_data.dtype,
+    ).reshape(b, nprobe, s, d)
+    # HIGHEST precision: default TPU f32 matmul runs bf16 passes, which
+    # rounds integer ids above 4096 (8-bit mantissa). Exact for ids < 2^24.
+    ids = jax.lax.dot_general(
+        jax.nn.one_hot(probe_flat, c, dtype=jnp.float32),
+        bucket_ids.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32).reshape(b, nprobe, s)
+    alive = ids >= 0
     scores = jnp.einsum(
         "bd,bpsd->bps", queries.astype(bucket_data.dtype), gathered,
         preferred_element_type=jnp.float32)
