@@ -83,6 +83,9 @@ class IndexingSettings(BaseModel):
     chunk_overlap_tokens: int = 200
     parse_workers: int = 0  # 0 = min(cpu, 8) like `orchestrator.py:87`
     embed_batch_size: int = 256  # device batch for on-TPU embedding
+    # Optional merges.txt for exact token counting via the C++ BPE engine
+    # (tiktoken replacement, SURVEY §2.3); approximate counter otherwise.
+    tokenizer_vocab: str | None = None
 
     @field_validator("chunk_overlap_tokens")
     @classmethod
@@ -210,6 +213,7 @@ class Settings(BaseModel):
                 chunk_max_tokens=gi("CHUNK_MAX_TOKENS", 1000),
                 chunk_overlap_tokens=gi("CHUNK_OVERLAP_TOKENS", 200),
                 embed_batch_size=gi("EMBED_BATCH_SIZE", 256),
+                tokenizer_vocab=g("TOKENIZER_VOCAB"),
             ),
             query=QuerySettings(
                 search_limit=gi("QUERY_SEARCH_LIMIT", 15),

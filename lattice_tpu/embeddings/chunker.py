@@ -21,7 +21,7 @@ from typing import Any
 from lattice_tpu.config.settings import IndexingSettings
 from lattice_tpu.core.types import EntityType
 from lattice_tpu.parsing.models import CodeEntity, ParsedFile
-from lattice_tpu.text.tokenizer import ApproxTokenCounter
+from lattice_tpu.text.tokenizer import get_token_counter
 
 # Entity kinds that become chunks (imports are graph-only).
 _CHUNKABLE = {
@@ -78,7 +78,9 @@ class CodeChunker:
         settings = settings or IndexingSettings()
         self.max_tokens = settings.chunk_max_tokens
         self.overlap_tokens = settings.chunk_overlap_tokens
-        self.counter = token_counter or ApproxTokenCounter()
+        # native C++ BPE when a merges file is configured, approx otherwise
+        self.counter = token_counter or get_token_counter(
+            settings.tokenizer_vocab)
 
     def chunk_file(self, parsed: ParsedFile,
                    project_name: str | None = None) -> list[CodeChunk]:

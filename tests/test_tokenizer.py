@@ -119,3 +119,22 @@ class TestPersistenceEdges:
         persistence.save_chunks(store, tmp_path, "empty")
         loaded = persistence.load_chunks(tmp_path, "empty", 8)
         assert len(loaded) == 0
+
+
+class TestChunkerCounterWiring:
+    def test_chunker_uses_native_when_configured(self, tmp_path):
+        from lattice_tpu.config.settings import IndexingSettings
+        from lattice_tpu.embeddings.chunker import CodeChunker
+        from lattice_tpu.utils import native
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        merges = tmp_path / "merges.txt"
+        merges.write_text("h e\nt he\n")
+        chunker = CodeChunker(IndexingSettings(
+            tokenizer_vocab=str(merges)))
+        assert chunker.counter.name == "native-bpe"
+        assert chunker.counter.count("the") == 1
+
+    def test_chunker_defaults_to_approx(self):
+        from lattice_tpu.embeddings.chunker import CodeChunker
+        assert CodeChunker().counter.name == "approx"
