@@ -132,6 +132,22 @@ class TestIVF:
         _, i = index.search(q, k=50, nprobe=16)
         assert 7 not in i and 2000 not in i and -1 not in i
 
+    def test_batching_invariant(self, corpus):
+        # search() chunks queries by max_batch (the fused kernel bounds
+        # B*nprobe for VMEM); results must not depend on the chunking.
+        data, valid = corpus
+        index = IVFIndex.build(data, valid, n_clusters=16, dtype="float32")
+        q = topk_ops.l2_normalize(np.random.default_rng(9).normal(size=(11, 64)))
+        s_ref, i_ref = index.search(q, k=10, nprobe=8)
+        for mb in (1, 3, 32):
+            s, i = index.search(q, k=10, nprobe=8, max_batch=mb)
+            np.testing.assert_allclose(s, s_ref, atol=1e-5)
+            np.testing.assert_array_equal(i, i_ref)
+        # single query (the CLI path) returns [1, k]
+        s1, i1 = index.search(q[:1], k=10, nprobe=8)
+        assert s1.shape == (1, 10) and i1.shape == (1, 10)
+        np.testing.assert_array_equal(i1[0], i_ref[0])
+
     def test_memory_accounting(self, corpus):
         data, valid = corpus
         index = IVFIndex.build(data, valid, n_clusters=16, dtype="bfloat16")
