@@ -132,6 +132,34 @@ class TestIVF:
         _, i = index.search(q, k=50, nprobe=16)
         assert 7 not in i and 2000 not in i and -1 not in i
 
+    def test_fused_kernel_matches_xla_path(self, corpus):
+        # the TPU-dispatch fused probe kernel, run in pallas interpret
+        # mode, must agree with the one-hot-gather XLA path and (at full
+        # probe) with the exact oracle
+        from lattice_tpu.ops.ivf import ivf_search_batch, ivf_search_fused
+        data, valid = corpus
+        index = IVFIndex.build(data, valid, n_clusters=16, dtype="float32")
+        q = jnp.asarray(topk_ops.l2_normalize(
+            np.random.default_rng(11).normal(size=(6, 64))))
+        f_s, f_i = ivf_search_fused(
+            q, index.centroids, index.bucket_data, index.bucket_ids,
+            nprobe=6, k=10, interpret=True)
+        x_s, x_i = ivf_search_batch(
+            q, index.centroids, index.bucket_data, index.bucket_ids,
+            index.bucket_valid, k=10, nprobe=6)
+        np.testing.assert_allclose(np.asarray(f_s), np.asarray(x_s), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(x_i))
+        # full probe == exact search
+        f_s, f_i = ivf_search_fused(
+            q, index.centroids, index.bucket_data, index.bucket_ids,
+            nprobe=16, k=10, interpret=True)
+        o_s, o_i = topk_ops.topk_oracle(np.asarray(q), data, valid, 10)
+        np.testing.assert_allclose(np.asarray(f_s), o_s, atol=1e-4)
+        for got, want in zip(np.asarray(f_i), o_i):
+            assert set(got.tolist()) == set(want.tolist())
+        # padded rows (id -1) never surface
+        assert (np.asarray(f_i) >= 0).all()
+
     def test_batching_invariant(self, corpus):
         # search() chunks queries by max_batch (the fused kernel bounds
         # B*nprobe for VMEM); results must not depend on the chunking.
