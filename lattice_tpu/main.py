@@ -382,6 +382,12 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.DEBUG if args.verbose else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s")
     settings = Settings.from_env(args.env) if args.env != ".env" else get_settings()
+    if settings.device.platform == "cpu":
+        # honor LATTICE_PLATFORM=cpu before any jax.devices() call so the
+        # CLI never attaches to a TPU it was told not to use (the attach
+        # handshake can take minutes on a cold tunnel)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     # propagate top-level verbose to subcommands that support it
     if not hasattr(args, "verbose"):
         args.verbose = False

@@ -132,6 +132,39 @@ class FileScanner:
                     mtime=stat.st_mtime,
                 )
 
+    def info_for(self, rel_path: str) -> FileInfo | None:
+        """FileInfo for a single path, or None when it is irrelevant
+        (ignored / wrong extension / oversized) or no longer on disk.
+
+        Targeted re-stat used by the inotify watcher so a kernel event
+        touches one file instead of triggering a tree rescan.
+        """
+        rel = rel_path.replace(os.sep, "/")
+        if self._is_ignored(rel):
+            return None
+        ext = os.path.splitext(rel)[1].lower()
+        if ext not in self._extensions:
+            return None
+        full = self.root / rel
+        try:
+            stat = full.stat()
+        except OSError:
+            return None
+        if not full.is_file() or stat.st_size > self._max_bytes:
+            return None
+        try:
+            content_hash = _hash_file(full)
+        except OSError:
+            return None
+        return FileInfo(
+            path=full,
+            relative_path=rel,
+            language=Language.from_extension(ext),
+            size_bytes=stat.st_size,
+            content_hash=content_hash,
+            mtime=stat.st_mtime,
+        )
+
     def scan_all(self) -> list[FileInfo]:
         """Materialized scan. Reference: `parsing/scanner.py:79`."""
         return list(self.scan())

@@ -6,12 +6,12 @@ from async processing, change handling (re-parse, delete graph entities,
 rebuild graph + vectors, recalc CALLS), delete handling (graph + vectors +
 AST cache), and updated/deleted/error counters.
 
-watchdog is not installed in this environment, so change detection is a
-polling scanner over (mtime, size) with SHA-256 confirmation — the same
-`FileScanner` the pipeline uses, which also fixes two reference bugs
-(SURVEY §2.2): deletes go through a `VectorIndexer.delete_file` that
-actually exists, and graph deletes use the same relative paths the builder
-stored.
+watchdog is not installed in this environment, so change detection is
+kernel inotify events via ctypes (`pipeline/inotify.py`) with a polling
+scanner fallback — the same `FileScanner` the pipeline uses. Processing
+also fixes two reference bugs (SURVEY §2.2): deletes go through a
+`VectorIndexer.delete_file` that actually exists, and graph deletes use
+the same relative paths the builder stored.
 """
 
 from __future__ import annotations
@@ -59,6 +59,7 @@ class FileWatcher:
         settings: Settings | None = None,
         project_name: str | None = None,
         poll_interval_s: float = 1.0,
+        backend: str = "auto",   # auto | inotify | poll
     ):
         settings = settings or get_settings()
         self.repo_path = Path(repo_path).resolve()
@@ -73,6 +74,20 @@ class FileWatcher:
         self._known: dict[str, str] = {}          # rel path -> content hash
         self._parsed_by_path: dict[str, ParsedFile] = {}
         self._running = False
+        self._inotify = None
+        if backend in ("auto", "inotify"):
+            try:
+                from lattice_tpu.pipeline.inotify import InotifyBackend
+                self._inotify = InotifyBackend(
+                    self.repo_path, self.scanner._is_ignored)
+            except OSError as exc:
+                if backend == "inotify":
+                    raise
+                logger.info("inotify unavailable (%s); polling", exc)
+
+    @property
+    def backend_name(self) -> str:
+        return "inotify" if self._inotify is not None else "poll"
 
     # ---- detection (replaces the watchdog Observer thread) --------------
 
@@ -99,6 +114,36 @@ class FileWatcher:
             if rel not in seen:
                 events.append(FileEvent("deleted", rel))
         return events
+
+    def detect_once(self) -> list[FileEvent]:
+        """Change detection step: kernel events when available, else poll.
+
+        With inotify active only the reported paths are re-stat'ed and
+        re-hashed (`FileScanner.info_for`); a queue overflow or a
+        directory-level move degrades to one full `poll_once` pass.
+        """
+        if self._inotify is None:
+            return self.poll_once()
+        touched, need_full = self._inotify.drain()
+        if need_full:
+            return self.poll_once()
+        events: list[FileEvent] = []
+        for rel in sorted(touched):
+            info = self.scanner.info_for(rel)
+            old = self._known.get(rel)
+            if info is None:
+                if old is not None:
+                    events.append(FileEvent("deleted", rel))
+            elif old is None:
+                events.append(FileEvent("created", rel, info))
+            elif old != info.content_hash:
+                events.append(FileEvent("changed", rel, info))
+        return events
+
+    def close(self) -> None:
+        if self._inotify is not None:
+            self._inotify.close()
+            self._inotify = None
 
     # ---- processing (reference `watcher.py:208-313`) --------------------
 
@@ -154,7 +199,7 @@ class FileWatcher:
         self._running = True
         polls = 0
         while self._running:
-            events = await asyncio.to_thread(self.poll_once)
+            events = await asyncio.to_thread(self.detect_once)
             await self.process_events(events)
             polls += 1
             if max_polls is not None and polls >= max_polls:
@@ -179,11 +224,17 @@ async def watch_repository(repo_path: Path, settings: Settings) -> int:
                           ctx.parser, settings, ctx.project_name)
     watcher.prime(ctx.parsed)
     data_dir = repo_path / settings.storage.data_dir
-    print(f"watching {repo_path} (ctrl-c to stop)")
+    print(f"watching {repo_path} via {watcher.backend_name} (ctrl-c to stop)")
     last_save = time.time()
+    last_full = time.time()
     try:
         while True:
-            events = await asyncio.to_thread(watcher.poll_once)
+            # periodic full reconcile guards against missed kernel events
+            if time.time() - last_full > 300.0:
+                events = await asyncio.to_thread(watcher.poll_once)
+                last_full = time.time()
+            else:
+                events = await asyncio.to_thread(watcher.detect_once)
             if events:
                 await watcher.process_events(events)
                 if time.time() - last_save > 5.0:
@@ -196,7 +247,9 @@ async def watch_repository(repo_path: Path, settings: Settings) -> int:
                 print(f"updated={watcher.stats.updated} "
                       f"deleted={watcher.stats.deleted} "
                       f"errors={watcher.stats.errors}")
-            await asyncio.sleep(1.0)
+            await asyncio.sleep(1.0 if watcher.backend_name == "poll" else 0.25)
     except KeyboardInterrupt:
         print("stopped")
+    finally:
+        watcher.close()
     return 0

@@ -92,6 +92,79 @@ class TestWatcher:
             {"file_path": "app/api/routes.py"}) == []
 
 
+class TestInotifyWatcher:
+    """Kernel-event detection path (pipeline/inotify.py)."""
+
+    @pytest.fixture()
+    def inotify_watcher(self, indexed_ws):
+        from lattice_tpu.pipeline.inotify import InotifyBackend
+        if not InotifyBackend.available():
+            pytest.skip("inotify unavailable")
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws",
+                              backend="inotify")
+        watcher.prime(ctx.parsed)
+        yield workspace, ctx, watcher
+        watcher.close()
+
+    def test_backend_selected(self, inotify_watcher):
+        _, _, watcher = inotify_watcher
+        assert watcher.backend_name == "inotify"
+        assert watcher.detect_once() == []  # steady state, no scan needed
+
+    def test_change_create_delete_cycle(self, inotify_watcher):
+        workspace, ctx, watcher = inotify_watcher
+        target = workspace / "app" / "utils" / "validators.py"
+        target.write_text(target.read_text() + "\n\nWATCH_SENTINEL = 1\n")
+        events = watcher.detect_once()
+        assert [(e.kind, e.relative_path) for e in events] == [
+            ("changed", "app/utils/validators.py")]
+        asyncio.run(watcher.process_events(events))
+
+        new = workspace / "app" / "utils" / "fresh.py"
+        new.write_text("def fresh():\n    return 1\n")
+        events = watcher.detect_once()
+        assert [(e.kind, e.relative_path) for e in events] == [
+            ("created", "app/utils/fresh.py")]
+        asyncio.run(watcher.process_events(events))
+        assert ctx.graph_builder.store.id_of("app.utils.fresh.fresh")
+
+        new.unlink()
+        events = watcher.detect_once()
+        assert [(e.kind, e.relative_path) for e in events] == [
+            ("deleted", "app/utils/fresh.py")]
+        asyncio.run(watcher.process_events(events))
+        assert ctx.graph_builder.store.id_of("app.utils.fresh.fresh") is None
+
+    def test_irrelevant_paths_filtered(self, inotify_watcher):
+        workspace, _, watcher = inotify_watcher
+        (workspace / "notes.txt").write_text("not source")
+        (workspace / "app" / "data.json").write_text("{}")
+        assert watcher.detect_once() == []
+
+    def test_new_subtree_discovered(self, inotify_watcher):
+        workspace, _, watcher = inotify_watcher
+        sub = workspace / "app" / "newpkg"
+        sub.mkdir()
+        (sub / "mod.py").write_text("def in_new_pkg():\n    return 2\n")
+        # mkdir event registers the watch and surfaces pre-existing files;
+        # two drains cover either event ordering
+        events = watcher.detect_once() + watcher.detect_once()
+        assert ("created", "app/newpkg/mod.py") in [
+            (e.kind, e.relative_path) for e in events]
+
+    def test_poll_backend_forced(self, indexed_ws):
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws", backend="poll")
+        assert watcher.backend_name == "poll"
+        watcher.prime(ctx.parsed)
+        (workspace / "app" / "extra.py").write_text("X = 1\n")
+        kinds = [e.kind for e in watcher.detect_once()]
+        assert kinds == ["created"]
+
+
 class TestSummarizer:
     def test_llm_path(self, indexed_ws):
         from lattice_tpu.summarization.summarizer import CodeSummarizer
