@@ -300,7 +300,9 @@ class ChunkStore:
                 and tile is not None and k_eff <= 64)
         )
         if use_pallas:
-            scores, idx = pallas_ops.fused_topk(
+            # widened scan + exact f32 rescore: recovers the ~2pp recall the
+            # packed-key score quantization costs, for a [B,16,d] gather
+            scores, idx = pallas_ops.refined_topk(
                 jnp.asarray(q), self._emb, valid, k_eff,
                 tile=tile or pallas_ops.DEFAULT_TILE)
         else:

@@ -391,6 +391,51 @@ def fused_topk_int8(
     return out_s[:b_in], out_i[:b_in]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_rescore(queries: jax.Array, embeddings: jax.Array,
+                   stage_scores: jax.Array, candidates: jax.Array,
+                   k: int) -> tuple[jax.Array, jax.Array]:
+    """f32 rescore of first-stage candidates; padded slots stay -inf.
+
+    Padded/filtered first-stage slots carry NEG_INF scores with
+    meaningless indices — mask by stage score before re-ranking so a
+    garbage candidate can never be promoted.
+    """
+    rows = embeddings[candidates].astype(jnp.float32)   # [B, k1, d]
+    scores = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32), rows,
+                        precision=jax.lax.Precision.HIGHEST)
+    scores = jnp.where(stage_scores > NEG_INF / 2, scores, NEG_INF)
+    top_scores, pos = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+    top_idx = jnp.take_along_axis(candidates, pos, axis=-1)
+    return top_scores, top_idx
+
+
+def refined_topk(
+    queries: jax.Array,
+    embeddings: jax.Array,
+    valid: jax.Array,
+    k: int,
+    widen: int = 16,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused scan widened to `max(k, widen)` candidates + exact f32 rescore.
+
+    The packed-key selection quantizes scores to ~1e-3, which costs ~2pp
+    recall@10 at 1M rows: near-ties at the k-th place resolve by column id
+    instead of true score. Selecting a wider candidate set and re-scoring
+    those rows at f32/HIGHEST (a [B, k1, d] gather — microseconds next to
+    the scan) recovers the ordering the quantization blurred. `widen=16`
+    keeps `pick_tile`'s k<=16 fast path valid.
+    """
+    k1 = min(max(k, widen), embeddings.shape[0])
+    s1, i1 = fused_topk(queries, embeddings, valid, k1, tile=tile,
+                        interpret=interpret)
+    if k1 <= k:
+        return s1, i1
+    return _exact_rescore(queries, embeddings, s1, i1, k)
+
+
 def pad_for_tile(embeddings: np.ndarray, valid: np.ndarray,
                  tile: int = DEFAULT_TILE) -> tuple[np.ndarray, np.ndarray]:
     """Pad rows to a tile multiple; padded rows marked invalid."""

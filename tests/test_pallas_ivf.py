@@ -11,7 +11,8 @@ import jax.numpy as jnp
 
 from lattice_tpu.ops import topk as topk_ops
 from lattice_tpu.ops.ivf import IVFIndex, kmeans_fit
-from lattice_tpu.ops.pallas_topk import fused_topk, pad_for_tile
+from lattice_tpu.ops.pallas_topk import (fused_topk, pad_for_tile,
+                                         refined_topk)
 
 
 def clustered_data(n, d, n_clusters, seed=0, spread=0.25):
@@ -59,6 +60,52 @@ class TestFusedTopK:
                           jnp.asarray(valid), 10, tile=128, interpret=True)
         o_s, _ = topk_ops.topk_oracle(q, emb, valid, 10)
         np.testing.assert_allclose(np.asarray(s), o_s, atol=2e-2)
+
+
+class TestRefinedTopK:
+    def test_exact_scores_and_order(self):
+        # widen + f32 rescore must return oracle scores exactly (not just
+        # within the packed-key quantum) and oracle order
+        rng = np.random.default_rng(4)
+        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 64)))
+        valid = np.ones(1024, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(4, 64)))
+        s, i = refined_topk(jnp.asarray(q), jnp.asarray(emb),
+                            jnp.asarray(valid), 10, widen=16, tile=256,
+                            interpret=True)
+        o_s, o_i = topk_ops.topk_oracle(q, emb, valid, 10)
+        np.testing.assert_allclose(np.asarray(s), o_s, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), o_i)
+
+    def test_fewer_valid_than_widen(self):
+        # with only 6 valid rows, the widened stage pads slots with -inf
+        # and garbage ids; the rescore must never promote them
+        rng = np.random.default_rng(5)
+        emb = topk_ops.l2_normalize(rng.normal(size=(256, 32)))
+        valid = np.zeros(256, dtype=bool)
+        valid[[3, 40, 77, 120, 200, 255]] = True
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 32)))
+        s, i = refined_topk(jnp.asarray(q), jnp.asarray(emb),
+                            jnp.asarray(valid), 10, widen=16, tile=128,
+                            interpret=True)
+        s, i = np.asarray(s), np.asarray(i)
+        real = s > -1e29
+        assert real.sum(axis=1).tolist() == [6, 6]
+        assert set(i[0][real[0]]) <= {3, 40, 77, 120, 200, 255}
+        assert set(i[1][real[1]]) <= {3, 40, 77, 120, 200, 255}
+
+    def test_widen_le_k_passthrough(self):
+        rng = np.random.default_rng(6)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 32)))
+        valid = np.ones(512, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 32)))
+        s_a, i_a = refined_topk(jnp.asarray(q), jnp.asarray(emb),
+                                jnp.asarray(valid), 20, widen=16, tile=128,
+                                interpret=True)
+        s_b, i_b = fused_topk(jnp.asarray(q), jnp.asarray(emb),
+                              jnp.asarray(valid), 20, tile=128,
+                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
 
 
 class TestKMeans:
