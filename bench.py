@@ -91,9 +91,10 @@ def main() -> None:
     q_view = quant_ops.QuantizedView(corpus_f32)
 
     def run_int8():
-        s, i = q_view.search(queries, valid_dev, K,
-                             full_precision=emb_dev, rescore_factor=4)
-        return s, i
+        # device-resident path: stays a jax.Array so iterations pipeline
+        # (the host wrapper's per-call readback stalls the relay queue)
+        return q_view.search_device(q_f32, valid_dev, K,
+                                    full_precision=emb_dev, rescore_factor=4)
 
     int8_qps, idx_int8 = timed(run_int8)
 

@@ -117,6 +117,26 @@ class TestQuantized:
             assert set(got.tolist()) == set(want.tolist())
         np.testing.assert_allclose(s, o_s, atol=1e-5)
 
+    def test_rescore_never_promotes_invalid(self):
+        # fewer valid rows than rescore_factor*k: first-stage pad slots
+        # carry garbage ids and must stay -inf through the rescore
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import QuantizedView
+        rng = np.random.default_rng(9)
+        emb = topk_ops.l2_normalize(rng.normal(size=(300, 32)))
+        valid = np.zeros(300, dtype=bool)
+        keep = [5, 60, 150, 299]
+        valid[keep] = True
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 32)))
+        view = QuantizedView(emb)
+        s, i = view.search(q, jnp.asarray(valid), k=8,
+                           full_precision=jnp.asarray(emb, dtype=jnp.float32),
+                           rescore_factor=4)
+        real = s > -1e29
+        assert real.sum(axis=1).tolist() == [4, 4]
+        for row in range(2):
+            assert set(i[row][real[row]].tolist()) <= set(keep)
+
     def test_memory_halves(self):
         from lattice_tpu.ops.quant import QuantizedView
         emb = np.random.default_rng(2).normal(size=(256, 64)).astype(np.float32)
