@@ -19,6 +19,7 @@ the device array (append segments + reuse, SURVEY §7 hard part (d)).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
@@ -56,6 +57,8 @@ class ChunkStore:
         self._ivf_dirty = True
         self._quant = None         # int8 shadow (ops/quant.py)
         self._quant_dirty = True
+        self._sharded = None       # multi-chip view (parallel/sharded_index.py)
+        self._sharded_dirty = True
 
     # ---- capacity ------------------------------------------------------
 
@@ -114,6 +117,7 @@ class ChunkStore:
         self._size += n
         self._ivf_dirty = True
         self._quant_dirty = True
+        self._sharded_dirty = True
         return rows
 
     def _drop_row(self, row: int) -> None:
@@ -143,6 +147,7 @@ class ChunkStore:
             self._drop_row(r)
         self._ivf_dirty = True
         self._quant_dirty = True
+        self._sharded_dirty = True
         return len(live)
 
     def delete_by_filter(self, filters: dict[str, Any]) -> int:
@@ -285,6 +290,12 @@ class ChunkStore:
         `method`: "auto" picks the Pallas fused score+select kernel on TPU
         when the capacity tiles evenly, else the XLA path; "flat"/"pallas"
         force a path. Payload filters AND into the validity mask either way.
+
+        `method="sharded"` (or LATTICE_SHARDED=1 with "auto") routes
+        through the row-sharded multi-chip view (per-shard top-k + ICI
+        merge, parallel/sharded_index.py) when >1 device is attached.
+        The sharded view snapshots validity at build, so payload filters
+        fall back to the single-device path.
         """
         if self._size == 0:
             q = np.atleast_2d(query_vectors)
@@ -293,6 +304,14 @@ class ChunkStore:
         k_eff = min(k, self._cap)
         mask = self.filter_mask(filters)
         valid = self._valid if mask is None else (self._valid & mask)
+        want_sharded = method == "sharded" or (
+            method == "auto" and os.environ.get("LATTICE_SHARDED") == "1")
+        if want_sharded and mask is None and len(jax.devices()) > 1:
+            if self._sharded is None or self._sharded_dirty:
+                self._sharded = self.to_sharded()
+                self._sharded_dirty = False
+            scores_np, idx_np = self._sharded.search(np.asarray(q), k_eff)
+            return self._assemble_hits(len(q), scores_np, idx_np)
         tile = pallas_ops.pick_tile(self._cap, len(q))
         use_pallas = (
             method == "pallas"
@@ -308,10 +327,14 @@ class ChunkStore:
         else:
             scores, idx = topk_ops.flat_topk(
                 jnp.asarray(q), self._emb, valid, k_eff)
-        scores_np = np.asarray(scores)
-        idx_np = np.asarray(idx)
+        return self._assemble_hits(len(q), np.asarray(scores),
+                                   np.asarray(idx))
+
+    def _assemble_hits(self, n_queries: int, scores_np: np.ndarray,
+                       idx_np: np.ndarray
+                       ) -> list[list[tuple[int, float, dict[str, Any]]]]:
         out: list[list[tuple[int, float, dict[str, Any]]]] = []
-        for qi in range(len(q)):
+        for qi in range(n_queries):
             hits = []
             for score, row in zip(scores_np[qi], idx_np[qi]):
                 if score <= topk_ops.NEG_INF / 2:

@@ -185,6 +185,58 @@ class TestShardedView:
             assert {r for r, _, _ in flat[qi]} == set(idx[qi].tolist())
 
 
+class TestShardedDispatch:
+    """method='sharded' routing inside ChunkStore.search (8-dev CPU mesh)."""
+
+    def _store(self, n=50):
+        s = ChunkStore(dim=32, dtype="float32", initial_capacity=64)
+        vecs = _vecs(n, 32, seed=41)
+        s.add(vecs, [{"file_path": f"f{i % 4}.py", "content_hash": "h",
+                      "name": f"fn{i}"} for i in range(n)])
+        return s, vecs
+
+    def test_sharded_matches_flat(self):
+        s, _ = self._store()
+        q = _vecs(3, 32, seed=42)
+        flat = s.search(q, k=6, method="flat")
+        shd = s.search(q, k=6, method="sharded")
+        for f_row, s_row in zip(flat, shd):
+            assert {r for r, _, _ in f_row} == {r for r, _, _ in s_row}
+            for (_, fs, _), (_, ss, _) in zip(
+                    sorted(f_row, key=lambda h: -h[1]),
+                    sorted(s_row, key=lambda h: -h[1])):
+                assert abs(fs - ss) < 1e-4
+
+    def test_mutation_invalidates_sharded_view(self):
+        s, _ = self._store()
+        q = _vecs(1, 32, seed=43)
+        s.search(q, k=4, method="sharded")          # builds the view
+        new = topk_ops.l2_normalize(_vecs(1, 32, seed=44))
+        rows = s.add(new, [{"file_path": "new.py", "content_hash": "h2",
+                            "name": "brand_new"}])
+        hits = s.search(new, k=1, method="sharded")  # must see the new row
+        assert hits[0][0][0] == rows[0]
+
+    def test_filters_fall_back(self):
+        # the sharded view snapshots validity, so filtered searches take
+        # the single-device path and still honor the mask
+        s, _ = self._store()
+        q = _vecs(1, 32, seed=45)
+        hits = s.search(q, k=10, filters={"file_path": "f1.py"},
+                        method="sharded")
+        assert hits[0]
+        assert all(p["file_path"] == "f1.py" for _, _, p in hits[0])
+
+    def test_env_knob(self, monkeypatch):
+        s, _ = self._store()
+        q = _vecs(1, 32, seed=46)
+        monkeypatch.setenv("LATTICE_SHARDED", "1")
+        shd = s.search(q, k=5)                      # auto -> sharded
+        assert s._sharded is not None
+        flat = s.search(q, k=5, method="flat")
+        assert [r for r, _, _ in shd[0]] == [r for r, _, _ in flat[0]]
+
+
 class TestChunkerInvariants:
     """Entity-aligned chunking split semantics (reference chunker
     `:135-217`): full coverage, bounded token budget, overlap tails."""
