@@ -43,14 +43,18 @@ def _data_dir(repo_path: Path, settings: Settings) -> Path:
     return repo_path / settings.storage.data_dir
 
 
-def _make_embedder(settings: Settings) -> Embedder:
-    provider = get_embedding_provider(settings.ai)
+def _make_embedder(settings: Settings,
+                   repo_path: Path | None = None) -> Embedder:
+    # a `lattice train` checkpoint in the project data dir is picked up
+    # automatically by the unixcoder provider
+    finetune_dir = _data_dir(repo_path, settings) if repo_path else None
+    provider = get_embedding_provider(settings.ai, finetune_dir=finetune_dir)
     return Embedder(provider, batch_size=settings.indexing.embed_batch_size)
 
 
 def _load_engine(repo_path: Path, settings: Settings):
     from lattice_tpu.query.engine import QueryEngine
-    embedder = _make_embedder(settings)
+    embedder = _make_embedder(settings, repo_path)
     graph, indexer, manifest = persistence.load_index(
         _data_dir(repo_path, settings), embedder)
     llm = get_llm_provider(settings.ai)
@@ -68,7 +72,7 @@ def run_index(args: argparse.Namespace, settings: Settings) -> int:
     if not repo_path.is_dir():
         print(f"error: {repo_path} is not a directory", file=sys.stderr)
         return 2
-    embedder = _make_embedder(settings)
+    embedder = _make_embedder(settings, repo_path)
     project = args.project or repo_path.name
     t0 = time.time()
 

@@ -138,7 +138,8 @@ class UniXcoderModel:
     LENGTH_BUCKETS = (64, 128, 256, 512)
 
     def __init__(self, config: UniXcoderConfig | None = None,
-                 weights_dir: str | Path | None = None, seed: int = 0):
+                 weights_dir: str | Path | None = None, seed: int = 0,
+                 finetune_dir: str | Path | None = None):
         self.config = config or UniXcoderConfig()
         self.module = UniXcoderEncoder(self.config)
         rng = jax.random.PRNGKey(seed)
@@ -146,8 +147,23 @@ class UniXcoderModel:
         dummy_mask = jnp.ones((1, 8), dtype=jnp.int32)
         self.params = self.module.init(rng, dummy_ids, dummy_mask)["params"]
         self.loaded_pretrained = False
+        self.loaded_finetuned = False
         if weights_dir is not None:
             self.loaded_pretrained = self._load_hf_weights(Path(weights_dir))
+        if finetune_dir is not None:
+            # project-local checkpoint from `lattice train`
+            # (models/finetune.py) overrides the base weights
+            npz = Path(finetune_dir) / "finetuned_params.npz"
+            if npz.is_file():
+                try:
+                    self.params = _load_flat_npz(npz, self.params)
+                    self.loaded_finetuned = True
+                    self.loaded_pretrained = True
+                    logger.info("loaded fine-tuned checkpoint %s", npz)
+                except (KeyError, ValueError) as exc:
+                    logger.warning(
+                        "fine-tuned checkpoint mismatch at %s (%s); "
+                        "keeping base weights", npz, exc)
         self._forward = jax.jit(self._forward_impl)
 
     def _forward_impl(self, params, input_ids, attention_mask):

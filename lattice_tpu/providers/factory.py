@@ -37,8 +37,12 @@ EMBED_DIMS = {"openai": 1536, "google": 768, "ollama": 768,
               "unixcoder": 768, "hash": 768}
 
 
-def get_embedding_provider(settings: AISettings | None = None):
-    """Reference: `factory.py:61-98`."""
+def get_embedding_provider(settings: AISettings | None = None,
+                           finetune_dir=None):
+    """Reference: `factory.py:61-98`.
+
+    `finetune_dir`: project data dir checked for a `lattice train`
+    checkpoint (unixcoder only)."""
     settings = settings or get_settings().ai
     name = (settings.embedding_provider or "hash").lower()
     dims = settings.embedding_dimensions or EMBED_DIMS.get(name, 768)
@@ -56,7 +60,8 @@ def get_embedding_provider(settings: AISettings | None = None):
         )
         config.dimensions = 768
         return UniXcoderEmbeddingProvider(
-            config, weights_dir=settings.unixcoder_weights)
+            config, weights_dir=settings.unixcoder_weights,
+            finetune_dir=str(finetune_dir) if finetune_dir else None)
     if name == "openai":
         from lattice_tpu.providers.http_providers import OpenAIEmbeddingProvider
         config.api_key = settings.openai_api_key

@@ -27,17 +27,20 @@ MAX_LENGTH = 512             # reference `unixcoder_provider.py:90`
 
 
 @lru_cache(maxsize=2)
-def _get_model(weights_dir: str | None, seed: int = 0) -> UniXcoderModel:
+def _get_model(weights_dir: str | None, finetune_dir: str | None = None,
+               seed: int = 0) -> UniXcoderModel:
     """Singleton model (reference lru-cached loader, `:157-174`)."""
-    return UniXcoderModel(UniXcoderConfig(), weights_dir=weights_dir, seed=seed)
+    return UniXcoderModel(UniXcoderConfig(), weights_dir=weights_dir,
+                          seed=seed, finetune_dir=finetune_dir)
 
 
 class UniXcoderEmbedder:
     """Synchronous core satisfying the `Embedder` protocol."""
 
     def __init__(self, weights_dir: str | None = None,
-                 max_length: int = MAX_LENGTH, batch_size: int = 64):
-        self.model = _get_model(weights_dir)
+                 max_length: int = MAX_LENGTH, batch_size: int = 64,
+                 finetune_dir: str | None = None):
+        self.model = _get_model(weights_dir, finetune_dir)
         self.tokenizer = CodeTokenizer(
             vocab_size=self.model.config.vocab_size,
             vocab_dir=weights_dir)
@@ -70,12 +73,14 @@ class UniXcoderEmbeddingProvider(BaseEmbeddingProvider):
     """Async provider seam (reference `:229-282`)."""
 
     def __init__(self, config: ProviderConfig | None = None,
-                 weights_dir: str | None = None):
+                 weights_dir: str | None = None,
+                 finetune_dir: str | None = None):
         config = config or ProviderConfig(name="unixcoder",
                                           dimensions=EMBEDDING_DIM)
         config.dimensions = EMBEDDING_DIM
         super().__init__(config)
-        self._impl = UniXcoderEmbedder(weights_dir=weights_dir)
+        self._impl = UniXcoderEmbedder(weights_dir=weights_dir,
+                                       finetune_dir=finetune_dir)
 
     async def _embed(self, text: str) -> list[float]:
         return self._impl.embed(text)

@@ -88,6 +88,25 @@ class TestCheckpointRoundtrip:
         np.testing.assert_allclose(
             got, saved["word_embeddings/embedding"], rtol=1e-6)
 
+    def test_finetune_dir_autoload(self, indexed, tmp_path):
+        # the seam the CLI uses: project data dir passed as finetune_dir
+        # picks up the `lattice train` checkpoint over random init
+        from lattice_tpu.models.finetune import finetune_from_index
+        from lattice_tpu.models.unixcoder import UniXcoderModel
+        finetune_from_index(
+            indexed.indexer.code, indexed.indexer.summaries,
+            data_dir=tmp_path, config=TINY, steps=2, batch_size=4,
+            max_length=64, learning_rate=1e-3)
+        model = UniXcoderModel(TINY, finetune_dir=tmp_path)
+        assert model.loaded_finetuned and model.loaded_pretrained
+        saved = np.load(tmp_path / "finetuned_params.npz")
+        got = np.asarray(model.params["word_embeddings"]["embedding"])
+        np.testing.assert_allclose(
+            got, saved["word_embeddings/embedding"], rtol=1e-6)
+        # missing checkpoint: silent random init, no crash
+        empty = UniXcoderModel(TINY, finetune_dir=tmp_path / "nope")
+        assert not empty.loaded_finetuned
+
     def test_shape_mismatch_falls_back(self, indexed, tmp_path):
         from lattice_tpu.models.finetune import finetune_from_index
         from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
