@@ -293,9 +293,8 @@ class ChunkStore:
 
         `method="sharded"` (or LATTICE_SHARDED=1 with "auto") routes
         through the row-sharded multi-chip view (per-shard top-k + ICI
-        merge, parallel/sharded_index.py) when >1 device is attached.
-        The sharded view snapshots validity at build, so payload filters
-        fall back to the single-device path.
+        merge, parallel/sharded_index.py) when >1 device is attached;
+        payload filters travel as a row-sharded mask ANDed per shard.
         """
         if self._size == 0:
             q = np.atleast_2d(query_vectors)
@@ -306,11 +305,13 @@ class ChunkStore:
         valid = self._valid if mask is None else (self._valid & mask)
         want_sharded = method == "sharded" or (
             method == "auto" and os.environ.get("LATTICE_SHARDED") == "1")
-        if want_sharded and mask is None and len(jax.devices()) > 1:
+        if want_sharded and len(jax.devices()) > 1:
             if self._sharded is None or self._sharded_dirty:
                 self._sharded = self.to_sharded()
                 self._sharded_dirty = False
-            scores_np, idx_np = self._sharded.search(np.asarray(q), k_eff)
+            scores_np, idx_np = self._sharded.search(
+                np.asarray(q), k_eff,
+                mask=None if mask is None else np.asarray(mask))
             return self._assemble_hits(len(q), scores_np, idx_np)
         tile = pallas_ops.pick_tile(self._cap, len(q))
         use_pallas = (

@@ -48,17 +48,19 @@ class ShardedIndex:
             jnp.asarray(embeddings, dtype=jnp.dtype(dtype)), sharding)
         self.valid = jax.device_put(
             jnp.asarray(valid), NamedSharding(self.mesh, P(DATA_AXIS)))
-        self._search_cache: dict[int, callable] = {}
+        self._search_cache: dict[tuple[int, bool], callable] = {}
 
-    def _build_search(self, k: int):
+    def _build_search(self, k: int, with_mask: bool = False):
         mesh = self.mesh
         rows_per_shard = self.rows_per_shard
         # A shard can hold fewer rows than k; select what exists locally and
         # let the merge re-select the global k.
         k_local = min(k, rows_per_shard)
 
-        def local_search(queries, emb_shard, valid_shard):
-            # queries replicated; emb/valid are this chip's rows.
+        def local_search(queries, emb_shard, valid_shard, *mask_shard):
+            # queries replicated; emb/valid(/mask) are this chip's rows.
+            if mask_shard:
+                valid_shard = valid_shard & mask_shard[0]
             scores, idx = topk_ops.flat_topk(queries, emb_shard, valid_shard,
                                              k_local)
             shard_id = jax.lax.axis_index(DATA_AXIS)
@@ -74,23 +76,42 @@ class ShardedIndex:
             top_idx = jnp.take_along_axis(flat_idx, pos, axis=-1)
             return top_scores, top_idx
 
+        in_specs = (P(), P(DATA_AXIS, None), P(DATA_AXIS))
+        if with_mask:
+            in_specs = in_specs + (P(DATA_AXIS),)
         fn = shard_map(
             local_search, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS)),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def search(self, queries: np.ndarray, k: int
+    def search(self, queries: np.ndarray, k: int,
+               mask: np.ndarray | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
-        """Global (scores [B,k], row ids [B,k]) across all shards."""
-        fn = self._search_cache.get(k)
+        """Global (scores [B,k], row ids [B,k]) across all shards.
+
+        `mask` ([n_rows] bool, e.g. a payload-filter mask) ANDs into each
+        shard's validity; it is row-sharded alongside the embeddings so
+        the filtered search stays one collective round.
+        """
+        with_mask = mask is not None
+        fn = self._search_cache.get((k, with_mask))
         if fn is None:
-            fn = self._build_search(k)
-            self._search_cache[k] = fn
+            fn = self._build_search(k, with_mask)
+            self._search_cache[(k, with_mask)] = fn
         q = jnp.asarray(topk_ops.l2_normalize(np.atleast_2d(queries)))
-        scores, idx = fn(q, self.embeddings, self.valid)
+        if with_mask:
+            m = np.asarray(mask, dtype=bool)
+            pad = self.valid.shape[0] - m.shape[0]
+            if pad:
+                m = np.concatenate([m, np.zeros(pad, dtype=bool)])
+            m_dev = jax.device_put(
+                jnp.asarray(m), NamedSharding(self.mesh, P(DATA_AXIS)))
+            scores, idx = fn(q, self.embeddings, self.valid, m_dev)
+        else:
+            scores, idx = fn(q, self.embeddings, self.valid)
         return np.asarray(scores), np.asarray(idx)
 
 

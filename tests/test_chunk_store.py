@@ -217,15 +217,18 @@ class TestShardedDispatch:
         hits = s.search(new, k=1, method="sharded")  # must see the new row
         assert hits[0][0][0] == rows[0]
 
-    def test_filters_fall_back(self):
-        # the sharded view snapshots validity, so filtered searches take
-        # the single-device path and still honor the mask
+    def test_filters_ride_sharded_path(self):
+        # payload filters travel as a row-sharded mask ANDed per shard
         s, _ = self._store()
         q = _vecs(1, 32, seed=45)
         hits = s.search(q, k=10, filters={"file_path": "f1.py"},
                         method="sharded")
+        assert s._sharded is not None  # the sharded view served it
         assert hits[0]
         assert all(p["file_path"] == "f1.py" for _, _, p in hits[0])
+        flat = s.search(q, k=10, filters={"file_path": "f1.py"},
+                        method="flat")
+        assert [r for r, _, _ in hits[0]] == [r for r, _, _ in flat[0]]
 
     def test_env_knob(self, monkeypatch):
         s, _ = self._store()

@@ -104,6 +104,28 @@ class TestShardedIndex:
             assert set(got.tolist()) == set(want.tolist())
         assert 123 not in idx
 
+    def test_mask_ands_per_shard(self):
+        # a payload-filter mask rides the same row sharding as the
+        # embeddings and must constrain results exactly like the oracle
+        rng = np.random.default_rng(2)
+        emb = topk_ops.l2_normalize(rng.normal(size=(500, 32)))
+        valid = np.ones(500, dtype=bool)
+        mask = np.zeros(500, dtype=bool)
+        allowed = rng.choice(500, size=40, replace=False)
+        mask[allowed] = True
+        queries = topk_ops.l2_normalize(rng.normal(size=(3, 32)))
+        index = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
+        scores, idx = index.search(queries, k=7, mask=mask)
+        o_scores, o_idx = topk_ops.topk_oracle(queries, emb,
+                                               valid & mask, 7)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-5)
+        for got, want in zip(idx, o_idx):
+            assert set(got.tolist()) == set(want.tolist())
+            assert set(got.tolist()) <= set(allowed.tolist())
+        # masked and unmasked variants coexist in the compile cache
+        s2, _ = index.search(queries, k=7)
+        assert s2[0][0] >= scores[0][0] - 1e-6
+
     def test_row_padding_not_returned(self):
         rng = np.random.default_rng(1)
         emb = topk_ops.l2_normalize(rng.normal(size=(13, 16)))  # 13 % 8 != 0
