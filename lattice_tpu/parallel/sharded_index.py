@@ -115,6 +115,85 @@ class ShardedIndex:
         return np.asarray(scores), np.asarray(idx)
 
 
+class ShardedQuantizedIndex:
+    """Int8 row-sharded view: 2x the corpus per chip at equal HBM.
+
+    Same per-shard-top-k + ICI-merge shape as `ShardedIndex`, but each
+    shard holds symmetric per-row int8 values + f32 scales (ops/quant.py)
+    — half the bytes of bf16, so a fixed mesh holds twice the chunks.
+    Scores carry int8 quantization error (~1e-2 cosine, like bf16); the
+    exact-rescore stage stays single-host because full-precision rows are
+    deliberately NOT resident (that would forfeit the capacity win).
+    """
+
+    def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
+                 mesh: Mesh | None = None):
+        from lattice_tpu.ops.quant import quantize_rows
+        self.mesh = mesh or make_mesh()
+        n_data = self.mesh.shape[DATA_AXIS]
+        n, d = embeddings.shape
+        pad = (-n) % n_data
+        if pad:
+            embeddings = np.concatenate(
+                [embeddings, np.zeros((pad, d), embeddings.dtype)], axis=0)
+            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+        self.n_rows = n
+        self.rows_per_shard = (n + pad) // n_data
+        values, scales = quantize_rows(np.asarray(embeddings, np.float32))
+        row_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.values = jax.device_put(
+            jnp.asarray(values), NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        self.scales = jax.device_put(jnp.asarray(scales), row_sharding)
+        self.valid = jax.device_put(jnp.asarray(valid), row_sharding)
+        self._search_cache: dict[int, callable] = {}
+
+    def memory_bytes(self) -> int:
+        return self.values.size + self.scales.size * 4 + self.valid.size
+
+    def _build_search(self, k: int):
+        from lattice_tpu.ops.quant import int8_topk
+        mesh = self.mesh
+        rows_per_shard = self.rows_per_shard
+        k_local = min(k, rows_per_shard)
+
+        def local_search(q_values, q_scales, v_shard, s_shard, valid_shard):
+            scores, idx = int8_topk(q_values, q_scales, v_shard, s_shard,
+                                    valid_shard, k_local)
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            global_idx = idx + shard_id * rows_per_shard
+            all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0,
+                                            tiled=False)
+            all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=0)
+            d_, b, kk = all_scores.shape
+            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d_ * kk)
+            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d_ * kk)
+            top_s, pos = jax.lax.top_k(flat_s, min(k, d_ * kk))
+            return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
+
+        fn = shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Global (scores [B,k], row ids [B,k]); scores int8-quantized."""
+        from lattice_tpu.ops.quant import quantize_rows
+        fn = self._search_cache.get(k)
+        if fn is None:
+            fn = self._build_search(k)
+            self._search_cache[k] = fn
+        q = topk_ops.l2_normalize(np.atleast_2d(queries))
+        q_values, q_scales = quantize_rows(q)
+        scores, idx = fn(jnp.asarray(q_values), jnp.asarray(q_scales),
+                         self.values, self.scales, self.valid)
+        return np.asarray(scores), np.asarray(idx)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "axis_name"))
 def tree_merge_topk(scores: jax.Array, idx: jax.Array, k: int,
                     axis_name: str = DATA_AXIS):

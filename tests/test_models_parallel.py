@@ -135,6 +135,28 @@ class TestShardedIndex:
         assert idx.max() < 13
 
 
+class TestShardedQuantizedIndex:
+    def test_recall_vs_oracle_and_memory(self):
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        rng = np.random.default_rng(7)
+        emb = topk_ops.l2_normalize(rng.normal(size=(600, 32)))
+        valid = np.ones(600, dtype=bool)
+        valid[[9, 500]] = False
+        queries = topk_ops.l2_normalize(rng.normal(size=(4, 32)))
+        index = ShardedQuantizedIndex(emb, valid, mesh=make_mesh(8))
+        scores, idx = index.search(queries, k=10)
+        o_scores, o_idx = topk_ops.topk_oracle(queries, emb, valid, 10)
+        # int8 quantization perturbs near-ties; demand high overlap and
+        # bounded score error, and never an invalid row
+        overlaps = [len(set(g.tolist()) & set(w.tolist())) / 10
+                    for g, w in zip(idx, o_idx)]
+        assert np.mean(overlaps) >= 0.9
+        np.testing.assert_allclose(scores, o_scores, atol=5e-2)
+        assert 9 not in idx and 500 not in idx
+        # half the bytes of bf16 at the same row count
+        assert index.memory_bytes() < 0.6 * (index.values.shape[0] * 32 * 2)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import jax
