@@ -272,6 +272,13 @@ class ChunkStore:
         return ShardedIndex(emb, self._valid_host.copy(), mesh=mesh,
                             dtype=str(self.dtype))
 
+    def to_sharded_quantized(self, mesh=None):
+        """Multi-chip int8 view: half the HBM of `to_sharded`, so a fixed
+        mesh holds 2x the chunks (scores int8-quantized, ~1e-2)."""
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        emb = np.asarray(self._emb, dtype=np.float32)
+        return ShardedQuantizedIndex(emb, self._valid_host.copy(), mesh=mesh)
+
     def _device_is_tpu(self) -> bool:
         try:
             return jax.devices()[0].platform.lower() in ("tpu", "axon")

@@ -230,6 +230,18 @@ class TestShardedDispatch:
                         method="flat")
         assert [r for r, _, _ in hits[0]] == [r for r, _, _ in flat[0]]
 
+    def test_to_sharded_quantized(self):
+        s, vecs = self._store()
+        view = s.to_sharded_quantized()
+        q = topk_ops.l2_normalize(_vecs(2, 32, seed=47))
+        scores, idx = view.search(q, k=5)
+        flat = s.search(q, k=5, method="flat")
+        overlaps = [
+            len({r for r, _, _ in flat[qi]} & set(idx[qi].tolist())) / 5
+            for qi in range(2)]
+        assert np.mean(overlaps) >= 0.8  # int8 scores, near-ties may flip
+        assert view.memory_bytes() < 0.6 * (view.values.shape[0] * 32 * 2)
+
     def test_env_knob(self, monkeypatch):
         s, _ = self._store()
         q = _vecs(1, 32, seed=46)
