@@ -86,3 +86,29 @@ class TestCLIRoundtrip:
         assert run(["index", str(root), "--project", "cli-test"], env) == 0
         out = capsys.readouterr().out
         assert "indexed cli-test" in out
+
+
+class TestPlatformPinning:
+    def test_lattice_platform_cpu_pins_jax_preinit(self, tmp_path):
+        # LATTICE_PLATFORM=cpu must pin JAX to the host CPU before any
+        # device init — otherwise every CLI call pays the accelerator
+        # attach handshake. Subprocess so this session's jax config
+        # doesn't leak in; 90s timeout treats an attach hang as failure.
+        import os
+        import subprocess
+        import sys
+        env_file = tmp_path / "p.env"
+        env_file.write_text("LATTICE_PLATFORM=cpu\n")
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("JAX_", "XLA_"))}
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from lattice_tpu.main import main\n"
+             f"assert main(['--env', r'{env_file}', 'settings']) == 0\n"
+             "import jax\n"
+             "assert jax.devices()[0].platform == 'cpu', "
+             "jax.devices()[0].platform\n"
+             "print('PINNED-CPU')"],
+            env=env, capture_output=True, text=True, timeout=90)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "PINNED-CPU" in proc.stdout
