@@ -18,6 +18,7 @@ matmuls run in bf16 with f32 accumulation via `preferred_element_type`
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import logging
 from pathlib import Path
 
@@ -150,6 +151,11 @@ class UniXcoderModel:
         self.loaded_finetuned = False
         if weights_dir is not None:
             self.loaded_pretrained = self._load_hf_weights(Path(weights_dir))
+        # identifies which weights produce embeddings, persisted in the index
+        # manifest so a query-time encoder mismatch is detectable (ADVICE r1)
+        self.weights_fingerprint = (
+            "unixcoder-pretrained" if self.loaded_pretrained
+            else f"unixcoder-random-seed{seed}")
         if finetune_dir is not None:
             # project-local checkpoint from `lattice train`
             # (models/finetune.py) overrides the base weights
@@ -159,6 +165,9 @@ class UniXcoderModel:
                     self.params = _load_flat_npz(npz, self.params)
                     self.loaded_finetuned = True
                     self.loaded_pretrained = True
+                    digest = hashlib.blake2b(npz.read_bytes(),
+                                             digest_size=8).hexdigest()
+                    self.weights_fingerprint += f"+ft-{digest}"
                     logger.info("loaded fine-tuned checkpoint %s", npz)
                 except (KeyError, ValueError) as exc:
                     logger.warning(
@@ -177,9 +186,28 @@ class UniXcoderModel:
                 return b
         return self.LENGTH_BUCKETS[-1]
 
+    def use_mesh(self, mesh) -> None:
+        """Shard the encoder over a device mesh: batch rows over `data`
+        (pjit batch-DP embedding, SURVEY §2.4 row 4 — replaces the
+        reference's per-file embed loop `pipeline/orchestrator.py:630-656`),
+        params tensor-parallel over `model` per `parallel/mesh.py` rules.
+        XLA GSPMD inserts the tp all-reduces; pooled outputs come back
+        row-sharded and gather on the host read."""
+        from lattice_tpu.parallel.mesh import row_sharded, shard_params
+        self.mesh = mesh
+        self.params = shard_params(self.params, mesh)
+        self._data_sharding = row_sharded(mesh)
+        self._forward = jax.jit(self._forward_impl)
+
+    @property
+    def data_shards(self) -> int:
+        mesh = getattr(self, "mesh", None)
+        return int(mesh.shape["data"]) if mesh is not None else 1
+
     def encode(self, input_ids: np.ndarray,
                attention_mask: np.ndarray) -> np.ndarray:
-        """Pooled [B, H] embeddings; pads L up to a static bucket."""
+        """Pooled [B, H] embeddings; pads L up to a static bucket (and B up
+        to a multiple of the data axis when mesh-sharded)."""
         ids = np.asarray(input_ids, dtype=np.int32)
         mask = np.asarray(attention_mask, dtype=np.int32)
         if ids.ndim == 1:
@@ -192,8 +220,19 @@ class UniXcoderModel:
             ids = np.pad(ids, ((0, 0), (0, pad)),
                          constant_values=self.config.pad_token_id)
             mask = np.pad(mask, ((0, 0), (0, pad)))
-        pooled = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(pooled, dtype=np.float32)
+        b_in = ids.shape[0]
+        shards = self.data_shards
+        if b_in % shards:
+            pad_b = shards - b_in % shards
+            ids = np.pad(ids, ((0, pad_b), (0, 0)),
+                         constant_values=self.config.pad_token_id)
+            mask = np.pad(mask, ((0, pad_b), (0, 0)))
+        ids_dev, mask_dev = jnp.asarray(ids), jnp.asarray(mask)
+        if shards > 1:
+            ids_dev = jax.device_put(ids_dev, self._data_sharding)
+            mask_dev = jax.device_put(mask_dev, self._data_sharding)
+        pooled = self._forward(self.params, ids_dev, mask_dev)
+        return np.asarray(pooled, dtype=np.float32)[:b_in]
 
     # ---- HF weight loading (optional, offline-gated) -------------------
 

@@ -217,7 +217,10 @@ async def watch_repository(repo_path: Path, settings: Settings) -> int:
     from lattice_tpu.providers.factory import get_embedding_provider
     from lattice_tpu.storage import persistence
 
-    embedder = Embedder(get_embedding_provider(settings.ai))
+    # finetune_dir matches the CLI index/query path so watch-mode re-embeds
+    # with the same weights the stored vectors used (ADVICE r1)
+    embedder = Embedder(get_embedding_provider(
+        settings.ai, finetune_dir=repo_path / settings.storage.data_dir))
     orchestrator = PipelineOrchestrator(repo_path, embedder, settings=settings)
     ctx = await orchestrator.run()
     watcher = FileWatcher(repo_path, ctx.graph_builder, ctx.indexer,
@@ -227,6 +230,19 @@ async def watch_repository(repo_path: Path, settings: Settings) -> int:
     print(f"watching {repo_path} via {watcher.backend_name} (ctrl-c to stop)")
     last_save = time.time()
     last_full = time.time()
+    dirty = False          # changes applied in memory but not yet on disk
+
+    def _flush() -> None:
+        nonlocal dirty, last_save
+        persistence.save_index(
+            data_dir, ctx.graph_builder.store, ctx.indexer,
+            project=ctx.project_name,
+            provider=settings.ai.embedding_provider,
+            file_hashes=dict(watcher._known),
+            weights_fingerprint=persistence.embedder_fingerprint(embedder))
+        dirty = False
+        last_save = time.time()
+
     try:
         while True:
             # periodic full reconcile guards against missed kernel events
@@ -237,19 +253,22 @@ async def watch_repository(repo_path: Path, settings: Settings) -> int:
                 events = await asyncio.to_thread(watcher.detect_once)
             if events:
                 await watcher.process_events(events)
+                dirty = True
                 if time.time() - last_save > 5.0:
-                    persistence.save_index(
-                        data_dir, ctx.graph_builder.store, ctx.indexer,
-                        project=ctx.project_name,
-                        provider=settings.ai.embedding_provider,
-                        file_hashes=dict(watcher._known))
-                    last_save = time.time()
+                    _flush()
                 print(f"updated={watcher.stats.updated} "
                       f"deleted={watcher.stats.deleted} "
                       f"errors={watcher.stats.errors}")
+            elif dirty and time.time() - last_save > 5.0:
+                # idle after a burst: persist rather than waiting for the
+                # next event (ADVICE r1: a final burst inside the 5 s window
+                # was applied in memory but never written)
+                _flush()
             await asyncio.sleep(1.0 if watcher.backend_name == "poll" else 0.25)
     except KeyboardInterrupt:
         print("stopped")
     finally:
+        if dirty:
+            _flush()
         watcher.close()
     return 0

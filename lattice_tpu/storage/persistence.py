@@ -39,9 +39,36 @@ FORMAT_VERSION = 1
 # ---- manifest -----------------------------------------------------------
 
 
+def embedder_fingerprint(embedder) -> str:
+    """Identify which weights produced the vectors.
+
+    After `lattice train` writes `finetuned_params.npz`, the query path
+    embeds with the fine-tuned encoder while saved corpus vectors may have
+    been embedded with base weights — a silent query/document encoder
+    mismatch (ADVICE r1). The fingerprint is saved in the manifest and
+    compared at load time.
+    """
+    provider = getattr(embedder, "provider", embedder)
+    fp = getattr(provider, "fingerprint", None)
+    if fp:
+        return str(fp)
+    # unixcoder: the model tracks exactly which checkpoint it loaded
+    impl = getattr(provider, "_impl", None)
+    model = getattr(impl, "model", None) or getattr(provider, "model", None)
+    model_fp = getattr(model, "weights_fingerprint", None)
+    if model_fp:
+        return str(model_fp)
+    name = getattr(getattr(provider, "config", None), "name", None) \
+        or type(provider).__name__
+    dims = getattr(provider, "dimensions", None) \
+        or getattr(getattr(provider, "config", None), "dimensions", "?")
+    return f"{name}-d{dims}"
+
+
 def write_manifest(data_dir: Path, *, project: str, dims: int,
                    provider: str, dtype: str,
-                   file_hashes: dict[str, str]) -> None:
+                   file_hashes: dict[str, str],
+                   weights_fingerprint: str | None = None) -> None:
     data_dir.mkdir(parents=True, exist_ok=True)
     manifest = {
         "version": FORMAT_VERSION,
@@ -49,6 +76,7 @@ def write_manifest(data_dir: Path, *, project: str, dims: int,
         "dims": dims,
         "provider": provider,
         "dtype": dtype,
+        "weights_fingerprint": weights_fingerprint,
         "file_hashes": file_hashes,
     }
     (data_dir / "manifest.json").write_text(json.dumps(manifest, indent=1))
@@ -156,14 +184,18 @@ def load_chunks(data_dir: Path, name: str, dim: int,
 
 def save_index(data_dir: str | Path, graph_store: GraphStore,
                indexer: VectorIndexer, *, project: str, provider: str,
-               file_hashes: dict[str, str]) -> None:
+               file_hashes: dict[str, str],
+               weights_fingerprint: str | None = None) -> None:
     data_dir = Path(data_dir)
     save_graph(graph_store, data_dir)
     save_chunks(indexer.code, data_dir, "code_chunks")
     save_chunks(indexer.summaries, data_dir, "summaries")
+    if weights_fingerprint is None:
+        weights_fingerprint = embedder_fingerprint(indexer.embedder)
     write_manifest(data_dir, project=project, dims=indexer.code.dim,
                    provider=provider, dtype=str(indexer.code.dtype),
-                   file_hashes=file_hashes)
+                   file_hashes=file_hashes,
+                   weights_fingerprint=weights_fingerprint)
     logger.info("index saved to %s", data_dir)
 
 
@@ -177,6 +209,15 @@ def load_index(data_dir: str | Path, embedder) -> tuple[GraphStore, VectorIndexe
         raise StorageError(
             f"index dims {manifest.get('dims')} != embedder dims "
             f"{embedder.dimensions} (provider changed? re-index)")
+    saved_fp = manifest.get("weights_fingerprint")
+    current_fp = embedder_fingerprint(embedder)
+    if saved_fp and saved_fp != current_fp:
+        # queries embedded with different weights than the corpus silently
+        # degrade recall — surface it loudly (ADVICE r1)
+        logger.warning(
+            "index was built with weights %r but the current embedder is "
+            "%r; re-run `lattice index` to avoid a query/document encoder "
+            "mismatch", saved_fp, current_fp)
     graph = load_graph(data_dir)
     indexer = VectorIndexer(embedder, dtype=manifest.get("dtype", "float32"))
     indexer.code = load_chunks(data_dir, "code_chunks", embedder.dimensions,

@@ -28,6 +28,37 @@ _CAMEL_RE = re.compile(
     r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]{1,3}|[^\sA-Za-z0-9_]|_+"
 )
 
+# GPT-2 pre-tokenizer, stdlib-re approximation: `[^\W\d_]` stands in for
+# \p{L}, `\d` for \p{N}, `(?:[^\s\w]|_)` for \p{P}∪\p{S} (underscore is
+# punctuation to GPT-2 since \w includes it but \p{L}/\p{N} do not). A
+# leading single space folds INTO the following word — that is the Ġ-word
+# convention RoBERTa ids depend on (ADVICE r1: the old path emitted the
+# space as its own token and looked up bare words, silently diverging from
+# RobertaTokenizer when real weights are mounted).
+_GPT2_PRE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2 byte→printable-codepoint table (order-preserving, invertible)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_MAP = _bytes_to_unicode()
+
 
 class ApproxTokenCounter:
     """Deterministic approximation of a BPE token count for code.
@@ -120,6 +151,16 @@ class CodeTokenizer:
             merges[(a, b)] = i
         self._merges = merges
         self.vocab_size = max(self.vocab_size, max(self._vocab.values()) + 1)
+        # Real RoBERTa special ids differ from the hashing defaults
+        # (<s>=0, <pad>=1, </s>=2, <unk>=3); framing must use the vocab's
+        # own ids or real-weight embeddings read the wrong rows.
+        specials = {"<pad>": "PAD", "<s>": "CLS", "</s>": "SEP",
+                    "<unk>": "UNK", "<mask>": "MASK",
+                    "<encoder-only>": "MODE_ENCODER",
+                    "<decoder-only>": "MODE_DECODER"}
+        for token, attr in specials.items():
+            if token in self._vocab:
+                setattr(self, attr, self._vocab[token])
 
     def _bpe_word(self, word: str) -> list[str]:
         """Greedy lowest-rank merge loop (standard BPE)."""
@@ -149,10 +190,13 @@ class CodeTokenizer:
 
     def tokenize_ids(self, text: str) -> list[int]:
         if self._vocab is not None and self._merges is not None:
+            # byte-level BPE exactly as GPT-2/RoBERTa: pre-tokenize (leading
+            # space folds into the word), utf-8 bytes through the
+            # order-preserving byte map (0x20 -> 'Ġ'), then greedy merges
             ids: list[int] = []
-            for m in _WORD_RE.finditer(text):
-                word = m.group().replace(" ", "Ġ")  # GPT-2 space marker
-                for piece in self._bpe_word(word):
+            for m in _GPT2_PRE.finditer(text):
+                mapped = "".join(_BYTE_MAP[b] for b in m.group().encode("utf-8"))
+                for piece in self._bpe_word(mapped):
                     ids.append(self._vocab.get(piece, self.UNK))
             return ids
         return [self._hash_id(p) for p in self._pieces(text) if not p.isspace()]

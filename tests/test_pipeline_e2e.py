@@ -182,6 +182,29 @@ class TestPersistence:
         names = [r.qualified_name for r in result.results]
         assert "app.services.user_service.UserService.create_user" in names
 
+    def test_weights_fingerprint_saved_and_mismatch_warns(
+            self, indexed, tmp_path, caplog):
+        import logging
+        from lattice_tpu.storage import persistence
+        persistence.save_index(
+            tmp_path, indexed.graph_builder.store, indexed.indexer,
+            project="sample", provider="hash", file_hashes={})
+        manifest = persistence.read_manifest(tmp_path)
+        assert manifest["weights_fingerprint"]
+        # same embedder: no warning
+        embedder = Embedder(HashEmbedder(dimensions=256))
+        with caplog.at_level(logging.WARNING,
+                             logger="lattice_tpu.storage.persistence"):
+            persistence.load_index(tmp_path, embedder)
+        assert "encoder" not in caplog.text
+        # different weights (fingerprint forged): loud warning
+        class OtherWeights(HashEmbedder):
+            fingerprint = "unixcoder-pretrained+ft-deadbeef"
+        with caplog.at_level(logging.WARNING,
+                             logger="lattice_tpu.storage.persistence"):
+            persistence.load_index(tmp_path, Embedder(OtherWeights(dimensions=256)))
+        assert "encoder" in caplog.text
+
     def test_dim_mismatch_rejected(self, indexed, tmp_path):
         from lattice_tpu.core.errors import StorageError
         from lattice_tpu.storage import persistence

@@ -88,6 +88,66 @@ class TestCodeTokenizerBPEPath:
         assert ids and all(i >= tok.N_SPECIAL for i in ids)
 
 
+class TestRobertaParity:
+    """Byte-level BPE ids must match HF RobertaTokenizer exactly (ADVICE r1:
+    the old path emitted whitespace as separate tokens, so every
+    mid-sentence word missed its Ġ prefix and real-weight parity silently
+    broke)."""
+
+    @pytest.fixture(scope="class")
+    def vocab_dir(self, tmp_path_factory):
+        from lattice_tpu.text.tokenizer import _bytes_to_unicode
+        tmp_path = tmp_path_factory.mktemp("roberta_vocab")
+        vocab: dict[str, int] = {}
+        for tok in ("<s>", "<pad>", "</s>", "<unk>", "<mask>"):
+            vocab[tok] = len(vocab)
+        for ch in sorted(set(_bytes_to_unicode().values())):
+            vocab[ch] = len(vocab)
+        merges = [("h", "e"), ("t", "he"), ("l", "o"), ("lo", "w"),
+                  ("e", "r"), ("low", "er"), ("Ġ", "t"), ("Ġt", "he"),
+                  ("Ġ", "l"), ("Ġl", "ow"), ("o", "w"), ("i", "n"),
+                  ("Ġlow", "er"), ("d", "e"), ("de", "f"), ("_", "_"),
+                  ("'", "t")]
+        for a, b in merges:
+            vocab.setdefault(a + b, len(vocab))
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text(
+            "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n")
+        return tmp_path
+
+    @pytest.fixture(scope="class")
+    def hf_tok(self, vocab_dir):
+        transformers = pytest.importorskip("transformers")
+        return transformers.RobertaTokenizer(
+            vocab_file=str(vocab_dir / "vocab.json"),
+            merges_file=str(vocab_dir / "merges.txt"))
+
+    @pytest.mark.parametrize("text", [
+        "the thermometer",
+        " leading space",
+        "low lower lowest",
+        "hello world\nand a new line",
+        "a.b(c) += x[1]",
+        "don't",
+        "__init__",
+        "tabs\tand  doubled spaces",
+        "café λ=3",
+        "def f(x):\n    return x + 1\n",
+    ])
+    def test_ids_match_hf(self, vocab_dir, hf_tok, text):
+        tok = CodeTokenizer(vocab_dir=vocab_dir)
+        ours = tok.tokenize_ids(text)
+        theirs = hf_tok(text, add_special_tokens=False)["input_ids"]
+        assert ours == theirs
+
+    def test_special_ids_follow_vocab(self, vocab_dir):
+        tok = CodeTokenizer(vocab_dir=vocab_dir)
+        # RoBERTa convention: <s>=0, <pad>=1, </s>=2, <unk>=3
+        assert (tok.CLS, tok.PAD, tok.SEP, tok.UNK) == (0, 1, 2, 3)
+        ids, _ = tok.encode("the")
+        assert ids[0] == 0 and ids[-1] == 2
+
+
 class TestGetTokenCounter:
     def test_fallback_without_vocab(self):
         counter = get_token_counter(None)
