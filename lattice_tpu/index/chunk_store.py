@@ -19,6 +19,7 @@ the device array (append segments + reuse, SURVEY §7 hard part (d)).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Sequence
 
@@ -34,6 +35,24 @@ from lattice_tpu.ops import pallas_topk as pallas_ops
 # plus graph_node_id, the vector->graph join key used by the context builder).
 INDEXED_FIELDS = ("file_path", "entity_type", "language", "content_hash",
                   "project_name", "graph_node_id")
+
+logger = logging.getLogger(__name__)
+
+# ---- auto-dispatch thresholds (VERDICT r1 #1: the best kernels must BE the
+# serving path, picked by an explicit, unit-tested decision table) ----------
+# IVF pays a one-time device build (~12-15 s at 1M rows) and then reads only
+# nprobe buckets per query; below this corpus size the flat fused scan is
+# already < 1 ms/batch and the build never amortizes.
+IVF_AUTO_MIN_ROWS = int(os.environ.get("LATTICE_IVF_MIN_ROWS", 131_072))
+# Probe selection is not filter-aware: a filter matching under this fraction
+# of live rows (or fewer than FILTER_MIN_MATCH_PER_K * k rows) starves the
+# probed buckets and recall collapses -> route to flat, which filters exactly.
+IVF_MIN_FILTER_FRACTION = 0.05
+IVF_FILTER_MIN_MATCH_PER_K = 50
+# Serve through IVF only when its build-time self-measured recall clears
+# this bar (isotropic corpora measure ~0.2 and stay on the flat path).
+IVF_MIN_RECALL = float(os.environ.get("LATTICE_IVF_MIN_RECALL", 0.9))
+IVF_AUTO_NPROBE = int(os.environ.get("LATTICE_IVF_NPROBE", 8))
 
 
 class ChunkStore:
@@ -55,10 +74,51 @@ class ChunkStore:
         self._device_put = device_put
         self._ivf = None           # lazily built IVF partition (ops/ivf.py)
         self._ivf_dirty = True
+        self._ivf_mutations = 0    # rows churned since last build
         self._quant = None         # int8 shadow (ops/quant.py)
         self._quant_dirty = True
         self._sharded = None       # multi-chip view (parallel/sharded_index.py)
         self._sharded_dirty = True
+
+    @classmethod
+    def from_device_arrays(cls, embeddings: jax.Array, valid: jax.Array,
+                           payloads: Sequence[dict[str, Any]] | None = None
+                           ) -> "ChunkStore":
+        """Wrap an already-device-resident normalized matrix (read-mostly).
+
+        Used when the corpus is generated or loaded straight on device
+        (bench.py, bulk restore): no host round-trip, no per-row insert
+        loop. Without `payloads`, rows share one empty payload sentinel
+        and payload filtering is unavailable; mutation APIs require real
+        payloads (`add` after attach works normally).
+        """
+        n, d = embeddings.shape
+        # tiny initial alloc; the real arrays replace it immediately
+        store = cls(dim=int(d), dtype=str(embeddings.dtype),
+                    initial_capacity=8)
+        store._cap = int(n)
+        store._emb = embeddings
+        store._valid = valid.astype(bool)
+        store._valid_host = np.asarray(store._valid)
+        live = np.flatnonzero(store._valid_host)
+        if payloads is None:
+            sentinel: dict[str, Any] = {}
+            store._payloads = [None] * n
+            for r in live:
+                store._payloads[r] = sentinel
+        else:
+            if len(payloads) != n:
+                raise VectorStoreError("payloads must cover every row")
+            store._payloads = [dict(p) if store._valid_host[i] else None
+                               for i, p in enumerate(payloads)]
+            for r in live:
+                p = store._payloads[r]
+                for f in INDEXED_FIELDS:
+                    if p.get(f) is not None:
+                        store._inverted[f].setdefault(p[f], set()).add(int(r))
+        store._size = int(len(live))
+        store._next = int(n)
+        return store
 
     # ---- capacity ------------------------------------------------------
 
@@ -115,10 +175,40 @@ class ChunkStore:
                 if f in payload and payload[f] is not None:
                     self._inverted[f].setdefault(payload[f], set()).add(row)
         self._size += n
-        self._ivf_dirty = True
-        self._quant_dirty = True
+        self._mutate_views(rows, jnp.asarray(normed))
         self._sharded_dirty = True
         return rows
+
+    def _mutate_views(self, rows: list[int],
+                      normed_dev: jax.Array | None) -> None:
+        """O(delta) maintenance of the IVF/int8 serving views.
+
+        `normed_dev` is the new normalized rows for inserts, None for
+        removals. Centroids don't move on incremental IVF upserts, so
+        after >20% of the corpus has churned the partition is marked dirty
+        and the next search rebuilds (re-measuring recall)."""
+        n = len(rows)
+        if self._ivf is not None and not self._ivf_dirty:
+            try:
+                if normed_dev is None:
+                    self._ivf.remove(rows)
+                else:
+                    self._ivf.insert(normed_dev, rows)
+                self._ivf_mutations += n
+                if self._ivf_mutations > 0.2 * max(self._size, 1):
+                    self._ivf_dirty = True
+            except Exception:
+                logger.exception("incremental IVF update failed; rebuilding")
+                self._ivf_dirty = True
+        else:
+            self._ivf_dirty = True
+        if (normed_dev is not None and self._quant is not None
+                and not self._quant_dirty and max(rows) < self._quant.n):
+            self._quant.update_rows(normed_dev,
+                                    jnp.asarray(np.asarray(rows, np.int32)))
+        elif normed_dev is not None:
+            self._quant_dirty = True
+        # removals leave int8 values stale but masked by `valid`
 
     def _drop_row(self, row: int) -> None:
         payload = self._payloads[row]
@@ -145,8 +235,7 @@ class ChunkStore:
         self._valid = self._valid.at[idx].set(False)
         for r in live:
             self._drop_row(r)
-        self._ivf_dirty = True
-        self._quant_dirty = True
+        self._mutate_views(live, None)
         self._sharded_dirty = True
         return len(live)
 
@@ -166,6 +255,13 @@ class ChunkStore:
         self._size = 0
         self._next = 0
         self._inverted = {f: {} for f in INDEXED_FIELDS}
+        self._ivf = None
+        self._ivf_dirty = True
+        self._ivf_mutations = 0
+        self._quant = None
+        self._quant_dirty = True
+        self._sharded = None
+        self._sharded_dirty = True
 
     # ---- filters -------------------------------------------------------
 
@@ -197,31 +293,46 @@ class ChunkStore:
     # ---- queries -------------------------------------------------------
 
     def build_ivf(self, n_clusters: int | None = None, iters: int = 10,
-                  seed: int = 0):
+                  seed: int = 0, measure: bool = True):
         """Build (or rebuild) the IVF partition over current live rows.
 
         BASELINE config 3: the IVF scan is the large-corpus ANN path; row
         ids in the IVF buckets are this store's row ids, so payload
-        materialization is shared with the flat path.
+        materialization is shared with the flat path. With `measure`, the
+        build self-samples recall@10 vs the exact scan — the number the
+        auto dispatcher gates on.
         """
         from lattice_tpu.ops.ivf import IVFIndex
         # device-resident build: rows never round-trip to the host
         self._ivf = IVFIndex.build_from_device(
             self._emb, self._valid_host.copy(), n_clusters=n_clusters,
             iters=iters, dtype=str(self.dtype), seed=seed)
+        if measure:
+            self._ivf.measure_recall(self._emb, self._valid,
+                                     nprobe=IVF_AUTO_NPROBE)
         self._ivf_dirty = False
+        self._ivf_mutations = 0
         return self._ivf
 
+    def _ivf_ready(self) -> bool:
+        """Fresh IVF whose measured recall clears the serving bar."""
+        return (self._ivf is not None and not self._ivf_dirty
+                and self._ivf.measured_recall is not None
+                and self._ivf.measured_recall >= IVF_MIN_RECALL)
+
     def search_ivf(self, query_vectors: np.ndarray, k: int,
-                   nprobe: int = 8
+                   nprobe: int = 8,
+                   filters: dict[str, Any] | None = None
                    ) -> list[list[tuple[int, float, dict[str, Any]]]]:
-        """ANN search through the IVF partition (no payload filters —
-        callers needing filters use the flat path)."""
+        """ANN search through the IVF partition; payload filters fold into
+        the bucket id table as a row mask (filtered rows score -inf)."""
         if self._size == 0:
             return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
         if self._ivf is None or self._ivf_dirty:
             self.build_ivf()
-        scores, ids = self._ivf.search(np.atleast_2d(query_vectors), k, nprobe)
+        mask = self.filter_mask(filters)
+        scores, ids = self._ivf.search(np.atleast_2d(query_vectors), k,
+                                       nprobe, mask=mask)
         out: list[list[tuple[int, float, dict[str, Any]]]] = []
         for qi in range(len(scores)):
             hits = []
@@ -235,12 +346,15 @@ class ChunkStore:
         return out
 
     def search_quantized(self, query_vectors: np.ndarray, k: int,
-                         rescore: bool = True
+                         rescore: bool = True,
+                         filters: dict[str, Any] | None = None
                          ) -> list[list[tuple[int, float, dict[str, Any]]]]:
         """Int8 first-stage scan (+ optional full-precision rescore).
 
         Half the HBM traffic of bf16 at 2x MXU rate (ops/quant.py) — the
         equal-memory/2x-capacity lever from BASELINE's recall contract.
+        Payload filters AND into the validity mask exactly as on the flat
+        path.
         """
         from lattice_tpu.ops.quant import QuantizedView
         if self._size == 0:
@@ -249,8 +363,10 @@ class ChunkStore:
             self._quant = QuantizedView(self._emb)  # device-side quantization
             self._quant_dirty = False
         q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
+        mask = self.filter_mask(filters)
+        valid = self._valid if mask is None else (self._valid & mask)
         scores, idx = self._quant.search(
-            q, self._valid, min(k, self._cap),
+            q, valid, min(k, self._cap),
             full_precision=self._emb if rescore else None)
         out: list[list[tuple[int, float, dict[str, Any]]]] = []
         for qi in range(len(q)):
@@ -285,34 +401,75 @@ class ChunkStore:
         except Exception:
             return False
 
+    def _plan_search(self, batch: int, k_eff: int,
+                     filters: dict[str, Any] | None,
+                     method: str) -> str:
+        """The dispatch decision table (VERDICT r1 #1). Returns one of
+        "sharded" | "ivf" | "quantized" | "pallas" | "flat".
+
+        auto order:
+        1. sharded  — LATTICE_SHARDED=1 and >1 device attached
+        2. ivf      — TPU, corpus >= IVF_AUTO_MIN_ROWS, k <= 64, IVF built
+                      (or buildable) with measured recall >= IVF_MIN_RECALL,
+                      and any filter matches enough rows that probing
+                      can't starve (fraction + absolute floors)
+        3. quantized — LATTICE_INT8=1 (2x-capacity serving mode) on TPU
+        4. pallas   — TPU and the capacity tiles evenly, k <= 64
+        5. flat     — the XLA fallback, always correct
+        """
+        if method in ("flat", "pallas", "ivf", "quantized", "sharded"):
+            return method
+        if method != "auto":
+            raise VectorStoreError(f"unknown search method {method!r}")
+        if (os.environ.get("LATTICE_SHARDED") == "1"
+                and len(jax.devices()) > 1):
+            return "sharded"
+        on_tpu = self._device_is_tpu()
+        if (on_tpu and k_eff <= 64 and self._size >= IVF_AUTO_MIN_ROWS
+                and self._filter_selectivity_ok(filters, k_eff)):
+            if self._ivf is None or self._ivf_dirty:
+                self.build_ivf()          # one-time; self-measures recall
+            if self._ivf_ready():
+                return "ivf"
+        if on_tpu and os.environ.get("LATTICE_INT8") == "1":
+            return "quantized"
+        tile = pallas_ops.pick_tile(self._cap, batch, k=max(k_eff, 16))
+        if on_tpu and tile is not None and k_eff <= 64:
+            return "pallas"
+        return "flat"
+
+    def _filter_selectivity_ok(self, filters: dict[str, Any] | None,
+                               k: int) -> bool:
+        """Probe selection is filter-blind; highly selective filters starve
+        the probed buckets. Flat handles those exactly."""
+        if not filters:
+            return True
+        matched = len(self._filter_rows(filters))
+        return (matched >= IVF_FILTER_MIN_MATCH_PER_K * k
+                and matched >= IVF_MIN_FILTER_FRACTION * max(self._size, 1))
+
     def search(self, query_vectors: np.ndarray, k: int,
                filters: dict[str, Any] | None = None,
                method: str = "auto",
                ) -> list[list[tuple[int, float, dict[str, Any]]]]:
         """Top-k cosine search. Returns per-query [(row, score, payload)].
 
-        Reference: `query_points` with must-match filter build
-        (`embeddings/client.py:132-176`).
-
-        `method`: "auto" picks the Pallas fused score+select kernel on TPU
-        when the capacity tiles evenly, else the XLA path; "flat"/"pallas"
-        force a path. Payload filters AND into the validity mask either way.
-
-        `method="sharded"` (or LATTICE_SHARDED=1 with "auto") routes
-        through the row-sharded multi-chip view (per-shard top-k + ICI
-        merge, parallel/sharded_index.py) when >1 device is attached;
-        payload filters travel as a row-sharded mask ANDed per shard.
+        Reference: one entry point, `query_points` with must-match filter
+        build (`embeddings/client.py:132-176`). The kernel is picked by the
+        `_plan_search` decision table; `method` forces a path
+        ("flat"/"pallas"/"ivf"/"quantized"/"sharded"). Payload filters work
+        on every path: ANDed into the validity mask (flat/pallas/
+        quantized), folded into the bucket id table (ivf), or row-sharded
+        per chip (sharded).
         """
         if self._size == 0:
             q = np.atleast_2d(query_vectors)
             return [[] for _ in range(len(q))]
         q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
         k_eff = min(k, self._cap)
-        mask = self.filter_mask(filters)
-        valid = self._valid if mask is None else (self._valid & mask)
-        want_sharded = method == "sharded" or (
-            method == "auto" and os.environ.get("LATTICE_SHARDED") == "1")
-        if want_sharded and len(jax.devices()) > 1:
+        plan = self._plan_search(len(q), k_eff, filters, method)
+        if plan == "sharded" and len(jax.devices()) > 1:
+            mask = self.filter_mask(filters)
             if self._sharded is None or self._sharded_dirty:
                 self._sharded = self.to_sharded()
                 self._sharded_dirty = False
@@ -320,15 +477,19 @@ class ChunkStore:
                 np.asarray(q), k_eff,
                 mask=None if mask is None else np.asarray(mask))
             return self._assemble_hits(len(q), scores_np, idx_np)
-        tile = pallas_ops.pick_tile(self._cap, len(q))
-        use_pallas = (
-            method == "pallas"
-            or (method == "auto" and self._device_is_tpu()
-                and tile is not None and k_eff <= 64)
-        )
-        if use_pallas:
-            # widened scan + exact f32 rescore: recovers the ~2pp recall the
-            # packed-key score quantization costs, for a [B,16,d] gather
+        if plan == "ivf":
+            return self.search_ivf(q, k_eff, nprobe=IVF_AUTO_NPROBE,
+                                   filters=filters)
+        if plan == "quantized":
+            return self.search_quantized(q, k_eff, filters=filters)
+        mask = self.filter_mask(filters)
+        valid = self._valid if mask is None else (self._valid & mask)
+        if plan == "pallas":
+            # refined_topk widens the first stage to max(k, 16), so size the
+            # tile for that width (tile 2048 at B>=128 with k>16 is a
+            # measured VMEM OOM — ADVICE r1); widened scan + exact f32
+            # rescore recovers the ~2pp recall packed-key quantization costs
+            tile = pallas_ops.pick_tile(self._cap, len(q), k=max(k_eff, 16))
             scores, idx = pallas_ops.refined_topk(
                 jnp.asarray(q), self._emb, valid, k_eff,
                 tile=tile or pallas_ops.DEFAULT_TILE)
@@ -337,6 +498,54 @@ class ChunkStore:
                 jnp.asarray(q), self._emb, valid, k_eff)
         return self._assemble_hits(len(q), np.asarray(scores),
                                    np.asarray(idx))
+
+    def search_device(self, queries: jax.Array, k: int,
+                      filters: dict[str, Any] | None = None,
+                      method: str = "auto") -> tuple[jax.Array, jax.Array]:
+        """Dispatcher-planned search, device-resident: jax (scores, ids).
+
+        The serving-loop / bench entry: results stay on device so
+        back-to-back batches pipeline over the relay (any host readback in
+        the loop serializes it — measured 26k -> 3.4k qps). Same decision
+        table as `search`; payload assembly is the caller's problem.
+        """
+        if self._size == 0:
+            raise VectorStoreError("empty store has no device path")
+        queries = queries.astype(jnp.float32)
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+        k_eff = min(k, self._cap)
+        plan = self._plan_search(int(queries.shape[0]), k_eff, filters,
+                                 method)
+        mask = self.filter_mask(filters)
+        if plan == "sharded" and len(jax.devices()) > 1:
+            if self._sharded is None or self._sharded_dirty:
+                self._sharded = self.to_sharded()
+                self._sharded_dirty = False
+            s, i = self._sharded.search(
+                np.asarray(queries), k_eff,
+                mask=None if mask is None else np.asarray(mask))
+            return jnp.asarray(s), jnp.asarray(i)
+        if plan == "ivf":
+            if self._ivf is None or self._ivf_dirty:
+                self.build_ivf()
+            return self._ivf.search_device(queries, k_eff,
+                                           nprobe=IVF_AUTO_NPROBE, mask=mask)
+        valid = self._valid if mask is None else (self._valid & mask)
+        if plan == "quantized":
+            from lattice_tpu.ops.quant import QuantizedView
+            if self._quant is None or self._quant_dirty:
+                self._quant = QuantizedView(self._emb)
+                self._quant_dirty = False
+            return self._quant.search_device(queries, valid, k_eff,
+                                             full_precision=self._emb)
+        if plan == "pallas":
+            tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
+                                        k=max(k_eff, 16))
+            return pallas_ops.refined_topk(
+                queries, self._emb, valid, k_eff,
+                tile=tile or pallas_ops.DEFAULT_TILE)
+        return topk_ops.flat_topk(queries, self._emb, valid, k_eff)
 
     def _assemble_hits(self, n_queries: int, scores_np: np.ndarray,
                        idx_np: np.ndarray

@@ -98,6 +98,13 @@ class QuantizedView:
     def memory_bytes(self) -> int:
         return self.values.size + self.scales.size * 4
 
+    def update_rows(self, rows: jax.Array, idx: jax.Array) -> None:
+        """O(delta) upsert: re-quantize just the changed rows on device
+        (watch-mode mutations must not trigger a full re-quantization)."""
+        v, s = quantize_rows_device(rows.astype(jnp.float32))
+        self.values = self.values.at[idx].set(v)
+        self.scales = self.scales.at[idx].set(s)
+
     def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
                      valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         """Pallas fused int8 scan on TPU (XLA upcasts int8 dots and is ~100x

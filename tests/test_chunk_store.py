@@ -135,16 +135,19 @@ class TestChunkStoreIVF:
         for fr, ar in zip(flat, ann):
             assert {r for r, _, _ in fr} == {r for r, _, _ in ar}
 
-    def test_ivf_rebuilds_after_mutation(self):
+    def test_ivf_stays_fresh_on_small_mutation(self):
+        """Small deltas upsert into the partition in place; only >20%
+        churn schedules a rebuild (TestIncrementalIVF covers the rest)."""
         s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
         vecs = _vecs(20, 16, seed=13)
         s.add(vecs, [{"file_path": "a.py", "content_hash": "h"}] * 20)
         s.search_ivf(_vecs(1, 16), k=3)
         assert not s._ivf_dirty
-        s.add(_vecs(1, 16, seed=14), [{"file_path": "b.py", "content_hash": "h"}])
-        assert s._ivf_dirty
-        hits = s.search_ivf(_vecs(1, 16), k=3)  # triggers rebuild
-        assert hits[0]
+        new = _vecs(1, 16, seed=14)
+        row = s.add(new, [{"file_path": "b.py", "content_hash": "h"}])[0]
+        assert not s._ivf_dirty
+        hits = s.search_ivf(new, k=1, nprobe=s._ivf.n_clusters)
+        assert hits[0][0][0] == row
 
 
 class TestQuantizedStorePath:
@@ -159,13 +162,14 @@ class TestQuantizedStorePath:
         for fr, qr in zip(flat, quant):
             assert {r for r, _, _ in fr} == {r for r, _, _ in qr}
 
-    def test_quant_rebuilds_after_mutation(self):
+    def test_quant_masks_removed_rows_without_rebuild(self):
         s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
         s.add(_vecs(10, 16), [{"file_path": "a.py", "content_hash": "h"}] * 10)
         s.search_quantized(_vecs(1, 16), k=3)
         assert not s._quant_dirty
         s.remove([0])
-        assert s._quant_dirty
+        # removal rides the validity mask; the int8 view stays fresh
+        assert not s._quant_dirty
         hits = s.search_quantized(_vecs(1, 16), k=3)
         assert all(r != 0 for r, _, _ in hits[0])
 
@@ -309,3 +313,246 @@ class TestChunkerInvariants:
         assert len(chunks) == 1
         assert chunks[0].part == 0
         assert chunks[0].graph_node_id == "m.tiny"
+
+
+class TestPickTile:
+    """ADVICE r1: a large-batch TPU search with k in (16, 64] must not pick
+    tile 2048 (measured VMEM OOM at tile=2048, B=256, k=40)."""
+
+    def test_large_k_shrinks_tile(self):
+        from lattice_tpu.ops.pallas_topk import pick_tile
+        assert pick_tile(1 << 20, 256, k=40) == 1024
+        assert pick_tile(1 << 20, 256, k=10) == 2048
+
+    def test_search_passes_effective_k(self, monkeypatch):
+        """ChunkStore.search must forward max(k_eff, 16) to pick_tile."""
+        from lattice_tpu.index.chunk_store import ChunkStore
+        from lattice_tpu.ops import pallas_topk
+        seen = {}
+        real = pallas_topk.pick_tile
+
+        def spy(capacity, batch, k=10):
+            seen["k"] = k
+            return real(capacity, batch, k=k)
+
+        monkeypatch.setattr(
+            "lattice_tpu.index.chunk_store.pallas_ops.pick_tile", spy)
+        rng = np.random.default_rng(0)
+        store = ChunkStore(dim=16, initial_capacity=32)
+        store.add(rng.normal(size=(8, 16)), [{"file_path": "f"}] * 8)
+        store.search(rng.normal(size=(2, 16)), k=5)
+        assert seen["k"] == 16           # refined_topk widens to 16
+        store.search(rng.normal(size=(2, 16)), k=30)
+        assert seen["k"] == 30
+
+
+def _clustered(n, d, n_clusters=8, seed=0, spread=0.15):
+    """Corpus with genuine cluster structure (IVF's serving regime)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    x = centers[assign] + spread * rng.normal(size=(n, d))
+    return (x / np.linalg.norm(x, axis=-1, keepdims=True)).astype(np.float32)
+
+
+class TestDispatchDecisionTable:
+    """VERDICT r1 #1: the kernel choice is an explicit, unit-tested table."""
+
+    def _store(self, n=64, d=32, clustered=True):
+        s = ChunkStore(dim=d, dtype="float32", initial_capacity=n)
+        vecs = _clustered(n, d) if clustered else _vecs(n, d)
+        payloads = [{"file_path": f"f{i % 4}.py", "entity_type": "function"}
+                    for i in range(n)]
+        s.add(vecs, payloads)
+        return s
+
+    def test_cpu_auto_is_flat(self):
+        s = self._store()
+        assert s._plan_search(4, 10, None, "auto") == "flat"
+
+    def test_forced_methods_pass_through(self):
+        s = self._store()
+        for m in ("flat", "pallas", "ivf", "quantized", "sharded"):
+            assert s._plan_search(4, 10, None, m) == m
+
+    def test_unknown_method_rejected(self):
+        s = self._store()
+        with pytest.raises(VectorStoreError):
+            s._plan_search(4, 10, None, "hnsw")
+
+    def test_tpu_small_corpus_prefers_pallas(self, monkeypatch):
+        # capacity must tile evenly (pick_tile wants a 512/1024/2048 divisor)
+        s = self._store(n=1024)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        assert s._plan_search(4, 10, None, "auto") == "pallas"
+
+    def test_tpu_large_corpus_serves_ivf(self, monkeypatch):
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=256)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
+        plan = s._plan_search(4, 10, None, "auto")
+        assert plan == "ivf"
+        assert s._ivf.measured_recall >= cs.IVF_MIN_RECALL
+
+    def test_isotropic_corpus_never_auto_ivf(self, monkeypatch):
+        """An unclustered corpus measures poor recall at build; dispatcher
+        must route flat-ward, never silently serving low-recall IVF."""
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=512, d=64, clustered=False)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
+        monkeypatch.setattr(cs, "IVF_AUTO_NPROBE", 1)
+        plan = s._plan_search(4, 10, None, "auto")
+        assert plan in ("pallas", "flat")
+
+    def test_selective_filter_falls_back_to_flat(self, monkeypatch):
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=256)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
+        # one file matches 64/256 rows = 25% -> ok only if floors pass;
+        # with k=10 the absolute floor (50*k=500) always exceeds 64
+        plan = s._plan_search(4, 10, {"file_path": "f1.py"}, "auto")
+        assert plan in ("pallas", "flat")
+
+    def test_int8_env_serves_quantized(self, monkeypatch):
+        s = self._store(n=64)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setenv("LATTICE_INT8", "1")
+        assert s._plan_search(4, 10, None, "auto") == "quantized"
+
+    def test_k_above_64_uses_flat(self, monkeypatch):
+        s = self._store(n=64)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        assert s._plan_search(4, 100, None, "auto") == "flat"
+
+
+class TestIVFFilters:
+    def test_ivf_filtered_matches_flat(self):
+        n, d = 256, 32
+        s = ChunkStore(dim=d, dtype="float32", initial_capacity=n)
+        vecs = _clustered(n, d, seed=3)
+        payloads = [{"file_path": f"f{i % 2}.py"} for i in range(n)]
+        s.add(vecs, payloads)
+        s.build_ivf(n_clusters=8)
+        q = _vecs(3, d, seed=7)
+        flt = {"file_path": "f1.py"}
+        got = s.search_ivf(q, k=5, nprobe=8, filters=flt)  # all buckets
+        want = s.search(q, k=5, filters=flt, method="flat")
+        for qi in range(3):
+            assert [r for r, _, _ in got[qi]] == [r for r, _, _ in want[qi]]
+            for _, _, p in got[qi]:
+                assert p["file_path"] == "f1.py"
+
+    def test_ivf_filter_excludes_everything(self):
+        n, d = 64, 16
+        s = ChunkStore(dim=d, dtype="float32", initial_capacity=n)
+        s.add(_clustered(n, d), [{"file_path": "a.py"}] * n)
+        s.build_ivf(n_clusters=4)
+        got = s.search_ivf(_vecs(1, d), k=5, nprobe=4,
+                           filters={"file_path": "missing.py"})
+        assert got[0] == []
+
+
+class TestFromDeviceArrays:
+    def test_attach_and_search(self):
+        import jax.numpy as jnp
+        vecs = topk_ops.l2_normalize(_vecs(32, 16))
+        valid = np.ones(32, dtype=bool)
+        valid[5] = False
+        s = ChunkStore.from_device_arrays(
+            jnp.asarray(vecs), jnp.asarray(valid))
+        assert len(s) == 31
+        res = s.search(vecs[:2], k=3, method="flat")
+        assert res[0][0][0] == 0 and res[0][0][1] > 0.999
+        assert all(r != 5 for hits in res for r, _, _ in hits)
+
+    def test_attach_with_payloads_filters(self):
+        import jax.numpy as jnp
+        vecs = topk_ops.l2_normalize(_vecs(8, 16))
+        payloads = [{"file_path": f"p{i % 2}.py"} for i in range(8)]
+        s = ChunkStore.from_device_arrays(
+            jnp.asarray(vecs), jnp.ones(8, dtype=bool), payloads)
+        res = s.search(vecs[:1], k=8, filters={"file_path": "p0.py"})
+        assert {p["file_path"] for _, _, p in res[0]} == {"p0.py"}
+        assert len(res[0]) == 4
+
+
+class TestIncrementalIVF:
+    """Watch-mode mutations must be O(delta) on the IVF serving view —
+    no full rebuild per upsert (VERDICT r1 #1 + reference incremental
+    semantics, `embeddings/client.py:115`)."""
+
+    def _store(self, n=128, d=16):
+        s = ChunkStore(dim=d, dtype="float32", initial_capacity=n)
+        s.add(_clustered(n, d, seed=1),
+              [{"file_path": f"f{i % 2}.py"} for i in range(n)])
+        s.build_ivf(n_clusters=4)
+        return s
+
+    def test_add_is_findable_without_rebuild(self):
+        s = self._store()
+        assert not s._ivf_dirty
+        ivf_obj = s._ivf
+        new = _clustered(3, 16, seed=9)
+        rows = s.add(new, [{"file_path": "new.py"}] * 3)
+        assert not s._ivf_dirty, "small delta must not dirty the partition"
+        assert s._ivf is ivf_obj, "no rebuild"
+        got = s.search_ivf(new, k=1, nprobe=4)
+        assert [h[0][0] for h in got] == rows
+
+    def test_remove_disappears_without_rebuild(self):
+        s = self._store()
+        vec = s.get_vector(7)
+        s.remove([7])
+        assert not s._ivf_dirty
+        got = s.search_ivf(vec[None, :], k=5, nprobe=4)
+        assert all(r != 7 for r, _, _ in got[0])
+
+    def test_heavy_churn_marks_dirty(self):
+        s = self._store(n=64)
+        s.add(_clustered(20, 16, seed=5), [{"file_path": "x.py"}] * 20)
+        assert s._ivf_dirty, ">20% churn must schedule a rebuild"
+
+    def test_slot_reuse_after_remove(self):
+        s = self._store(n=64)
+        ivf = s._ivf
+        cap_before = ivf.bucket_size
+        s.remove(list(range(10)))
+        s.add(_clustered(10, 16, seed=11), [{"file_path": "y.py"}] * 10)
+        assert ivf.bucket_size == cap_before, "holes must be reused"
+
+    def test_bucket_widen_when_full(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.ivf import IVFIndex
+        emb = topk_ops.l2_normalize(_vecs(16, 8, seed=2))
+        idx = IVFIndex.build(emb, np.ones(16, bool), n_clusters=2)
+        cap = idx.bucket_size
+        extra = topk_ops.l2_normalize(_vecs(2 * cap + 4, 8, seed=3))
+        idx.insert(jnp.asarray(extra), list(range(100, 100 + len(extra))))
+        assert idx.bucket_size > cap
+        _, got = idx.search(extra[:1], k=1, nprobe=2)
+        assert got[0][0] == 100
+
+
+class TestQuantIncremental:
+    def test_quantized_sees_new_rows(self):
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=64)
+        s.add(_vecs(32, 16), [{"file_path": "a.py"}] * 32)
+        s.search_quantized(_vecs(1, 16), k=3)     # builds the view
+        assert not s._quant_dirty
+        quant_obj = s._quant
+        new = _vecs(2, 16, seed=42)
+        rows = s.add(new, [{"file_path": "b.py"}] * 2)
+        assert s._quant is quant_obj, "no full re-quantization"
+        got = s.search_quantized(new, k=1)
+        assert [h[0][0] for h in got] == rows
+
+    def test_growth_past_view_marks_dirty(self):
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=8)
+        s.add(_vecs(8, 16), [{"file_path": "a.py"}] * 8)
+        s.search_quantized(_vecs(1, 16), k=3)
+        s.add(_vecs(8, 16, seed=5), [{"file_path": "b.py"}] * 8)  # grows cap
+        assert s._quant_dirty
