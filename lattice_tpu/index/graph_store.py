@@ -199,6 +199,7 @@ class GraphStore:
             es.rev_indptr = np.zeros(n + 1, dtype=np.int64)
             np.add.at(es.rev_indptr, es.rev_src + 1, 1)
             np.cumsum(es.rev_indptr, out=es.rev_indptr)
+        self._sharded_graphs = {}   # multi-chip views rebuild on next use
         self._finalized = True
 
     def _ensure_final(self) -> None:
@@ -234,6 +235,33 @@ class GraphStore:
     # vectorized — the crossover sits around tens of thousands of edges.
     DEVICE_BFS_THRESHOLD = 50_000
 
+    def _want_sharded(self) -> bool:
+        """Multi-chip traversal tier: LATTICE_SHARDED=1 with >1 device
+        (the same opt-in as `ChunkStore.search`'s sharded path)."""
+        import os
+        if os.environ.get("LATTICE_SHARDED") != "1":
+            return False
+        try:
+            import jax
+            return len(jax.devices()) > 1
+        except Exception:
+            return False
+
+    def to_sharded(self, edge_type: EdgeType, mesh=None):
+        """Edge-partitioned multi-chip view with ICI frontier exchange
+        (parallel/sharded_graph.py; SURVEY §2.4 row 3). Views are cached
+        per edge type and invalidated by `finalize`."""
+        from lattice_tpu.parallel.sharded_graph import ShardedGraph
+        cache = getattr(self, "_sharded_graphs", None)
+        if cache is None:
+            cache = self._sharded_graphs = {}
+        view = cache.get(edge_type)
+        if view is None or view.n_nodes != self.n_nodes():
+            src, dst = self.edges(edge_type)
+            view = ShardedGraph(src, dst, self.n_nodes(), mesh=mesh)
+            cache[edge_type] = view
+        return view
+
     def k_hop(self, node_ids: list[int], edge_type: EdgeType, hops: int,
               reverse: bool = False, device: bool | None = None
               ) -> dict[int, int]:
@@ -245,6 +273,9 @@ class GraphStore:
         walk serves small ones and doubles as the kernel's oracle in tests.
         """
         self._ensure_final()
+        if self._want_sharded():
+            return self.to_sharded(edge_type).k_hop(node_ids, hops,
+                                                    reverse=reverse)
         if device is None:
             device = self.n_edges(edge_type) >= self.DEVICE_BFS_THRESHOLD
         if device:

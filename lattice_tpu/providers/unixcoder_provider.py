@@ -46,11 +46,32 @@ class UniXcoderEmbedder:
             vocab_dir=weights_dir)
         self.max_length = max_length
         self.batch_size = batch_size
+        self._maybe_shard()
         if not self.model.loaded_pretrained:
             logger.info(
                 "UniXcoder running with random-init weights (no checkpoint "
                 "at %r); use the hash provider for offline retrieval quality",
                 weights_dir)
+
+    def _maybe_shard(self) -> None:
+        """Batch-DP the encoder over all attached chips (SURVEY §2.4 row 4).
+
+        With >1 device the forward pass shards its batch over the mesh's
+        data axis; per-shard batch stays `batch_size`, so the host-facing
+        batch scales with the mesh. LATTICE_EMBED_DP=0 opts out."""
+        import os
+
+        import jax
+        if os.environ.get("LATTICE_EMBED_DP") == "0":
+            return
+        try:
+            n = len(jax.devices())
+        except Exception:
+            return
+        if n > 1 and getattr(self.model, "mesh", None) is None:
+            from lattice_tpu.parallel.mesh import make_mesh
+            self.model.use_mesh(make_mesh(n))
+            self.batch_size *= self.model.data_shards
 
     @property
     def dimensions(self) -> int:

@@ -266,3 +266,100 @@ class TestTreeMergeLadder:
         np.testing.assert_allclose(root_scores, o_s, atol=1e-5)
         for got, want in zip(root_idx, o_i):
             assert set(got.tolist()) == set(want.tolist())
+
+
+class TestEncoderBatchDP:
+    """VERDICT r1 #5: the embedding/inference path shards its batch over the
+    mesh's data axis (pjit batch-DP, SURVEY §2.4 row 4)."""
+
+    def test_sharded_encode_matches_single_device(self):
+        rng = np.random.default_rng(3)
+        ids = rng.integers(5, 256, size=(5, 12))
+        mask = np.ones((5, 12), dtype=np.int64)
+        base = UniXcoderModel(TINY, seed=7)
+        want = base.encode(ids, mask)
+        sharded = UniXcoderModel(TINY, seed=7)
+        sharded.use_mesh(make_mesh(8))
+        assert sharded.data_shards >= 4
+        got = sharded.encode(ids, mask)       # batch 5 pads to shard multiple
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_provider_autoshards_on_multidevice(self, monkeypatch):
+        from lattice_tpu.providers import unixcoder_provider as up
+        # tiny model: the full 12-layer GSPMD compile takes minutes on CPU
+        monkeypatch.setattr(
+            up, "_get_model",
+            lambda w, f=None, seed=0: UniXcoderModel(TINY, seed=seed))
+        emb = up.UniXcoderEmbedder(batch_size=4)
+        assert emb.model.data_shards > 1
+        assert emb.batch_size == 4 * emb.model.data_shards
+        vecs = emb.embed_batch(["def f(): pass", "class A: ..."])
+        assert np.isfinite(np.asarray(vecs)).all()
+
+    def test_opt_out_env(self, monkeypatch):
+        from lattice_tpu.providers import unixcoder_provider as up
+        monkeypatch.setenv("LATTICE_EMBED_DP", "0")
+        monkeypatch.setattr(
+            up, "_get_model",
+            lambda w, f=None, seed=0: UniXcoderModel(TINY, seed=seed))
+        emb = up.UniXcoderEmbedder(batch_size=4)
+        assert emb.model.data_shards == 1
+
+
+class TestShardedGraphBFS:
+    """VERDICT r1 #2: graph traversal shards over the mesh — local
+    scatter-max + ICI frontier exchange, parity with the BFS oracle."""
+
+    def _random_graph(self, n=200, e=900, seed=0):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(1, n, size=e).astype(np.int32)
+        dst = rng.integers(1, n, size=e).astype(np.int32)
+        return src, dst
+
+    def test_matches_oracle(self):
+        from lattice_tpu.ops.graph_kernels import bfs_oracle
+        from lattice_tpu.parallel.sharded_graph import ShardedGraph
+        n = 200
+        src, dst = self._random_graph(n)
+        seeds = np.zeros(n, dtype=bool)
+        seeds[[1, 7]] = True
+        g = ShardedGraph(src, dst, n, mesh=make_mesh(8))
+        got = g.bfs_distances(seeds, max_hops=4)
+        want = bfs_oracle(src, dst, seeds, n, 4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_reverse_matches_oracle(self):
+        from lattice_tpu.ops.graph_kernels import bfs_oracle
+        from lattice_tpu.parallel.sharded_graph import ShardedGraph
+        n = 120
+        src, dst = self._random_graph(n, e=500, seed=3)
+        seeds = np.zeros(n, dtype=bool)
+        seeds[5] = True
+        g = ShardedGraph(src, dst, n, mesh=make_mesh(8))
+        got = g.bfs_distances(seeds, max_hops=3, reverse=True)
+        want = bfs_oracle(dst, src, seeds, n, 3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_k_hop_contract(self):
+        from lattice_tpu.parallel.sharded_graph import ShardedGraph
+        # chain 1 -> 2 -> 3 -> 4
+        src = np.array([1, 2, 3], np.int32)
+        dst = np.array([2, 3, 4], np.int32)
+        g = ShardedGraph(src, dst, 5, mesh=make_mesh(8))
+        assert g.k_hop([1], 2) == {2: 1, 3: 2}
+        assert g.k_hop([3], 2, reverse=True) == {2: 1, 1: 2}
+
+    def test_graph_store_routes_sharded(self, monkeypatch):
+        from lattice_tpu.core.types import EdgeType, EntityType
+        from lattice_tpu.index.graph_store import GraphStore
+        store = GraphStore()
+        ids = [store.add_node(f"m.f{i}", EntityType.FUNCTION, "m.py", i, i)
+               for i in range(6)]
+        for a, b in [(0, 1), (1, 2), (2, 3), (0, 4)]:
+            store.add_edge(ids[a], ids[b], EdgeType.CALLS)
+        store.finalize()
+        want = store.k_hop([ids[0]], EdgeType.CALLS, 3, device=False)
+        monkeypatch.setenv("LATTICE_SHARDED", "1")
+        got = store.k_hop([ids[0]], EdgeType.CALLS, 3)
+        assert got == want
