@@ -391,6 +391,202 @@ def fused_topk_int8(
     return out_s[:b_in], out_i[:b_in]
 
 
+# ---- binned-max selection --------------------------------------------------
+#
+# The insertion kernel above is still selection-bound at scale: its
+# while_loop serializes one winner per iteration and runs to the max
+# improvement count over the whole batch (measured: ~2.6 ms of the 7.8 ms
+# 1M/B=256 scan; the matmul+rowmax floor is 5.2 ms). The binned kernel
+# removes the serial loop entirely, after the TPU-KNN recipe (Chern et al.
+# 2022, "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s" — public
+# method, reimplemented here): each tile reduces its [B, T] score slab to
+# per-bin packed-key maxima with two static reductions, and a small XLA
+# top_k over all (tile, bin) winners + exact rescore finishes selection
+# outside the kernel.
+#
+# Bin assignment is STRIDED: bin(col) = col % BINS (via two
+# lane-layout-friendly reductions: [B, T/128, 128] sublane-max, then
+# [B, 128/BINS, BINS] group-max), so ADJACENT columns always land in
+# different bins. That matters for this workload: a store lays chunks of
+# one file in consecutive rows, and near-duplicate chunks of the hot file
+# ARE the expected top-k — contiguous binning would keep one per window.
+# With stride, any run of <= BINS adjacent rows survives intact; losses
+# need two top-k rows exactly BINS*i apart inside one tile (measured-rare;
+# the recall tests pin it).
+
+BINS = 16
+
+
+def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
+                   *, tile: int, n_rows: int):
+    j = pl.program_id(0)
+    q = q_ref[:]                                  # [B, d]
+    e_tile = e_ref[:]                             # [T, d]
+    scores = jax.lax.dot_general(
+        q.astype(e_tile.dtype), e_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # [B, T]
+    b = scores.shape[0]
+    row_base = j * tile
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    alive = valid_ref[:].reshape(1, tile) != 0
+    in_range = (cols + row_base) < n_rows
+    scores = jnp.where(alive & in_range, scores, NEG_INF)
+    keys = _pack_keys(scores, cols)               # [B, T] i32, monotonic
+    lvl1 = jnp.max(keys.reshape(b, tile // 128, 128), axis=1)   # [B, 128]
+    out_keys_ref[:] = jnp.max(
+        lvl1.reshape(b, 128 // BINS, BINS), axis=1)             # [B, BINS]
+
+
+def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
+                        out_keys_ref, *, tile: int, n_rows: int):
+    j = pl.program_id(0)
+    acc = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                             # [B, T] i32
+    b = acc.shape[0]
+    scores = acc.astype(jnp.float32) * qs_ref[:] * es_ref[:].reshape(1, tile)
+    row_base = j * tile
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    alive = valid_ref[:].reshape(1, tile) != 0
+    in_range = (cols + row_base) < n_rows
+    scores = jnp.where(alive & in_range, scores, NEG_INF)
+    keys = _pack_keys(scores, cols)
+    lvl1 = jnp.max(keys.reshape(b, tile // 128, 128), axis=1)
+    out_keys_ref[:] = jnp.max(
+        lvl1.reshape(b, 128 // BINS, BINS), axis=1)
+
+
+def _binned_candidates(keys_all: jax.Array, k1: int, tile: int
+                       ) -> tuple[jax.Array, jax.Array]:
+    """XLA finish: top-k1 over all (tile, bin) winner keys.
+
+    Packed keys are order-preserving, so top_k runs on the i32 keys
+    directly; the candidate's tile comes from its position, its
+    within-tile column from the key's low bits."""
+    top_keys, pos = jax.lax.top_k(keys_all, k1)
+    ids = (pos // BINS) * tile + _unpack_col(top_keys)
+    return _unpack_score(top_keys), ids.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def binned_topk(
+    queries: jax.Array,      # [B, d] f32 (normalized)
+    embeddings: jax.Array,   # [N, d] bf16/f32, N % tile == 0
+    valid: jax.Array,        # [N] bool/int8
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Binned-max scan + exact rescore. Returns (scores [B,k], ids [B,k]).
+
+    Selection cost per tile is two static reductions — no serial loop —
+    so the scan runs at the matmul+reduction floor regardless of k
+    (k <= BINS * n_tiles). Candidates widen to max(k, 16) and rescore at
+    f32/HIGHEST exactly as refined_topk."""
+    n, d = embeddings.shape
+    b_in = queries.shape[0]
+    b = max(8, ((b_in + 7) // 8) * 8)
+    if b != b_in:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b - b_in, d), queries.dtype)], axis=0)
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    assert tile % 128 == 0 and 128 % BINS == 0
+    n_tiles = n // tile
+    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    kernel = functools.partial(_binned_kernel, tile=tile, n_rows=n)
+    keys_all = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, BINS), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * BINS), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * embeddings.dtype.itemsize + b * d * 4
+            + b * n_tiles * BINS * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, embeddings, valid_i8)
+    k1 = min(max(k, 16), n_tiles * BINS)
+    s1, c1 = _binned_candidates(keys_all, k1, tile)
+    out_s, out_i = _exact_rescore(queries, embeddings, s1, c1,
+                                  min(k, k1))
+    if k > k1:  # corpus smaller than k: pad the contract shape
+        padw = k - k1
+        out_s = jnp.concatenate(
+            [out_s, jnp.full((b, padw), NEG_INF, jnp.float32)], axis=-1)
+        out_i = jnp.concatenate(
+            [out_i, jnp.full((b, padw), -1, jnp.int32)], axis=-1)
+    return out_s[:b_in], out_i[:b_in]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def binned_topk_int8(
+    q_values: jax.Array,     # [B, d] i8
+    q_scales: jax.Array,     # [B] f32
+    e_values: jax.Array,     # [N, d] i8, N % tile == 0
+    e_scales: jax.Array,     # [N] f32
+    valid: jax.Array,        # [N] bool/int8
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Int8 binned-max scan; rescore happens in the caller (the int8 view
+    holds no full-precision rows — QuantizedView passes them separately).
+    Returns widened (scores [B,k1], ids [B,k1]) with k1 = max(k, 16)."""
+    n, d = e_values.shape
+    b_in = q_values.shape[0]
+    b = max(32, ((b_in + 31) // 32) * 32)
+    if b != b_in:
+        q_values = jnp.concatenate(
+            [q_values, jnp.zeros((b - b_in, d), q_values.dtype)], axis=0)
+        q_scales = jnp.concatenate(
+            [q_scales, jnp.zeros((b - b_in,), q_scales.dtype)], axis=0)
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    n_tiles = n // tile
+    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    kernel = functools.partial(_binned_kernel_int8, tile=tile, n_rows=n)
+    keys_all = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, BINS), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * BINS), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + b * d + b * n_tiles * BINS * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_values, q_scales.reshape(b, 1), e_values,
+      e_scales.reshape(n, 1), valid_i8)
+    k1 = min(max(k, 16), n_tiles * BINS)
+    s1, c1 = _binned_candidates(keys_all, k1, tile)
+    return s1[:b_in], c1[:b_in]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _exact_rescore(queries: jax.Array, embeddings: jax.Array,
                    stage_scores: jax.Array, candidates: jax.Array,

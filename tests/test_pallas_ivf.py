@@ -11,8 +11,9 @@ import jax.numpy as jnp
 
 from lattice_tpu.ops import topk as topk_ops
 from lattice_tpu.ops.ivf import IVFIndex, kmeans_fit
-from lattice_tpu.ops.pallas_topk import (fused_topk, pad_for_tile,
-                                         refined_topk)
+from lattice_tpu.ops.pallas_topk import (BINS, binned_topk,
+                                         binned_topk_int8, fused_topk,
+                                         pad_for_tile, refined_topk)
 
 
 def clustered_data(n, d, n_clusters, seed=0, spread=0.25):
@@ -106,6 +107,96 @@ class TestRefinedTopK:
                               jnp.asarray(valid), 20, tile=128,
                               interpret=True)
         np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+
+
+class TestBinnedTopK:
+    """Binned-max selection: per-(tile, bin-of-strided-columns) maxima +
+    XLA top_k + exact rescore. Approximate by design — a true top-k row
+    is lost only when a better row shares its (tile, col % BINS) window —
+    so tests use collision-free constructions for exactness and a
+    statistical bound for the random case."""
+
+    def _planted(self, n, d, rows, seed=0):
+        """Corpus where `rows` are near-duplicates of the query (the
+        same-file-chunks regime: the expected top-k is an ADJACENT run)."""
+        rng = np.random.default_rng(seed)
+        emb = topk_ops.l2_normalize(rng.normal(size=(n, d)))
+        q = topk_ops.l2_normalize(rng.normal(size=(1, d)))
+        for j, r in enumerate(rows):
+            emb[r] = topk_ops.l2_normalize(
+                q[0] + 0.01 * (j + 1) * rng.normal(size=d))
+        return emb, q
+
+    def test_adjacent_run_survives(self):
+        # 10 adjacent near-duplicate rows: strided binning must keep all
+        # (contiguous binning would keep ~1 — the failure mode the
+        # stride exists to prevent)
+        rows = list(range(300, 310))
+        emb, q = self._planted(1024, 64, rows)
+        valid = np.ones(1024, dtype=bool)
+        s, i = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                           jnp.asarray(valid), 10, tile=256, interpret=True)
+        assert set(np.asarray(i)[0].tolist()) == set(rows)
+        o_s, _ = topk_ops.topk_oracle(q, emb, valid, 10)
+        np.testing.assert_allclose(np.asarray(s)[0], o_s[0], atol=1e-5)
+
+    def test_matches_oracle_when_collision_free(self):
+        # top-k planted in distinct windows -> result must be EXACT
+        rows = [0, 17, 34, 51, 300, 317, 600, 900]  # distinct (tile, col%16)
+        emb, q = self._planted(1024, 64, rows, seed=1)
+        valid = np.ones(1024, dtype=bool)
+        valid[17] = False                       # masked row never returned
+        s, i = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                           jnp.asarray(valid), 7, tile=256, interpret=True)
+        got = set(np.asarray(i)[0].tolist())
+        assert got == set(rows) - {17}
+        assert 17 not in got
+
+    def test_statistical_recall_random(self):
+        rng = np.random.default_rng(7)
+        emb = topk_ops.l2_normalize(rng.normal(size=(8192, 32)))
+        valid = np.ones(8192, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(8, 32)))
+        s, i = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                           jnp.asarray(valid), 10, tile=512, interpret=True)
+        _, o_i = topk_ops.topk_oracle(q, emb, valid, 10)
+        recall = np.mean([
+            len(set(np.asarray(i)[r].tolist()) & set(o_i[r].tolist())) / 10
+            for r in range(8)])
+        assert recall >= 0.95, recall   # 256 windows; E[loss] ~ 45/256
+
+    def test_all_invalid(self):
+        rng = np.random.default_rng(8)
+        emb = topk_ops.l2_normalize(rng.normal(size=(256, 32)))
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 32)))
+        s, i = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                           jnp.asarray(np.zeros(256, bool)), 5,
+                           tile=128, interpret=True)
+        assert np.all(np.asarray(s) <= -1e29)
+
+    def test_k_wider_than_corpus_windows(self):
+        rng = np.random.default_rng(9)
+        emb = topk_ops.l2_normalize(rng.normal(size=(128, 32)))
+        q = topk_ops.l2_normalize(rng.normal(size=(1, 32)))
+        s, i = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                           jnp.asarray(np.ones(128, bool)), 40,
+                           tile=128, interpret=True)
+        # one tile x 16 bins = 16 candidates max; rest padded
+        s = np.asarray(s)
+        assert s.shape == (1, 40)
+        assert (s[:, BINS:] <= -1e29).all()
+
+    def test_int8_binned_candidates(self):
+        from lattice_tpu.ops.quant import quantize_rows
+        rows = list(range(100, 110))
+        emb, q = self._planted(1024, 64, rows, seed=2)
+        ev, es = quantize_rows(emb)
+        qv, qs = quantize_rows(q)
+        s1, c1 = binned_topk_int8(
+            jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ev),
+            jnp.asarray(es), jnp.asarray(np.ones(1024, bool)), 10,
+            tile=256, interpret=True)
+        assert set(rows) <= set(np.asarray(c1)[0].tolist())
 
 
 class TestKMeans:
