@@ -176,3 +176,80 @@ class TestTypeScriptEdge:
         card = parsed.functions[0]
         assert card.name == "Card"
         assert "format" in card.calls
+
+
+class TestAdversarialLexer:
+    """The constructs where masking lexers die quietly (VERDICT r1 #7):
+    regex literals containing slashes/quotes, division ambiguity, class
+    fields, decorators, async/static/generator method mixes."""
+
+    def test_regex_containing_escaped_slashes(self, parser):
+        src = (
+            "const re = /https:\\/\\/[a-z]+\\/path/g;\n"
+            "function after() { return 1; }\n"
+        )
+        parsed = parser.parse_content(src, Language.JAVASCRIPT, "m.js")
+        assert {f.name for f in parsed.functions} == {"after"}
+
+    def test_regex_containing_quotes(self, parser):
+        src = (
+            "const re = /don't \"quote\" me/;\n"
+            "function after() { return 2; }\n"
+        )
+        parsed = parser.parse_content(src, Language.JAVASCRIPT, "m.js")
+        assert {f.name for f in parsed.functions} == {"after"}
+
+    def test_division_not_taken_as_regex(self, parser):
+        src = (
+            "function calc(a, b, c) { return a / b / c; }\n"
+            "function after() { return 3; }\n"
+        )
+        parsed = parser.parse_content(src, Language.JAVASCRIPT, "m.js")
+        assert {f.name for f in parsed.functions} == {"calc", "after"}
+
+    def test_class_fields_do_not_break_method_scan(self, parser):
+        src = (
+            "class Widget {\n"
+            "  count = 0;\n"
+            "  #secret = \"x\";\n"
+            "  static kind = \"widget\";\n"
+            "  handler = async (e) => { await this.save(e); };\n"
+            "  render() { return this.count; }\n"
+            "}\n"
+        )
+        parsed = parser.parse_content(src, Language.JAVASCRIPT, "m.js")
+        cls = parsed.classes[0]
+        assert cls.name == "Widget"
+        assert "render" in {m.name for m in cls.children}
+
+    def test_ts_decorators_on_class_and_members(self, parser):
+        src = (
+            "@Component({selector: \"app\"})\n"
+            "export class AppComponent {\n"
+            "  @Input() name: string;\n"
+            "  @HostListener(\"click\")\n"
+            "  onClick() { return this.name; }\n"
+            "}\n"
+        )
+        parsed = parser.parse_content(src, Language.TYPESCRIPT, "m.ts")
+        cls = parsed.classes[0]
+        assert cls.name == "AppComponent"
+        assert "onClick" in {m.name for m in cls.children}
+
+    def test_async_static_generator_methods(self, parser):
+        src = (
+            "class Api {\n"
+            "  async fetch() { return 1; }\n"
+            "  static async create() { return new Api(); }\n"
+            "  async *stream() { yield 1; }\n"
+            "}\n"
+        )
+        parsed = parser.parse_content(src, Language.JAVASCRIPT, "m.js")
+        names = {m.name for m in parsed.classes[0].children}
+        assert names == {"fetch", "create", "stream"}
+
+    def test_default_export_async_function(self, parser):
+        src = "export default async function main() { return 42; }\n"
+        parsed = parser.parse_content(src, Language.JAVASCRIPT, "m.js")
+        main = parsed.functions[0]
+        assert main.name == "main" and main.is_async
