@@ -179,7 +179,6 @@ class ChunkStore:
                     self._inverted[f].setdefault(payload[f], set()).add(row)
         self._size += n
         self._mutate_views(rows, jnp.asarray(normed))
-        self._sharded_dirty = True
         return rows
 
     def _mutate_views(self, rows: list[int],
@@ -212,6 +211,21 @@ class ChunkStore:
         elif normed_dev is not None:
             self._quant_dirty = True
         # removals leave int8 values stale but masked by `valid`
+        if self._sharded is not None and not self._sharded_dirty:
+            # O(delta) scatter into the sharded arrays; only a row id past
+            # the view's padded capacity (store just _grow()-ed) rebuilds
+            try:
+                if normed_dev is None:
+                    self._sharded.invalidate_rows(np.asarray(rows))
+                elif not self._sharded.update_rows(normed_dev,
+                                                   np.asarray(rows)):
+                    self._sharded_dirty = True
+            except Exception:
+                logger.exception(
+                    "incremental sharded update failed; rebuilding")
+                self._sharded_dirty = True
+        else:
+            self._sharded_dirty = True
         if self._pq is not None and not self._pq_dirty:
             try:
                 if normed_dev is None:
@@ -253,7 +267,6 @@ class ChunkStore:
         for r in live:
             self._drop_row(r)
         self._mutate_views(live, None)
-        self._sharded_dirty = True
         return len(live)
 
     def delete_by_filter(self, filters: dict[str, Any]) -> int:
@@ -465,10 +478,12 @@ class ChunkStore:
 
     def to_sharded(self, mesh=None):
         """Multi-chip view: rows sharded over the data axis with ICI top-k
-        merge (parallel/sharded_index.py)."""
+        merge (parallel/sharded_index.py). The device matrix reshards
+        directly (no host f32 round-trip); the view is sized to store
+        capacity so watch-mode mutations stay O(delta) scatters until the
+        store itself grows."""
         from lattice_tpu.parallel.sharded_index import ShardedIndex
-        emb = np.asarray(self._emb, dtype=np.float32)
-        return ShardedIndex(emb, self._valid_host.copy(), mesh=mesh,
+        return ShardedIndex(self._emb, self._valid_host.copy(), mesh=mesh,
                             dtype=str(self.dtype))
 
     def to_sharded_quantized(self, mesh=None):

@@ -4,6 +4,7 @@ Runs on the 8-device virtual CPU mesh (conftest). Tiny configs keep this
 fast; the code paths are identical to full-size.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -133,6 +134,59 @@ class TestShardedIndex:
         index = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
         scores, idx = index.search(emb[:2], k=13)
         assert idx.max() < 13
+
+    def test_incremental_update_rows(self):
+        # O(delta) scatter: updated rows become findable, removed rows
+        # disappear, and the padded-capacity overflow path reports rebuild
+        rng = np.random.default_rng(3)
+        emb = topk_ops.l2_normalize(rng.normal(size=(64, 16)))
+        valid = np.ones(64, dtype=bool)
+        index = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
+        fresh = topk_ops.l2_normalize(rng.normal(size=(2, 16)))
+        assert index.update_rows(fresh, np.array([5, 40]))
+        _, idx = index.search(fresh, k=1)
+        assert idx[0, 0] == 5 and idx[1, 0] == 40
+        index.invalidate_rows(np.array([5]))
+        _, idx = index.search(fresh[:1], k=1)
+        assert idx[0, 0] != 5
+        assert not index.update_rows(fresh[:1], np.array([64]))  # past cap
+
+    def test_store_mutations_keep_sharded_view_o_delta(self, monkeypatch):
+        """VERDICT r1 #8: watch-mode mutations must not re-device_put the
+        corpus. Build the view, mutate the store, and assert (a) the view
+        object survives (no rebuild), (b) host->device transfers during
+        the mutation are bounded by the delta, (c) sharded search sees
+        the mutation."""
+        from lattice_tpu.index.chunk_store import ChunkStore
+        rng = np.random.default_rng(4)
+        n, d = 256, 32
+        emb = topk_ops.l2_normalize(rng.normal(size=(n, d)))
+        store = ChunkStore(dim=d, dtype="float32",
+                           initial_capacity=512)  # headroom: no _grow
+        store.add(emb, [{"file_path": "a.py"}] * n)
+        store._sharded = store.to_sharded(mesh=make_mesh(8))
+        store._sharded_dirty = False
+        view = store._sharded
+
+        transferred = []
+        orig_put = jax.device_put
+
+        def counting_put(x, *a, **k):
+            if hasattr(x, "nbytes"):
+                transferred.append(int(x.nbytes))
+            return orig_put(x, *a, **k)
+
+        monkeypatch.setattr(jax, "device_put", counting_put)
+        fresh = topk_ops.l2_normalize(rng.normal(size=(4, d)))
+        rows = store.add(fresh, [{"file_path": "b.py"}] * 4)
+        store.remove(rows[:1])
+        monkeypatch.setattr(jax, "device_put", orig_put)
+
+        assert store._sharded is view and not store._sharded_dirty
+        corpus_bytes = n * d * 4
+        assert sum(transferred) < corpus_bytes / 2, transferred
+        scores, idx = view.search(fresh, k=1)
+        assert idx[1, 0] == rows[1] and idx[0, 0] != rows[0]
 
 
 class TestShardedQuantizedIndex:
