@@ -340,3 +340,83 @@ class TestDeviceBuild:
         for got, want in zip(di, o_i):
             assert set(got.tolist()) == set(want.tolist())
         np.testing.assert_allclose(ds, o_s, atol=1e-4)
+
+
+class TestCappedLayout:
+    def _skewed(self, n=4000, d=32, seed=0):
+        """One dominant mode (60% of rows) + small satellites — the shape
+        real code embeddings take (utility code dominates)."""
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(8, d))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        probs = np.array([0.6] + [0.4 / 7] * 7)
+        assign = rng.choice(8, size=n, p=probs)
+        return topk_ops.l2_normalize(
+            centers[assign] + 0.2 * rng.normal(size=(n, d)))
+
+    def test_cap_bounds_padding_waste(self):
+        data = self._skewed()
+        valid = np.ones(len(data), bool)
+
+        def waste(max_load):
+            idx = IVFIndex.build(data, valid, n_clusters=32,
+                                 max_load=max_load)
+            return (idx.n_clusters * idx.bucket_size / valid.sum(), idx)
+
+        w0, _ = waste(None)
+        w1, idx1 = waste(2.0)
+        assert w0 > 2.0, w0            # the skew is real without the cap
+        assert w1 <= 2.4, w1           # 2.0 + sublane rounding
+        assert w1 < w0
+        # every row stays findable and recall survives the rebalance
+        ids = np.asarray(idx1.bucket_ids)
+        assert set(ids[ids >= 0].tolist()) == set(range(len(data)))
+        r = idx1.measure_recall(jnp.asarray(data), jnp.asarray(valid),
+                                nprobe=8)
+        assert r >= 0.9, r
+
+    def test_cap_noop_for_uniform_corpora(self):
+        data, _ = clustered_data(2048, 32, 16, spread=0.2, seed=3)
+        valid = np.ones(len(data), bool)
+        a = IVFIndex.build(data, valid, n_clusters=16, max_load=None)
+        b = IVFIndex.build(data, valid, n_clusters=16, max_load=2.0)
+        ra = a.measure_recall(jnp.asarray(data), jnp.asarray(valid), nprobe=4)
+        rb = b.measure_recall(jnp.asarray(data), jnp.asarray(valid), nprobe=4)
+        assert abs(ra - rb) < 0.08, (ra, rb)
+
+
+class TestPipelineEmbeddingRecall:
+    """VERDICT r1 #9: IVF recall on embeddings the REAL pipeline produces
+    (scan -> parse -> chunk -> hash-embed this repo's own source), not
+    synthetic gaussians."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        from pathlib import Path
+        from lattice_tpu.embeddings.chunker import CodeChunker
+        from lattice_tpu.parsing.parser import CodeParser
+        from lattice_tpu.parsing.scanner import FileScanner
+        from lattice_tpu.providers.hash_provider import HashEmbedder
+
+        root = Path(__file__).resolve().parent.parent / "lattice_tpu"
+        files = FileScanner(root).scan_all()
+        parser, chunker = CodeParser(), CodeChunker()
+        texts = []
+        for fi in files:
+            if fi.language.value != "python":
+                continue
+            for c in chunker.chunk_file(parser.parse_file(fi)):
+                texts.append(c.content)
+        emb = HashEmbedder(dimensions=256)
+        vecs = np.asarray(emb.embed_batch(texts), dtype=np.float32)
+        return topk_ops.l2_normalize(vecs)
+
+    def test_recall_at_nprobe8(self, corpus):
+        valid = np.ones(len(corpus), bool)
+        assert len(corpus) > 300   # the corpus is real and non-trivial
+        idx = IVFIndex.build(corpus, valid)
+        r = idx.measure_recall(jnp.asarray(corpus), jnp.asarray(valid),
+                               nprobe=8)
+        assert r >= 0.9, r
+        waste = idx.n_clusters * idx.bucket_size / valid.sum()
+        assert waste < 2.6, waste
