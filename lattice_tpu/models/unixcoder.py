@@ -317,7 +317,18 @@ def _map_roberta_params(state: dict, cfg: UniXcoderConfig, params: dict) -> dict
 
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     out["word_embeddings"]["embedding"] = g("embeddings.word_embeddings.weight")
-    out["position_embeddings"]["embedding"] = g("embeddings.position_embeddings.weight")
+    pos_table = g("embeddings.position_embeddings.weight")
+    # HF RoBERTa adds token_type_embeddings[0] to EVERY position (token
+    # type ids are all zero in encoder-only use); this module has no type
+    # table, so fold that constant row into the position table — summed
+    # pre-LayerNorm, the result is bit-identical. Skipping this fold was a
+    # silent parity break vs torch (caught by the torch-parity test).
+    try:
+        pos_table = pos_table + g(
+            "embeddings.token_type_embeddings.weight")[0][None, :]
+    except KeyError:
+        pass
+    out["position_embeddings"]["embedding"] = pos_table
     out["embeddings_norm"]["scale"] = g("embeddings.LayerNorm.weight")
     out["embeddings_norm"]["bias"] = g("embeddings.LayerNorm.bias")
     for i in range(cfg.num_layers):
