@@ -72,13 +72,20 @@ def choose_m(d: int, target_dsub: int = 2) -> int:
 # ---- codebook training ---------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("m", "ksub", "iters"))
+# Rows per Lloyd/encode block: the per-block score slab is
+# [block, m, ksub] f32 (~800 MB at block=2048, m=384) — the full-sample
+# version would be 25 GB at the 4M-contract config.
+TRAIN_BLOCK = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ksub", "iters", "block"))
 def train_pq(
     sample: jax.Array,     # [Ns, m*dsub] f32 (rows normalized upstream)
     init_idx: jax.Array,   # [ksub] i32 rows seeding every subspace
     m: int,
     ksub: int = 256,
     iters: int = 8,
+    block: int = TRAIN_BLOCK,
 ) -> jax.Array:
     """Per-subspace L2 Lloyd iterations, vectorized over all m subspaces.
 
@@ -86,35 +93,58 @@ def train_pq(
     normalized, so this is plain L2 k-means: assignment by
     argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c), update by masked mean.
     Empty clusters keep their previous centroid (the sample is dense
-    enough that re-seeding churn isn't worth the extra scan).
-    Returns codebooks [m, ksub, dsub] f32.
+    enough that re-seeding churn isn't worth the extra scan). Assignment
+    runs blockwise under lax.scan so the [*, m, ksub] score slab stays
+    HBM-bounded. Returns codebooks [m, ksub, dsub] f32.
     """
     ns, d = sample.shape
     dsub = d // m
-    x = sample.reshape(ns, m, dsub).transpose(1, 0, 2)   # [m, Ns, dsub]
-    cb = x[:, init_idx, :]                               # [m, ksub, dsub]
+    block = min(block, ns)
+    pad = (-ns) % block
+    x = sample
+    w_valid = jnp.ones((ns,), jnp.float32)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
+        w_valid = jnp.concatenate([w_valid, jnp.zeros((pad,), jnp.float32)])
+    nb = (ns + pad) // block
+    x_blocks = x.reshape(nb, block, d)
+    w_blocks = w_valid.reshape(nb, block)
+    cb0 = sample[init_idx].reshape(ksub, m, dsub).transpose(1, 0, 2)
 
-    def assign_of(cb):
-        xc = jnp.einsum("mnd,mkd->mnk", x, cb,
-                        preferred_element_type=jnp.float32)
+    def stats(cb):
         c2 = jnp.sum(cb * cb, axis=-1)                   # [m, ksub]
-        return jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1)  # [m, Ns]
 
-    def scatter_stats(assign):
-        def per_sub(a, xs):
-            sums = jnp.zeros((ksub, dsub), jnp.float32).at[a].add(xs)
-            counts = jnp.zeros((ksub,), jnp.float32).at[a].add(1.0)
-            return sums, counts
-        return jax.vmap(per_sub)(assign, x)              # [m,ksub,dsub],[m,ksub]
+        def blk(carry, inp):
+            sums, counts = carry
+            xb, wb = inp
+            xs = xb.reshape(block, m, dsub).transpose(1, 0, 2)
+            xc = jnp.einsum("mnd,mkd->mnk", xs, cb,
+                            preferred_element_type=jnp.float32)
+            a = jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1)  # [m, block]
+
+            def per_sub(a_j, xs_j):
+                s = jnp.zeros((ksub, dsub), jnp.float32).at[a_j].add(
+                    xs_j * wb[:, None])
+                c = jnp.zeros((ksub,), jnp.float32).at[a_j].add(wb)
+                return s, c
+
+            ds, dc = jax.vmap(per_sub)(a, xs)
+            return (sums + ds, counts + dc), None
+
+        (sums, counts), _ = jax.lax.scan(
+            blk,
+            (jnp.zeros((m, ksub, dsub), jnp.float32),
+             jnp.zeros((m, ksub), jnp.float32)),
+            (x_blocks, w_blocks))
+        return sums, counts
 
     def step(cb, _):
-        assign = assign_of(cb)
-        sums, counts = scatter_stats(assign)
+        sums, counts = stats(cb)
         new = sums / jnp.maximum(counts[..., None], 1.0)
         new = jnp.where(counts[..., None] > 0, new, cb)
         return new, None
 
-    cb, _ = jax.lax.scan(step, cb, None, length=iters)
+    cb, _ = jax.lax.scan(step, cb0, None, length=iters)
     return cb
 
 
@@ -273,7 +303,7 @@ class PQIndex:
               valid: np.ndarray | jax.Array,
               m: int | None = None, ksub: int = 256,
               train_rows: int = DEFAULT_TRAIN_ROWS, iters: int = 8,
-              seed: int = 0, encode_block: int = 65_536) -> "PQIndex":
+              seed: int = 0, encode_block: int = 4096) -> "PQIndex":
         """Train codebooks on a live-row sample, then encode blockwise.
 
         Host `embeddings` stream to device one block at a time, so the
