@@ -220,11 +220,16 @@ def _capped_layout(top_sims: np.ndarray, top_ids: np.ndarray,
     live = np.flatnonzero(valid)
     n_live = len(live)
     first = top_ids[live, 0]
+    natural = int(np.bincount(first, minlength=n_clusters).max()) if n_live \
+        else 1
     if max_load is None:
-        cap = int(np.bincount(first, minlength=n_clusters).max()) if n_live \
-            else 1
+        cap = natural
     else:
-        cap = int(np.ceil(max_load * max(n_live, 1) / n_clusters))
+        # the cap bounds skew; it must never WIDEN buckets past their
+        # natural max (near-uniform corpora would otherwise pay padded
+        # DMA for slack that nothing fills)
+        cap = min(int(np.ceil(max_load * max(n_live, 1) / n_clusters)),
+                  natural)
     cap = max(int(np.ceil(max(cap, 1) / 8) * 8), 8)
     bucket_ids = np.full((n_clusters, cap), -1, dtype=np.int32)
     fill = np.zeros(n_clusters, dtype=np.int64)

@@ -404,17 +404,17 @@ def fused_topk_int8(
 # top_k over all (tile, bin) winners + exact rescore finishes selection
 # outside the kernel.
 #
-# Bin assignment is STRIDED: bin(col) = col % BINS (via two
-# lane-layout-friendly reductions: [B, T/128, 128] sublane-max, then
-# [B, 128/BINS, BINS] group-max), so ADJACENT columns always land in
-# different bins. That matters for this workload: a store lays chunks of
-# one file in consecutive rows, and near-duplicate chunks of the hot file
-# ARE the expected top-k — contiguous binning would keep one per window.
-# With stride, any run of <= BINS adjacent rows survives intact; losses
-# need two top-k rows exactly BINS*i apart inside one tile (measured-rare;
-# the recall tests pin it).
+# Bin assignment is STRIDED: bin(col) = col % 128 (one sublane-axis max
+# over [B, T/128, 128] — the 128-lane layout's native reduction, and the
+# only output block shape Mosaic accepts without relayout), so ADJACENT
+# columns always land in different bins. That matters for this workload:
+# a store lays chunks of one file in consecutive rows, and near-duplicate
+# chunks of the hot file ARE the expected top-k — contiguous binning
+# would keep one per window. With stride, any run of <= 128 adjacent rows
+# survives intact; losses need two top-k rows exactly 128*i apart inside
+# one tile (measured-rare; the recall tests pin it).
 
-BINS = 16
+BINS = 128
 
 
 def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
@@ -434,9 +434,8 @@ def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
     in_range = (cols + row_base) < n_rows
     scores = jnp.where(alive & in_range, scores, NEG_INF)
     keys = _pack_keys(scores, cols)               # [B, T] i32, monotonic
-    lvl1 = jnp.max(keys.reshape(b, tile // 128, 128), axis=1)   # [B, 128]
     out_keys_ref[:] = jnp.max(
-        lvl1.reshape(b, 128 // BINS, BINS), axis=1)             # [B, BINS]
+        keys.reshape(b, tile // BINS, BINS), axis=1)            # [B, 128]
 
 
 def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
@@ -455,9 +454,8 @@ def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     in_range = (cols + row_base) < n_rows
     scores = jnp.where(alive & in_range, scores, NEG_INF)
     keys = _pack_keys(scores, cols)
-    lvl1 = jnp.max(keys.reshape(b, tile // 128, 128), axis=1)
     out_keys_ref[:] = jnp.max(
-        lvl1.reshape(b, 128 // BINS, BINS), axis=1)
+        keys.reshape(b, tile // BINS, BINS), axis=1)
 
 
 def _binned_candidates(keys_all: jax.Array, k1: int, tile: int

@@ -22,6 +22,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Multi-slice tier: the outermost axis crosses slice boundaries over DCN
+# (data-center network, ~25 GB/s/link vs ICI's ~400), so collectives are
+# laid out hierarchically — bulk gathers ride ICI inside a slice, only
+# k-sized reductions cross DCN (scaling-book recipe: put the slowest
+# network on the outermost, least-trafficked axis).
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: int | None = None,
@@ -34,6 +40,24 @@ def make_mesh(n_devices: int | None = None,
         model_parallel = 1
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_multislice_mesh(n_slices: int,
+                         n_devices: int | None = None) -> Mesh:
+    """(dcn, data) mesh: slices outermost, chips-within-slice inner.
+
+    On real multi-slice pods the device list is ordered slice-major (JAX
+    guarantees `jax.devices()` groups by slice), so a row-major reshape
+    puts same-slice chips on the inner `data` axis where ICI lives. On
+    the virtual CPU mesh the same factoring exercises the collective
+    structure (tests + dryrun).
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n % n_slices:
+        raise ValueError(f"{n} devices do not factor into {n_slices} slices")
+    grid = np.asarray(devices[:n]).reshape(n_slices, n // n_slices)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

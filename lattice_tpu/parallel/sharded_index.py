@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from lattice_tpu.ops import topk as topk_ops
-from lattice_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from lattice_tpu.parallel.mesh import DATA_AXIS, DCN_AXIS, make_mesh
 
 
 class ShardedIndex:
@@ -43,7 +43,15 @@ class ShardedIndex:
     def __init__(self, embeddings: np.ndarray | jax.Array, valid: np.ndarray,
                  mesh: Mesh | None = None, dtype: str = "bfloat16"):
         self.mesh = mesh or make_mesh()
+        # multi-slice tier: rows shard over (dcn, data) combined; the
+        # merge goes hierarchical (ICI gather within slice, k-sized
+        # payloads across DCN)
+        self.multislice = DCN_AXIS in self.mesh.axis_names
+        self._row_axes = ((DCN_AXIS, DATA_AXIS) if self.multislice
+                          else DATA_AXIS)
         n_data = self.mesh.shape[DATA_AXIS]
+        if self.multislice:
+            n_data *= self.mesh.shape[DCN_AXIS]
         n, d = embeddings.shape
         # Pad rows to a multiple of the data-axis size; padding rows invalid.
         pad = (-n) % n_data
@@ -57,8 +65,9 @@ class ShardedIndex:
             valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
         self.n_rows = n
         self.rows_per_shard = (n + pad) // n_data
-        self._row_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        self._emb_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self._row_sharding = NamedSharding(self.mesh, P(self._row_axes))
+        self._emb_sharding = NamedSharding(self.mesh,
+                                           P(self._row_axes, None))
         self.embeddings = jax.device_put(
             jnp.asarray(embeddings, dtype=jnp.dtype(dtype)),
             self._emb_sharding)
@@ -107,9 +116,21 @@ class ShardedIndex:
     def _build_search(self, k: int, with_mask: bool = False):
         mesh = self.mesh
         rows_per_shard = self.rows_per_shard
+        multislice = self.multislice
+        row_axes = self._row_axes
         # A shard can hold fewer rows than k; select what exists locally and
         # let the merge re-select the global k.
         k_local = min(k, rows_per_shard)
+
+        def merge_axis(scores, idx, axis, k_out):
+            all_scores = jax.lax.all_gather(scores, axis, axis=0,
+                                            tiled=False)   # [D, B, k]
+            all_idx = jax.lax.all_gather(idx, axis, axis=0)
+            d, b, kk = all_scores.shape
+            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d * kk)
+            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d * kk)
+            top_s, pos = jax.lax.top_k(flat_s, min(k_out, d * kk))
+            return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
         def local_search(queries, emb_shard, valid_shard, *mask_shard):
             # queries replicated; emb/valid(/mask) are this chip's rows.
@@ -118,21 +139,22 @@ class ShardedIndex:
             scores, idx = topk_ops.flat_topk(queries, emb_shard, valid_shard,
                                              k_local)
             shard_id = jax.lax.axis_index(DATA_AXIS)
+            if multislice:
+                shard_id = (jax.lax.axis_index(DCN_AXIS)
+                            * jax.lax.axis_size(DATA_AXIS) + shard_id)
             global_idx = idx + shard_id * rows_per_shard
-            # ICI merge: gather all shards' candidate lists, re-select.
-            all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0,
-                                            tiled=False)   # [D, B, k]
-            all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=0)
-            d, b, kk = all_scores.shape
-            flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d * kk)
-            flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d * kk)
-            top_scores, pos = jax.lax.top_k(flat_scores, min(k, d * kk))
-            top_idx = jnp.take_along_axis(flat_idx, pos, axis=-1)
-            return top_scores, top_idx
+            # hierarchical merge: the bulk candidate gather rides ICI
+            # (within slice); only the slice's final [B, k] crosses DCN
+            scores, global_idx = merge_axis(scores, global_idx,
+                                            DATA_AXIS, k)
+            if multislice:
+                scores, global_idx = merge_axis(scores, global_idx,
+                                                DCN_AXIS, k)
+            return scores, global_idx
 
-        in_specs = (P(), P(DATA_AXIS, None), P(DATA_AXIS))
+        in_specs = (P(), P(row_axes, None), P(row_axes))
         if with_mask:
-            in_specs = in_specs + (P(DATA_AXIS),)
+            in_specs = in_specs + (P(row_axes),)
         fn = shard_map(
             local_search, mesh=mesh,
             in_specs=in_specs,
@@ -162,7 +184,7 @@ class ShardedIndex:
             if pad:
                 m = np.concatenate([m, np.zeros(pad, dtype=bool)])
             m_dev = jax.device_put(
-                jnp.asarray(m), NamedSharding(self.mesh, P(DATA_AXIS)))
+                jnp.asarray(m), self._row_sharding)
             scores, idx = fn(q, self.embeddings, self.valid, m_dev)
         else:
             scores, idx = fn(q, self.embeddings, self.valid)

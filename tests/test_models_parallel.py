@@ -417,3 +417,42 @@ class TestShardedGraphBFS:
         monkeypatch.setenv("LATTICE_SHARDED", "1")
         got = store.k_hop([ids[0]], EdgeType.CALLS, 3)
         assert got == want
+
+
+class TestMultiSliceIndex:
+    """DCN tier (SURVEY §5 distributed-comm): rows shard over
+    (dcn, data); the merge is hierarchical so only [B, k] crosses the
+    slow axis. Virtual 8-device mesh factored as 2 slices x 4 chips."""
+
+    def test_hierarchical_merge_matches_oracle(self):
+        from lattice_tpu.parallel.mesh import make_multislice_mesh
+        rng = np.random.default_rng(5)
+        emb = topk_ops.l2_normalize(rng.normal(size=(500, 32)))
+        valid = np.ones(500, dtype=bool)
+        valid[77] = False
+        queries = topk_ops.l2_normalize(rng.normal(size=(4, 32)))
+        mesh = make_multislice_mesh(2, 8)
+        index = ShardedIndex(emb, valid, mesh=mesh, dtype="float32")
+        assert index.multislice
+        scores, idx = index.search(queries, k=7)
+        o_scores, o_idx = topk_ops.topk_oracle(queries, emb, valid, 7)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-5)
+        for got, want in zip(idx, o_idx):
+            assert set(got.tolist()) == set(want.tolist())
+        assert 77 not in idx
+
+    def test_mask_and_incremental_updates(self):
+        from lattice_tpu.parallel.mesh import make_multislice_mesh
+        rng = np.random.default_rng(6)
+        emb = topk_ops.l2_normalize(rng.normal(size=(128, 16)))
+        valid = np.ones(128, dtype=bool)
+        mesh = make_multislice_mesh(4, 8)   # 4 slices x 2 chips
+        index = ShardedIndex(emb, valid, mesh=mesh, dtype="float32")
+        mask = np.zeros(128, bool)
+        mask[10:30] = True
+        _, idx = index.search(emb[:2], k=3, mask=mask)
+        assert ((idx >= 10) & (idx < 30)).all()
+        fresh = topk_ops.l2_normalize(rng.normal(size=(1, 16)))
+        assert index.update_rows(fresh, np.array([99]))
+        _, idx = index.search(fresh, k=1)
+        assert idx[0, 0] == 99

@@ -174,17 +174,19 @@ class TestBinnedTopK:
                            tile=128, interpret=True)
         assert np.all(np.asarray(s) <= -1e29)
 
-    def test_k_wider_than_corpus_windows(self):
+    def test_k_wider_than_live_rows(self):
         rng = np.random.default_rng(9)
         emb = topk_ops.l2_normalize(rng.normal(size=(128, 32)))
         q = topk_ops.l2_normalize(rng.normal(size=(1, 32)))
+        valid = np.zeros(128, bool)
+        valid[:20] = True
         s, i = binned_topk(jnp.asarray(q), jnp.asarray(emb),
-                           jnp.asarray(np.ones(128, bool)), 40,
-                           tile=128, interpret=True)
-        # one tile x 16 bins = 16 candidates max; rest padded
-        s = np.asarray(s)
+                           jnp.asarray(valid), 40, tile=128, interpret=True)
+        s, i = np.asarray(s), np.asarray(i)
         assert s.shape == (1, 40)
-        assert (s[:, BINS:] <= -1e29).all()
+        real = s[0] > -1e29
+        assert real.sum() == 20               # every live row surfaced
+        assert set(i[0][real]) == set(range(20))
 
     def test_int8_binned_candidates(self):
         from lattice_tpu.ops.quant import quantize_rows
