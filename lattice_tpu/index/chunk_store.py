@@ -53,6 +53,10 @@ IVF_FILTER_MIN_MATCH_PER_K = 50
 # this bar (isotropic corpora measure ~0.2 and stay on the flat path).
 IVF_MIN_RECALL = float(os.environ.get("LATTICE_IVF_MIN_RECALL", 0.9))
 IVF_AUTO_NPROBE = int(os.environ.get("LATTICE_IVF_NPROBE", 8))
+# Sharded serving quantizes to int8 automatically once the bf16 rows
+# would occupy more than half a chip's HBM (transients + views need the
+# rest); LATTICE_SHARDED_INT8=1/0 forces it either way.
+CHIP_HBM_GB = float(os.environ.get("LATTICE_CHIP_HBM_GB", 16.0))
 
 
 class ChunkStore:
@@ -82,6 +86,8 @@ class ChunkStore:
         self._pq_mutations = 0
         self._sharded = None       # multi-chip view (parallel/sharded_index.py)
         self._sharded_dirty = True
+        self._shardedq = None      # multi-chip int8 view (2x corpus/chip)
+        self._shardedq_dirty = True
 
     @classmethod
     def from_device_arrays(cls, embeddings: jax.Array, valid: jax.Array,
@@ -211,21 +217,23 @@ class ChunkStore:
         elif normed_dev is not None:
             self._quant_dirty = True
         # removals leave int8 values stale but masked by `valid`
-        if self._sharded is not None and not self._sharded_dirty:
-            # O(delta) scatter into the sharded arrays; only a row id past
-            # the view's padded capacity (store just _grow()-ed) rebuilds
-            try:
-                if normed_dev is None:
-                    self._sharded.invalidate_rows(np.asarray(rows))
-                elif not self._sharded.update_rows(normed_dev,
-                                                   np.asarray(rows)):
-                    self._sharded_dirty = True
-            except Exception:
-                logger.exception(
-                    "incremental sharded update failed; rebuilding")
-                self._sharded_dirty = True
-        else:
-            self._sharded_dirty = True
+        for attr, dirty_attr in (("_sharded", "_sharded_dirty"),
+                                 ("_shardedq", "_shardedq_dirty")):
+            view = getattr(self, attr)
+            if view is not None and not getattr(self, dirty_attr):
+                # O(delta) scatter into the sharded arrays; only a row id
+                # past the padded capacity (store just _grow()-ed) rebuilds
+                try:
+                    if normed_dev is None:
+                        view.invalidate_rows(np.asarray(rows))
+                    elif not view.update_rows(normed_dev, np.asarray(rows)):
+                        setattr(self, dirty_attr, True)
+                except Exception:
+                    logger.exception(
+                        "incremental sharded update failed; rebuilding")
+                    setattr(self, dirty_attr, True)
+            else:
+                setattr(self, dirty_attr, True)
         if self._pq is not None and not self._pq_dirty:
             try:
                 if normed_dev is None:
@@ -295,6 +303,8 @@ class ChunkStore:
         self._pq_mutations = 0
         self._sharded = None
         self._sharded_dirty = True
+        self._shardedq = None
+        self._shardedq_dirty = True
 
     # ---- filters -------------------------------------------------------
 
@@ -498,6 +508,30 @@ class ChunkStore:
         emb = np.asarray(self._emb, dtype=np.float32)
         return ShardedQuantizedIndex(emb, self._valid_host.copy(), mesh=mesh)
 
+    def _sharded_wants_int8(self) -> bool:
+        """Memory-pressure rule for the sharded serving view (CLAUDE r2
+        item 5): quantize once bf16 rows would take over half a chip's
+        HBM. Env override: LATTICE_SHARDED_INT8=1/0."""
+        forced = os.environ.get("LATTICE_SHARDED_INT8")
+        if forced in ("0", "1"):
+            return forced == "1"
+        n_dev = max(len(jax.devices()), 1)
+        bf16_bytes_per_chip = self._cap * self.dim * 2 / n_dev
+        return bf16_bytes_per_chip > CHIP_HBM_GB * (1024 ** 3) / 2
+
+    def _sharded_view(self):
+        """The live multi-chip view under the memory rule, (re)built only
+        when dirty."""
+        if self._sharded_wants_int8():
+            if self._shardedq is None or self._shardedq_dirty:
+                self._shardedq = self.to_sharded_quantized()
+                self._shardedq_dirty = False
+            return self._shardedq
+        if self._sharded is None or self._sharded_dirty:
+            self._sharded = self.to_sharded()
+            self._sharded_dirty = False
+        return self._sharded
+
     def _device_is_tpu(self) -> bool:
         try:
             return jax.devices()[0].platform.lower() in ("tpu", "axon")
@@ -580,10 +614,7 @@ class ChunkStore:
         plan = self._plan_search(len(q), k_eff, filters, method)
         if plan == "sharded" and len(jax.devices()) > 1:
             mask = self.filter_mask(filters)
-            if self._sharded is None or self._sharded_dirty:
-                self._sharded = self.to_sharded()
-                self._sharded_dirty = False
-            scores_np, idx_np = self._sharded.search(
+            scores_np, idx_np = self._sharded_view().search(
                 np.asarray(q), k_eff,
                 mask=None if mask is None else np.asarray(mask))
             return self._assemble_hits(len(q), scores_np, idx_np)
@@ -631,10 +662,7 @@ class ChunkStore:
                                  method)
         mask = self.filter_mask(filters)
         if plan == "sharded" and len(jax.devices()) > 1:
-            if self._sharded is None or self._sharded_dirty:
-                self._sharded = self.to_sharded()
-                self._sharded_dirty = False
-            s, i = self._sharded.search(
+            s, i = self._sharded_view().search(
                 np.asarray(queries), k_eff,
                 mask=None if mask is None else np.asarray(mask))
             return jnp.asarray(s), jnp.asarray(i)

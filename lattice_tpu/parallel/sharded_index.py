@@ -194,19 +194,26 @@ class ShardedIndex:
 class ShardedQuantizedIndex:
     """Int8 row-sharded view: 2x the corpus per chip at equal HBM.
 
-    Same per-shard-top-k + ICI-merge shape as `ShardedIndex`, but each
+    Same per-shard-top-k + merge shape as `ShardedIndex` (including the
+    multislice hierarchical merge and payload-filter masks), but each
     shard holds symmetric per-row int8 values + f32 scales (ops/quant.py)
     — half the bytes of bf16, so a fixed mesh holds twice the chunks.
     Scores carry int8 quantization error (~1e-2 cosine, like bf16); the
     exact-rescore stage stays single-host because full-precision rows are
     deliberately NOT resident (that would forfeit the capacity win).
+    Mutations are O(delta) scatters exactly as in ShardedIndex.
     """
 
     def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
                  mesh: Mesh | None = None):
         from lattice_tpu.ops.quant import quantize_rows
         self.mesh = mesh or make_mesh()
+        self.multislice = DCN_AXIS in self.mesh.axis_names
+        self._row_axes = ((DCN_AXIS, DATA_AXIS) if self.multislice
+                          else DATA_AXIS)
         n_data = self.mesh.shape[DATA_AXIS]
+        if self.multislice:
+            n_data *= self.mesh.shape[DCN_AXIS]
         n, d = embeddings.shape
         pad = (-n) % n_data
         if pad:
@@ -216,57 +223,119 @@ class ShardedQuantizedIndex:
         self.n_rows = n
         self.rows_per_shard = (n + pad) // n_data
         values, scales = quantize_rows(np.asarray(embeddings, np.float32))
-        row_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        self.values = jax.device_put(
-            jnp.asarray(values), NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        self.scales = jax.device_put(jnp.asarray(scales), row_sharding)
-        self.valid = jax.device_put(jnp.asarray(valid), row_sharding)
-        self._search_cache: dict[int, callable] = {}
+        self._row_sharding = NamedSharding(self.mesh, P(self._row_axes))
+        self._val_sharding = NamedSharding(self.mesh,
+                                           P(self._row_axes, None))
+        self.values = jax.device_put(jnp.asarray(values), self._val_sharding)
+        self.scales = jax.device_put(jnp.asarray(scales), self._row_sharding)
+        self.valid = jax.device_put(jnp.asarray(valid), self._row_sharding)
+        self._search_cache: dict[tuple[int, bool], callable] = {}
+        self._update_fn = jax.jit(
+            lambda v, s, val, idx, nv, ns: (
+                v.at[idx].set(nv), s.at[idx].set(ns), val.at[idx].set(True)),
+            out_shardings=(self._val_sharding, self._row_sharding,
+                           self._row_sharding))
+        self._invalidate_fn = jax.jit(
+            lambda val, idx: val.at[idx].set(False),
+            out_shardings=self._row_sharding)
 
     def memory_bytes(self) -> int:
         return self.values.size + self.scales.size * 4 + self.valid.size
 
-    def _build_search(self, k: int):
+    @property
+    def capacity(self) -> int:
+        return int(self.values.shape[0])
+
+    def update_rows(self, vectors: np.ndarray | jax.Array,
+                    rows: np.ndarray) -> bool:
+        from lattice_tpu.ops.quant import quantize_rows_device
+        rows = np.asarray(rows, dtype=np.int32)
+        if rows.size == 0:
+            return True
+        if int(rows.max()) >= self.capacity:
+            return False
+        nv, ns = quantize_rows_device(jnp.asarray(vectors, jnp.float32))
+        self.values, self.scales, self.valid = self._update_fn(
+            self.values, self.scales, self.valid, jnp.asarray(rows), nv, ns)
+        self.n_rows = max(self.n_rows, int(rows.max()) + 1)
+        return True
+
+    def invalidate_rows(self, rows: np.ndarray) -> None:
+        rows = np.asarray(
+            [r for r in np.asarray(rows) if r < self.capacity],
+            dtype=np.int32)
+        if rows.size == 0:
+            return
+        self.valid = self._invalidate_fn(self.valid, jnp.asarray(rows))
+
+    def _build_search(self, k: int, with_mask: bool = False):
         from lattice_tpu.ops.quant import int8_topk
         mesh = self.mesh
         rows_per_shard = self.rows_per_shard
+        multislice = self.multislice
+        row_axes = self._row_axes
         k_local = min(k, rows_per_shard)
 
-        def local_search(q_values, q_scales, v_shard, s_shard, valid_shard):
-            scores, idx = int8_topk(q_values, q_scales, v_shard, s_shard,
-                                    valid_shard, k_local)
-            shard_id = jax.lax.axis_index(DATA_AXIS)
-            global_idx = idx + shard_id * rows_per_shard
-            all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0,
+        def merge_axis(scores, idx, axis, k_out):
+            all_scores = jax.lax.all_gather(scores, axis, axis=0,
                                             tiled=False)
-            all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=0)
+            all_idx = jax.lax.all_gather(idx, axis, axis=0)
             d_, b, kk = all_scores.shape
             flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d_ * kk)
             flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d_ * kk)
-            top_s, pos = jax.lax.top_k(flat_s, min(k, d_ * kk))
+            top_s, pos = jax.lax.top_k(flat_s, min(k_out, d_ * kk))
             return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
+        def local_search(q_values, q_scales, v_shard, s_shard, valid_shard,
+                         *mask_shard):
+            if mask_shard:
+                valid_shard = valid_shard & mask_shard[0]
+            scores, idx = int8_topk(q_values, q_scales, v_shard, s_shard,
+                                    valid_shard, k_local)
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            if multislice:
+                shard_id = (jax.lax.axis_index(DCN_AXIS)
+                            * jax.lax.axis_size(DATA_AXIS) + shard_id)
+            global_idx = idx + shard_id * rows_per_shard
+            scores, global_idx = merge_axis(scores, global_idx,
+                                            DATA_AXIS, k)
+            if multislice:
+                scores, global_idx = merge_axis(scores, global_idx,
+                                                DCN_AXIS, k)
+            return scores, global_idx
+
+        in_specs = (P(), P(), P(row_axes, None), P(row_axes), P(row_axes))
+        if with_mask:
+            in_specs = in_specs + (P(row_axes),)
         fn = shard_map(
             local_search, mesh=mesh,
-            in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
-                      P(DATA_AXIS)),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    def search(self, queries: np.ndarray, k: int
+    def search(self, queries: np.ndarray, k: int,
+               mask: np.ndarray | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
         """Global (scores [B,k], row ids [B,k]); scores int8-quantized."""
         from lattice_tpu.ops.quant import quantize_rows
-        fn = self._search_cache.get(k)
+        with_mask = mask is not None
+        fn = self._search_cache.get((k, with_mask))
         if fn is None:
-            fn = self._build_search(k)
-            self._search_cache[k] = fn
+            fn = self._build_search(k, with_mask)
+            self._search_cache[(k, with_mask)] = fn
         q = topk_ops.l2_normalize(np.atleast_2d(queries))
         q_values, q_scales = quantize_rows(q)
-        scores, idx = fn(jnp.asarray(q_values), jnp.asarray(q_scales),
-                         self.values, self.scales, self.valid)
+        args = [jnp.asarray(q_values), jnp.asarray(q_scales),
+                self.values, self.scales, self.valid]
+        if with_mask:
+            m = np.asarray(mask, dtype=bool)
+            pad = self.valid.shape[0] - m.shape[0]
+            if pad:
+                m = np.concatenate([m, np.zeros(pad, dtype=bool)])
+            args.append(jax.device_put(jnp.asarray(m), self._row_sharding))
+        scores, idx = fn(*args)
         return np.asarray(scores), np.asarray(idx)
 
 

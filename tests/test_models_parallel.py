@@ -456,3 +456,63 @@ class TestMultiSliceIndex:
         assert index.update_rows(fresh, np.array([99]))
         _, idx = index.search(fresh, k=1)
         assert idx[0, 0] == 99
+
+
+class TestShardedQuantizedUpgrades:
+    def test_mask_and_multislice(self):
+        from lattice_tpu.parallel.mesh import make_multislice_mesh
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        rng = np.random.default_rng(7)
+        emb = topk_ops.l2_normalize(rng.normal(size=(256, 32)))
+        valid = np.ones(256, bool)
+        idx = ShardedQuantizedIndex(emb, valid,
+                                    mesh=make_multislice_mesh(2, 8))
+        assert idx.multislice
+        mask = np.zeros(256, bool)
+        mask[40:80] = True
+        _, ids = idx.search(emb[:3], k=5, mask=mask)
+        assert ((ids >= 40) & (ids < 80)).all()
+        _, o_idx = topk_ops.topk_oracle(emb[:3], emb, valid & mask, 5)
+        # int8 scoring: allow 1 flip per row vs the exact oracle
+        for got, want in zip(ids, o_idx):
+            assert len(set(got.tolist()) & set(want.tolist())) >= 4
+
+    def test_incremental_updates(self):
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        rng = np.random.default_rng(8)
+        emb = topk_ops.l2_normalize(rng.normal(size=(64, 16)))
+        idx = ShardedQuantizedIndex(emb, np.ones(64, bool),
+                                    mesh=make_mesh(8))
+        fresh = topk_ops.l2_normalize(rng.normal(size=(1, 16)))
+        assert idx.update_rows(fresh, np.array([17]))
+        _, ids = idx.search(fresh, k=1)
+        assert ids[0, 0] == 17
+        idx.invalidate_rows(np.array([17]))
+        _, ids = idx.search(fresh, k=1)
+        assert ids[0, 0] != 17
+        assert not idx.update_rows(fresh, np.array([64]))
+
+    def test_memory_pressure_dispatch(self, monkeypatch):
+        from lattice_tpu.index.chunk_store import ChunkStore
+        rng = np.random.default_rng(9)
+        emb = topk_ops.l2_normalize(rng.normal(size=(128, 32)))
+        store = ChunkStore(dim=32, dtype="float32")
+        store.add(emb, [{"file_path": "a.py"}] * 128)
+        monkeypatch.setenv("LATTICE_SHARDED", "1")
+        # forced int8: the sharded plan serves through the quantized view
+        monkeypatch.setenv("LATTICE_SHARDED_INT8", "1")
+        hits = store.search(emb[:2], k=3)
+        assert hits[0][0][0] == 0
+        assert store._shardedq is not None and store._sharded is None
+        # view survives mutations O(delta)
+        view = store._shardedq
+        store.add(emb[:2], [{"file_path": "b.py"}] * 2)
+        assert store._shardedq is view and not store._shardedq_dirty
+        # forced off: bf16 view serves
+        monkeypatch.setenv("LATTICE_SHARDED_INT8", "0")
+        hits = store.search(emb[:2], k=3)
+        assert hits[0][0][0] == 0
+        assert store._sharded is not None
+        # auto rule: tiny corpora never trip the memory threshold
+        monkeypatch.delenv("LATTICE_SHARDED_INT8")
+        assert not store._sharded_wants_int8()
