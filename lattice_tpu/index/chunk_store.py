@@ -376,7 +376,7 @@ class ChunkStore:
         the bucket id table as a row mask (filtered rows score -inf)."""
         if self._size == 0:
             return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
-        if self._ivf is None or self._ivf_dirty:
+        if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
             self.build_ivf()
         mask = self.filter_mask(filters)
         scores, ids = self._ivf.search(np.atleast_2d(query_vectors), k,
@@ -553,10 +553,14 @@ class ChunkStore:
         3. pq       — LATTICE_PQ=1 (8x-capacity serving mode): uint8-code
                       ADC scan, gated on its build-time measured recall
         4. quantized — LATTICE_INT8=1 (2x-capacity serving mode) on TPU
-        5. pallas   — TPU and the capacity tiles evenly, k <= 64
+        5. pallas   — TPU and the capacity tiles evenly, k <= 64: the
+                      binned-max scan (37.4k qps / 0.9973 recall at 1M;
+                      forced method="refined" gives the exact-at-storage
+                      insertion scan at 29.1k / 0.9996)
         6. flat     — the XLA fallback, always correct
         """
-        if method in ("flat", "pallas", "ivf", "pq", "quantized", "sharded"):
+        if method in ("flat", "pallas", "refined", "ivf", "pq", "quantized",
+                      "sharded"):
             return method
         if method != "auto":
             raise VectorStoreError(f"unknown search method {method!r}")
@@ -568,6 +572,9 @@ class ChunkStore:
                 and self._filter_selectivity_ok(filters, k_eff)):
             if self._ivf is None or self._ivf_dirty:
                 self.build_ivf()          # one-time; self-measures recall
+                if not self._ivf_ready():
+                    # remember the refusal, free ~corpus-size of buckets
+                    self._ivf.release_buckets()
             if self._ivf_ready():
                 return "ivf"
         if os.environ.get("LATTICE_PQ") == "1":
@@ -627,13 +634,19 @@ class ChunkStore:
             return self.search_quantized(q, k_eff, filters=filters)
         mask = self.filter_mask(filters)
         valid = self._valid if mask is None else (self._valid & mask)
-        if plan == "pallas":
-            # refined_topk widens the first stage to max(k, 16), so size the
-            # tile for that width (tile 2048 at B>=128 with k>16 is a
-            # measured VMEM OOM — ADVICE r1); widened scan + exact f32
-            # rescore recovers the ~2pp recall packed-key quantization costs
+        if plan == "refined":
             tile = pallas_ops.pick_tile(self._cap, len(q), k=max(k_eff, 16))
             scores, idx = pallas_ops.refined_topk(
+                jnp.asarray(q), self._emb, valid, k_eff,
+                tile=tile or pallas_ops.DEFAULT_TILE)
+        elif plan == "pallas":
+            # binned-max scan (loop-free selection + approx_max_k finish +
+            # exact rescore): measured 37.4k qps vs refined's 29.1k at
+            # 1M x 768 B=256, recall 0.9973 vs 0.9996 (strided-bin
+            # collisions cost ~0.2pp; `method="refined"` forces the
+            # slower exact-at-storage scan when that matters)
+            tile = pallas_ops.pick_tile(self._cap, len(q), k=k_eff)
+            scores, idx = pallas_ops.binned_topk(
                 jnp.asarray(q), self._emb, valid, k_eff,
                 tile=tile or pallas_ops.DEFAULT_TILE)
         else:
@@ -667,7 +680,7 @@ class ChunkStore:
                 mask=None if mask is None else np.asarray(mask))
             return jnp.asarray(s), jnp.asarray(i)
         if plan == "ivf":
-            if self._ivf is None or self._ivf_dirty:
+            if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
                 self.build_ivf()
             return self._ivf.search_device(queries, k_eff,
                                            nprobe=IVF_AUTO_NPROBE, mask=mask)
@@ -681,10 +694,16 @@ class ChunkStore:
                 self._quant_dirty = False
             return self._quant.search_device(queries, valid, k_eff,
                                              full_precision=self._emb)
-        if plan == "pallas":
+        if plan == "refined":
             tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
                                         k=max(k_eff, 16))
             return pallas_ops.refined_topk(
+                queries, self._emb, valid, k_eff,
+                tile=tile or pallas_ops.DEFAULT_TILE)
+        if plan == "pallas":
+            tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
+                                        k=k_eff)
+            return pallas_ops.binned_topk(
                 queries, self._emb, valid, k_eff,
                 tile=tile or pallas_ops.DEFAULT_TILE)
         return topk_ops.flat_topk(queries, self._emb, valid, k_eff)

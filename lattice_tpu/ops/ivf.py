@@ -359,6 +359,7 @@ class IVFIndex:
         # dispatcher must never pick it silently.
         self.measured_recall: float | None = None
         self.measured_nprobe: int | None = None
+        self.hollow = False   # buckets released (verdict kept) — see below
         # incremental-mutation bookkeeping (host ints only): row -> (bucket,
         # slot) locator + per-bucket occupancy, so watch-mode upserts are
         # O(delta) device scatters instead of a full rebuild (the reference
@@ -669,9 +670,25 @@ class IVFIndex:
         return self.measured_recall
 
     def memory_bytes(self) -> int:
+        if self.hollow:
+            return self.centroids.size * 4
         return (self.bucket_data.size * self.bucket_data.dtype.itemsize
                 + self.bucket_ids.size * 4 + self.bucket_valid.size
                 + self.centroids.size * 4)
+
+    def release_buckets(self) -> None:
+        """Free the bucket arrays but KEEP the measured-recall verdict.
+
+        When the recall gate refuses an IVF build (isotropic corpus), the
+        padded buckets are ~the corpus size in HBM for a partition that
+        will never serve; dropping them while keeping `measured_recall`
+        lets the dispatcher remember the refusal without paying for it.
+        Serving entry points rebuild if a hollow index is ever forced.
+        """
+        self.bucket_data = None
+        self.bucket_ids = None
+        self.bucket_valid = None
+        self.hollow = True
 
 
 # ---- fused probe kernel (PrefetchScalarGridSpec) -------------------------

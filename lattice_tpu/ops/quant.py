@@ -108,18 +108,21 @@ class QuantizedView:
     def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
                      valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         """Pallas fused int8 scan on TPU (XLA upcasts int8 dots and is ~100x
-        slower there); XLA path elsewhere."""
+        slower there); XLA path elsewhere. The binned-max kernel serves
+        (35.8k qps vs the insertion scan's 29.5k at 1M x 768 B=256,
+        R2_TPU_RESULTS3); its output is sorted, so slicing to k is exact."""
         try:
             on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
         except Exception:
             on_tpu = False
         if on_tpu:
-            from lattice_tpu.ops.pallas_topk import fused_topk_int8, pick_tile
+            from lattice_tpu.ops.pallas_topk import binned_topk_int8, pick_tile
             tile = pick_tile(self.n, q_values.shape[0], k=k)
             if tile is not None:
-                return fused_topk_int8(q_values, q_scales,
-                                       self.values, self.scales, valid, k,
-                                       tile=tile)
+                s, i = binned_topk_int8(q_values, q_scales,
+                                        self.values, self.scales, valid, k,
+                                        tile=tile)
+                return s[:, :k], i[:, :k]
         return int8_topk(q_values, q_scales,
                          self.values, self.scales, valid, k)
 
