@@ -83,3 +83,52 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def summarize_device_trace(trace_dir: str,
+                           device_filter: str = "",
+                           top: int = 20) -> dict:
+    """Aggregate per-op self time from an xprof capture — no tensorboard UI.
+
+    Reads the raw `.xplane.pb` XSpace proto and sums XEvent durations per
+    op on every device plane whose name contains `device_filter` (e.g.
+    "TPU"; empty matches all device planes, skipping host threads). This
+    is how perf claims get grounded in the trace instead of wall-clock
+    differencing — it exposed `lax.top_k`'s 80 ms full sort behind the
+    binned scan (R2_TPU_RESULTS2.json).
+
+    Returns {"planes": [...], "total_ms": float, "ops": [(name, ms,
+    fraction), ...]} sorted by self time.
+    """
+    import glob
+
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception as exc:  # pragma: no cover - tf not installed
+        return {"error": f"xplane proto unavailable: {exc!r}"}
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        return {"error": "no xplane.pb capture found"}
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    op_ps: dict[str, float] = {}
+    planes: list[str] = []
+    for plane in space.planes:
+        planes.append(plane.name)
+        is_device = plane.name.startswith("/device:") or "TPU" in plane.name
+        if not is_device or device_filter not in plane.name:
+            continue
+        names = {i: m.name for i, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = names.get(ev.metadata_id, "?")
+                op_ps[name] = op_ps.get(name, 0.0) + ev.duration_ps
+    total = sum(op_ps.values())
+    ops = sorted(op_ps.items(), key=lambda kv: -kv[1])[:top]
+    return {
+        "planes": planes,
+        "total_ms": total / 1e9,
+        "ops": [(name, ps / 1e9, (ps / total if total else 0.0))
+                for name, ps in ops],
+    }

@@ -547,3 +547,26 @@ class TestInotifyRecursiveMoveStress:
         (root / "pkg" / "imported" / "sub" / "inner.py").write_text("w = 2\n")
         touched2, _ = backend.drain()
         assert "pkg/imported/sub/inner.py" in touched2
+
+
+class TestDeviceTraceSummary:
+    def test_cpu_capture_parses(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lattice_tpu.utils.tracing import (device_trace,
+                                               summarize_device_trace)
+        with device_trace(str(tmp_path)):
+            x = jnp.ones((256, 256))
+            float((x @ x).sum())
+        out = summarize_device_trace(str(tmp_path))
+        assert "error" not in out
+        assert any("CPU" in p or "TPU" in p for p in out["planes"])
+        # CPU device plane ops aggregate (dot or fusion must appear)
+        assert out["total_ms"] >= 0.0
+        names = " ".join(n for n, _, _ in out["ops"])
+        assert names == "" or "dot" in names or "fusion" in names \
+            or "jit" in names
+
+    def test_missing_capture(self, tmp_path):
+        from lattice_tpu.utils.tracing import summarize_device_trace
+        assert "error" in summarize_device_trace(str(tmp_path / "nope"))
