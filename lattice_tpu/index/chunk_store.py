@@ -81,6 +81,8 @@ class ChunkStore:
         self._ivf_mutations = 0    # rows churned since last build
         self._quant = None         # int8 shadow (ops/quant.py)
         self._quant_dirty = True
+        self._int4 = None          # packed-int4 shadow (4x capacity tier)
+        self._int4_dirty = True
         self._pq = None            # uint8-code capacity tier (ops/pq.py)
         self._pq_dirty = True
         self._pq_mutations = 0
@@ -216,7 +218,13 @@ class ChunkStore:
                                     jnp.asarray(np.asarray(rows, np.int32)))
         elif normed_dev is not None:
             self._quant_dirty = True
-        # removals leave int8 values stale but masked by `valid`
+        if (normed_dev is not None and self._int4 is not None
+                and not self._int4_dirty and max(rows) < self._int4.n):
+            self._int4.update_rows(normed_dev,
+                                   jnp.asarray(np.asarray(rows, np.int32)))
+        elif normed_dev is not None:
+            self._int4_dirty = True
+        # removals leave int8/int4 values stale but masked by `valid`
         for attr, dirty_attr in (("_sharded", "_sharded_dirty"),
                                  ("_shardedq", "_shardedq_dirty")):
             view = getattr(self, attr)
@@ -298,6 +306,8 @@ class ChunkStore:
         self._ivf_mutations = 0
         self._quant = None
         self._quant_dirty = True
+        self._int4 = None
+        self._int4_dirty = True
         self._pq = None
         self._pq_dirty = True
         self._pq_mutations = 0
@@ -491,6 +501,45 @@ class ChunkStore:
             out.append(hits)
         return out
 
+    def _int4_view(self):
+        from lattice_tpu.ops.quant import Int4View
+        if self._int4 is None or self._int4_dirty:
+            self._int4 = Int4View(self._emb)   # device-side quantization
+            self._int4_dirty = False
+        return self._int4
+
+    def search_int4(self, query_vectors: np.ndarray, k: int,
+                    rescore: bool = True,
+                    filters: dict[str, Any] | None = None
+                    ) -> list[list[tuple[int, float, dict[str, Any]]]]:
+        """Packed-int4 first-stage scan (+ optional full-precision rescore).
+
+        A quarter of the HBM traffic of bf16 (ops/quant.Int4View): the 4x
+        lever on BASELINE's equal-memory recall contract, one tier past
+        int8. With `_emb` still resident (as here) the winners rescore
+        exactly, so recall returns to the storage ceiling and int4 buys
+        pure scan bandwidth."""
+        if self._size == 0:
+            return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
+        view = self._int4_view()
+        q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
+        mask = self.filter_mask(filters)
+        valid = self._valid if mask is None else (self._valid & mask)
+        scores, idx = view.search(
+            q, valid, min(k, self._cap),
+            full_precision=self._emb if rescore else None)
+        out: list[list[tuple[int, float, dict[str, Any]]]] = []
+        for qi in range(len(q)):
+            hits = []
+            for score, row in zip(scores[qi], idx[qi]):
+                if score <= topk_ops.NEG_INF / 2:
+                    continue
+                payload = self._payloads[int(row)]
+                if payload is not None:
+                    hits.append((int(row), float(score), payload))
+            out.append(hits)
+        return out
+
     def to_sharded(self, mesh=None):
         """Multi-chip view: rows sharded over the data axis with ICI top-k
         merge (parallel/sharded_index.py). The device matrix reshards
@@ -552,15 +601,17 @@ class ChunkStore:
                       can't starve (fraction + absolute floors)
         3. pq       — LATTICE_PQ=1 (8x-capacity serving mode): uint8-code
                       ADC scan, gated on its build-time measured recall
-        4. quantized — LATTICE_INT8=1 (2x-capacity serving mode) on TPU
-        5. pallas   — TPU and the capacity tiles evenly, k <= 64: the
+        4. int4     — LATTICE_INT4=1 (4x-capacity serving mode) on TPU:
+                      packed-nibble scan at ~int8 speed + exact rescore
+        5. quantized — LATTICE_INT8=1 (2x-capacity serving mode) on TPU
+        6. pallas   — TPU and the capacity tiles evenly, k <= 64: the
                       binned-max scan (37.4k qps / 0.9973 recall at 1M;
                       forced method="refined" gives the exact-at-storage
                       insertion scan at 29.1k / 0.9996)
         6. flat     — the XLA fallback, always correct
         """
         if method in ("flat", "pallas", "refined", "ivf", "pq", "quantized",
-                      "sharded"):
+                      "int4", "sharded"):
             return method
         if method != "auto":
             raise VectorStoreError(f"unknown search method {method!r}")
@@ -582,6 +633,8 @@ class ChunkStore:
                 self.build_pq()           # one-time; self-measures recall
             if self._pq_ready():
                 return "pq"
+        if on_tpu and os.environ.get("LATTICE_INT4") == "1":
+            return "int4"
         if on_tpu and os.environ.get("LATTICE_INT8") == "1":
             return "quantized"
         tile = pallas_ops.pick_tile(self._cap, batch, k=max(k_eff, 16))
@@ -632,6 +685,8 @@ class ChunkStore:
             return self.search_pq(q, k_eff, filters=filters)
         if plan == "quantized":
             return self.search_quantized(q, k_eff, filters=filters)
+        if plan == "int4":
+            return self.search_int4(q, k_eff, filters=filters)
         mask = self.filter_mask(filters)
         valid = self._valid if mask is None else (self._valid & mask)
         if plan == "refined":
@@ -694,6 +749,9 @@ class ChunkStore:
                 self._quant_dirty = False
             return self._quant.search_device(queries, valid, k_eff,
                                              full_precision=self._emb)
+        if plan == "int4":
+            return self._int4_view().search_device(queries, valid, k_eff,
+                                                   full_precision=self._emb)
         if plan == "refined":
             tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
                                         k=max(k_eff, 16))

@@ -607,6 +607,97 @@ def binned_topk_int8(
     return s1[:b_in], c1[:b_in]
 
 
+def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
+                        out_keys_ref, *, tile: int, n_rows: int):
+    """Packed-int4 corpus scan: nibbles unpack on the VPU, dots on the MXU.
+
+    `e_ref` is [T, d/2] with dims [0, d/2) in low nibbles and [d/2, d)
+    in high nibbles (ops/quant.quantize_rows_int4). The kernel never
+    materializes the [T, d] row: it sign-extends each nibble plane and
+    runs TWO half-width int8 matmuls against the matching query halves —
+    sum of partial dots == full dot, and no lane concat/relayout is ever
+    asked of Mosaic."""
+    j = pl.program_id(0)
+    x = e_ref[:].astype(jnp.int32)                    # [T, d/2] packed
+    lo = (((x & 0xF) ^ 8) - 8).astype(jnp.int8)       # dims [0, d/2)
+    hi = (x >> 4).astype(jnp.int8)                    # dims [d/2, d)
+    q = q_ref[:]                                      # [B, d] i8
+    dh = x.shape[1]
+    dims = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(q[:, :dh], lo, dimension_numbers=dims,
+                              preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(q[:, dh:], hi, dimension_numbers=dims,
+                                    preferred_element_type=jnp.int32)
+    b = acc.shape[0]
+    scores = acc.astype(jnp.float32) * qs_ref[:] * es_ref[:].reshape(1, tile)
+    row_base = j * tile
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    alive = valid_ref[:].reshape(1, tile) != 0
+    in_range = (cols + row_base) < n_rows
+    scores = jnp.where(alive & in_range, scores, NEG_INF)
+    keys = _pack_keys_fast(scores, cols)
+    out_keys_ref[:] = jnp.max(
+        keys.reshape(b, tile // BINS, BINS), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def binned_topk_int4(
+    q_values: jax.Array,     # [B, d] i8 (queries stay int8 — asymmetric)
+    q_scales: jax.Array,     # [B] f32
+    e_packed: jax.Array,     # [N, d/2] i8, two int4 per byte, N % tile == 0
+    e_scales: jax.Array,     # [N] f32
+    valid: jax.Array,        # [N] bool/int8
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
+
+    Returns widened (scores [B,k1], ids [B,k1]) with k1 = max(k, 16);
+    rescore happens in the caller (Int4View)."""
+    n, dh = e_packed.shape
+    d = dh * 2
+    assert q_values.shape[1] == d, (q_values.shape, d)
+    b_in = q_values.shape[0]
+    b = max(32, ((b_in + 31) // 32) * 32)
+    if b != b_in:
+        q_values = jnp.concatenate(
+            [q_values, jnp.zeros((b - b_in, d), q_values.dtype)], axis=0)
+        q_scales = jnp.concatenate(
+            [q_scales, jnp.zeros((b - b_in,), q_scales.dtype)], axis=0)
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    n_tiles = n // tile
+    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    kernel = functools.partial(_binned_kernel_int4, tile=tile, n_rows=n)
+    keys_all = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, dh), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, BINS), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * BINS), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * dh + b * d + b * n_tiles * BINS * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_values, q_scales.reshape(b, 1), e_packed,
+      e_scales.reshape(n, 1), valid_i8)
+    k1 = min(max(k, 16), n_tiles * BINS)
+    s1, c1 = _binned_candidates(keys_all, k1, tile)
+    return s1[:b_in], c1[:b_in]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _exact_rescore(queries: jax.Array, embeddings: jax.Array,
                    stage_scores: jax.Array, candidates: jax.Array,

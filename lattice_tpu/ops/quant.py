@@ -161,3 +161,165 @@ class QuantizedView:
             jnp.asarray(np.atleast_2d(queries), dtype=jnp.float32),
             valid, k, full_precision, rescore_factor)
         return np.asarray(s), np.asarray(i)
+
+
+# ---- int4 tier -------------------------------------------------------------
+#
+# 4x capacity vs bf16 at near-full scan speed: two int4 values pack per
+# byte, the kernel unpacks nibbles with VPU shifts and feeds the int8 MXU.
+# Columns are NOT interleaved: dims [0, d/2) live in low nibbles and
+# [d/2, d) in high nibbles, so the in-kernel unpack is two shift passes +
+# a lane concat (an interleave would force a Mosaic relayout). Dot
+# products are permutation-invariant as long as the query is permuted the
+# same way — and here the permutation is identity (lo block keeps its
+# position, hi block keeps its). Queries stay int8 (asymmetric scoring:
+# query error is shared across the whole ranking, so halving only the
+# CORPUS bytes costs almost no recall — same argument as ADC in PQ).
+
+
+def quantize_rows_int4(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int4, packed two-per-byte. Returns
+    (packed [N, d/2] int8, scales [N] f32). d must be even."""
+    x = np.asarray(x, dtype=np.float32)
+    n, d = x.shape
+    if d % 2:
+        raise ValueError("int4 packing needs an even dim")
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    scales = (amax / 7.0).astype(np.float32)
+    safe = np.maximum(scales, 1e-12)
+    v = np.clip(np.rint(x / safe), -7, 7).astype(np.int32)
+    lo = v[:, : d // 2]
+    hi = v[:, d // 2:]
+    packed = ((hi << 4) | (lo & 0xF)).astype(np.int8)
+    return packed, scales[:, 0]
+
+
+@jax.jit
+def quantize_rows_int4_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    x = x.astype(jnp.float32)
+    d = x.shape[-1]
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scales = amax / 7.0
+    safe = jnp.maximum(scales, 1e-12)
+    v = jnp.clip(jnp.round(x / safe), -7, 7).astype(jnp.int32)
+    lo = v[:, : d // 2]
+    hi = v[:, d // 2:]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    return packed, scales[:, 0]
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[N, d/2] packed -> [N, d] int8 (lo block then hi block)."""
+    x = packed.astype(jnp.int32)
+    lo = ((x & 0xF) ^ 8) - 8          # sign-extend the low nibble
+    hi = x >> 4                       # arithmetic shift sign-extends
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
+def unpack_int4_oracle(packed: np.ndarray) -> np.ndarray:
+    x = np.asarray(packed, dtype=np.int32)
+    lo = ((x & 0xF) ^ 8) - 8
+    hi = x >> 4
+    return np.concatenate([lo, hi], axis=-1).astype(np.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def int4_topk(
+    q_values: jax.Array,    # [B, d] i8
+    q_scales: jax.Array,    # [B] f32
+    e_packed: jax.Array,    # [N, d/2] i8
+    e_scales: jax.Array,    # [N] f32
+    valid: jax.Array,       # [N] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """XLA fallback for non-TPU backends: unpack then int8-score.
+
+    Materializes the [N, d] unpacked matrix, so it is for CPU tests and
+    small corpora only — the Pallas kernel (pallas_topk.binned_topk_int4)
+    never materializes it."""
+    e_full = unpack_int4(e_packed)
+    acc = jax.lax.dot_general(
+        q_values, e_full,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) * q_scales[:, None] * e_scales[None, :]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+class Int4View:
+    """Packed-int4 shadow of an embedding matrix: the 4x capacity tier.
+
+    Sits between int8 (2x, near-lossless) and PQ (8x+, ADC-slow): 4M x 768
+    rows fit one v5e chip UNDER the 1M-bf16 HBM budget (4M x 388 B =
+    1.48 GiB vs 1.5 GiB) and the scan still rides the int8 MXU, unlike
+    PQ's one-hot-traffic-bound ADC (~190 qps at 4M, R2_TPU_RESULTS3).
+    Replaces the reference's memory ceiling story (Qdrant scalar
+    quantization, /root/reference/src/lattice/embeddings/client.py) with
+    an MXU-native layout.
+
+    Two-stage search mirrors QuantizedView: int4 scan selects a widened
+    candidate set, then optional full-precision rows rescore (when the
+    deployment keeps them; the pure capacity tier rescores from the int4
+    values themselves, which only fixes selection ties, not quant error).
+    """
+
+    def __init__(self, embeddings: np.ndarray | jax.Array):
+        if isinstance(embeddings, jax.Array):
+            self.values, self.scales = quantize_rows_int4_device(embeddings)
+        else:
+            values, scales = quantize_rows_int4(embeddings)
+            self.values = jnp.asarray(values)
+            self.scales = jnp.asarray(scales)
+        self.n = self.values.shape[0]
+        self.d = self.values.shape[1] * 2
+
+    def memory_bytes(self) -> int:
+        return self.values.size + self.scales.size * 4
+
+    def update_rows(self, rows: jax.Array, idx: jax.Array) -> None:
+        """O(delta) upsert: re-quantize only the changed rows on device."""
+        v, s = quantize_rows_int4_device(rows.astype(jnp.float32))
+        self.values = self.values.at[idx].set(v)
+        self.scales = self.scales.at[idx].set(s)
+
+    def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
+                     valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+        try:
+            on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from lattice_tpu.ops.pallas_topk import binned_topk_int4, pick_tile
+            tile = pick_tile(self.n, q_values.shape[0], k=k)
+            if tile is not None:
+                s, i = binned_topk_int4(q_values, q_scales,
+                                        self.values, self.scales, valid, k,
+                                        tile=tile)
+                return s[:, :k], i[:, :k]
+        return int4_topk(q_values, q_scales,
+                         self.values, self.scales, valid, k)
+
+    def search_device(self, queries: jax.Array, valid: jax.Array, k: int,
+                      full_precision: jax.Array | None = None,
+                      rescore_factor: int = 4
+                      ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident two-stage search (queries int8, corpus int4)."""
+        q = queries.astype(jnp.float32)
+        q_values, q_scales = quantize_rows_device(q)
+        if full_precision is None:
+            return self._first_stage(q_values, q_scales, valid, k)
+        k1 = min(max(k, 16), max(rescore_factor * k, k), self.n)
+        s1, cand = self._first_stage(q_values, q_scales, valid, k1)
+        from lattice_tpu.ops.pallas_topk import _exact_rescore
+        return _exact_rescore(q, full_precision, s1, cand, k)
+
+    def search(self, queries: np.ndarray, valid: jax.Array, k: int,
+               full_precision: jax.Array | None = None,
+               rescore_factor: int = 4) -> tuple[np.ndarray, np.ndarray]:
+        s, i = self.search_device(
+            jnp.asarray(np.atleast_2d(queries), dtype=jnp.float32),
+            valid, k, full_precision, rescore_factor)
+        return np.asarray(s), np.asarray(i)

@@ -162,6 +162,30 @@ class TestQuantizedStorePath:
         for fr, qr in zip(flat, quant):
             assert {r for r, _, _ in fr} == {r for r, _, _ in qr}
 
+    def test_int4_matches_flat(self):
+        s = ChunkStore(dim=48, dtype="float32", initial_capacity=128)
+        vecs = _vecs(60, 48, seed=23)
+        s.add(vecs, [{"file_path": f"f{i}.py", "content_hash": "h"}
+                     for i in range(60)])
+        q = _vecs(3, 48, seed=24)
+        flat = s.search(q, k=8)
+        i4 = s.search_int4(q, k=8)
+        # exact rescore of a widened int4 candidate set: near-total overlap
+        overlaps = [len({r for r, _, _ in fr} & {r for r, _, _ in ir}) / 8
+                    for fr, ir in zip(flat, i4)]
+        assert np.mean(overlaps) >= 0.85, overlaps
+
+    def test_int4_sees_new_rows_delta(self):
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
+        s.add(_vecs(10, 16), [{"file_path": "a.py", "content_hash": "h"}] * 10)
+        s.search_int4(_vecs(1, 16), k=3)          # builds the view
+        assert not s._int4_dirty
+        new = _vecs(1, 16, seed=15)
+        row = s.add(new, [{"file_path": "b.py", "content_hash": "h"}])[0]
+        assert not s._int4_dirty                  # O(delta) scatter, no rebuild
+        got = s.search_int4(new, k=1)
+        assert got[0][0][0] == row
+
     def test_quant_masks_removed_rows_without_rebuild(self):
         s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
         s.add(_vecs(10, 16), [{"file_path": "a.py", "content_hash": "h"}] * 10)
@@ -373,7 +397,7 @@ class TestDispatchDecisionTable:
 
     def test_forced_methods_pass_through(self):
         s = self._store()
-        for m in ("flat", "pallas", "ivf", "quantized", "sharded"):
+        for m in ("flat", "pallas", "ivf", "quantized", "int4", "sharded"):
             assert s._plan_search(4, 10, None, m) == m
 
     def test_unknown_method_rejected(self):
@@ -422,6 +446,12 @@ class TestDispatchDecisionTable:
         monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
         monkeypatch.setenv("LATTICE_INT8", "1")
         assert s._plan_search(4, 10, None, "auto") == "quantized"
+
+    def test_int4_env_serves_int4(self, monkeypatch):
+        s = self._store(n=64)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setenv("LATTICE_INT4", "1")
+        assert s._plan_search(4, 10, None, "auto") == "int4"
 
     def test_k_above_64_uses_flat(self, monkeypatch):
         s = self._store(n=64)

@@ -151,3 +151,91 @@ class TestQuantized:
         values, scales = quantize_rows(emb)
         recon = values.astype(np.float32) * scales[:, None]
         assert np.abs(recon - emb).max() < 0.01
+
+
+class TestInt4:
+    def test_pack_unpack_roundtrip(self):
+        from lattice_tpu.ops.quant import (quantize_rows_int4,
+                                           unpack_int4, unpack_int4_oracle)
+        emb = topk_ops.l2_normalize(
+            np.random.default_rng(4).normal(size=(50, 64)))
+        packed, scales = quantize_rows_int4(emb)
+        assert packed.shape == (50, 32) and packed.dtype == np.int8
+        u_np = unpack_int4_oracle(packed)
+        u_dev = np.asarray(unpack_int4(np.asarray(packed)))
+        np.testing.assert_array_equal(u_np, u_dev)
+        assert u_np.min() >= -7 and u_np.max() <= 7
+        recon = u_np.astype(np.float32) * scales[:, None]
+        # int4 step = scale; max rounding error = scale/2 <= amax/14
+        assert np.abs(recon - emb).max() < np.abs(emb).max() / 13
+
+    def test_device_pack_matches_host(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import (quantize_rows_int4,
+                                           quantize_rows_int4_device)
+        emb = topk_ops.l2_normalize(
+            np.random.default_rng(5).normal(size=(40, 32)))
+        p_h, s_h = quantize_rows_int4(emb)
+        p_d, s_d = quantize_rows_int4_device(jnp.asarray(emb))
+        np.testing.assert_array_equal(p_h, np.asarray(p_d))
+        np.testing.assert_allclose(s_h, np.asarray(s_d), rtol=1e-6)
+
+    def test_int4_search_close_to_exact(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import Int4View
+        rng = np.random.default_rng(6)
+        emb = topk_ops.l2_normalize(rng.normal(size=(500, 64)))
+        valid = np.ones(500, dtype=bool)
+        valid[100] = False
+        q = topk_ops.l2_normalize(rng.normal(size=(4, 64)))
+        view = Int4View(emb)
+        s, i = view.search(q, jnp.asarray(valid), k=10)
+        o_s, o_i = topk_ops.topk_oracle(q, emb, valid, 10)
+        recall = np.mean([
+            len(set(i[r].tolist()) & set(o_i[r].tolist())) / 10
+            for r in range(4)
+        ])
+        assert recall >= 0.7, recall        # int4 first stage, no rescore
+        assert 100 not in i
+
+    def test_int4_rescore_recovers_exact_order(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import Int4View
+        rng = np.random.default_rng(7)
+        emb = topk_ops.l2_normalize(rng.normal(size=(400, 32)))
+        valid = np.ones(400, dtype=bool)
+        q = topk_ops.l2_normalize(rng.normal(size=(3, 32)))
+        view = Int4View(emb)
+        s, i = view.search(q, jnp.asarray(valid), k=5,
+                           full_precision=jnp.asarray(emb, dtype=jnp.float32),
+                           rescore_factor=8)
+        o_s, o_i = topk_ops.topk_oracle(q, emb, valid, 5)
+        recall = np.mean([
+            len(set(got.tolist()) & set(want.tolist())) / 5
+            for got, want in zip(i, o_i)])
+        assert recall >= 0.85, recall
+        # whatever survived the first stage is exactly scored
+        for row in range(3):
+            want = {int(c): float(v) for c, v in zip(o_i[row], o_s[row])}
+            for c, v in zip(i[row], s[row]):
+                if int(c) in want:
+                    assert abs(want[int(c)] - float(v)) < 1e-5
+
+    def test_memory_quarters(self):
+        from lattice_tpu.ops.quant import Int4View
+        emb = np.random.default_rng(8).normal(size=(256, 64)).astype(np.float32)
+        view = Int4View(emb)
+        bf16_bytes = emb.size * 2
+        assert view.memory_bytes() < 0.3 * bf16_bytes
+
+    def test_update_rows_delta(self):
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import Int4View
+        rng = np.random.default_rng(10)
+        emb = topk_ops.l2_normalize(rng.normal(size=(200, 32)))
+        view = Int4View(emb)
+        q = topk_ops.l2_normalize(rng.normal(size=(1, 32)))
+        # plant the query itself at row 7 via the delta path
+        view.update_rows(jnp.asarray(q), jnp.asarray([7]))
+        s, i = view.search(q, jnp.asarray(np.ones(200, bool)), k=1)
+        assert int(i[0, 0]) == 7

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from lattice_tpu.ops import topk as topk_ops
 from lattice_tpu.ops.ivf import IVFIndex, kmeans_fit
 from lattice_tpu.ops.pallas_topk import (BINS, binned_topk,
+                                         binned_topk_int4,
                                          binned_topk_int8, fused_topk,
                                          pad_for_tile, refined_topk)
 
@@ -199,6 +200,44 @@ class TestBinnedTopK:
             jnp.asarray(es), jnp.asarray(np.ones(1024, bool)), 10,
             tile=256, interpret=True)
         assert set(rows) <= set(np.asarray(c1)[0].tolist())
+
+    def test_int4_binned_candidates(self):
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        rows = list(range(100, 110))
+        emb, q = self._planted(1024, 64, rows, seed=3)
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        s1, c1 = binned_topk_int4(
+            jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+            jnp.asarray(es), jnp.asarray(np.ones(1024, bool)), 10,
+            tile=256, interpret=True)
+        # near-duplicate run dominates; all 10 must survive the int4 scan
+        assert set(rows) <= set(np.asarray(c1)[0].tolist())
+
+    def test_int4_kernel_matches_xla_fallback(self):
+        # identical integer math in the Pallas kernel and the XLA unpack
+        # path: winner scores for shared ids must agree exactly
+        from lattice_tpu.ops.quant import (int4_topk, quantize_rows,
+                                           quantize_rows_int4)
+        rng = np.random.default_rng(11)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 64)))
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 64)))
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = jnp.asarray(np.ones(512, bool))
+        s_pl, i_pl = binned_topk_int4(
+            jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+            jnp.asarray(es), valid, 8, tile=128, interpret=True)
+        s_xla, i_xla = int4_topk(
+            jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+            jnp.asarray(es), valid, 16)
+        ref = {int(c): float(s)
+               for c, s in zip(np.asarray(i_xla).ravel(),
+                               np.asarray(s_xla).ravel())}
+        for c, s in zip(np.asarray(i_pl).ravel(), np.asarray(s_pl).ravel()):
+            if int(c) in ref:
+                # packed keys truncate to ~11 mantissa bits (~1e-3)
+                assert abs(ref[int(c)] - float(s)) < 2e-3
 
 
 class TestKMeans:
