@@ -129,7 +129,7 @@ def main() -> None:
 
     # alternate kernels for visibility (not the headline)
     alt = {}
-    for name in ("pallas", "refined", "quantized", "flat"):
+    for name in ("pallas", "refined", "quantized", "int4", "flat"):
         if name in ("pallas", "refined") and plan == "flat":
             continue  # no valid tile / not on TPU
         try:

@@ -60,7 +60,7 @@ _KEY_SHIFT = 12            # supports tile + k <= 4096 candidate columns
 _MASKED_SCORE = -1.5       # masked entries sort below all real cosines
 
 
-def _pack_keys_fast(scores, cols):
+def _pack_keys_fast(scores, cols, shift: int = _KEY_SHIFT):
     """Branch-free pack for the binned kernels: no clip, no where.
 
     score+2 is a positive normal float for every real cosine, so its
@@ -68,10 +68,13 @@ def _pack_keys_fast(scores, cols):
     two's-complement i32 ordering puts every negative below every
     positive — the mask is free. (The insertion kernel keeps the clipped
     variant because its unpacked kth-score comparisons need the masked
-    sentinel at a known value.)
+    sentinel at a known value.) `shift` is the column bit budget: 12
+    covers tile <= 4096 at ~1e-3 score resolution; 13 covers 8192 at
+    ~2e-3 (both below bf16 storage rounding, and the exact rescore
+    recomputes winners anyway).
     """
     bits = jax.lax.bitcast_convert_type(scores + 2.0, jnp.int32)
-    return ((bits >> _KEY_SHIFT) << _KEY_SHIFT) | cols
+    return ((bits >> shift) << shift) | cols
 
 
 def _pack_keys(scores, cols):
@@ -81,14 +84,19 @@ def _pack_keys(scores, cols):
     return ((bits >> _KEY_SHIFT) << _KEY_SHIFT) | cols
 
 
-def _unpack_score(keys):
-    bits = (keys >> _KEY_SHIFT) << _KEY_SHIFT
+def _unpack_score(keys, shift: int = _KEY_SHIFT):
+    bits = (keys >> shift) << shift
     score = jax.lax.bitcast_convert_type(bits, jnp.float32) - 2.0
     return jnp.where(score < -1.3, NEG_INF, score)
 
 
-def _unpack_col(keys):
-    return keys & ((1 << _KEY_SHIFT) - 1)
+def _unpack_col(keys, shift: int = _KEY_SHIFT):
+    return keys & ((1 << shift) - 1)
+
+
+def _tile_shift(tile: int) -> int:
+    """Column bits needed for `tile` candidate positions."""
+    return max((tile - 1).bit_length(), _KEY_SHIFT)
 
 
 def _select_topk_packed(scores, row_base, best_s_ref, best_i_ref, k):
@@ -432,47 +440,67 @@ BINS = 128
 
 
 def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
-                   *, tile: int, n_rows: int):
+                   *, tile: int, n_rows: int, inner: int, shift: int):
+    """`inner` sub-tiles the COMPUTE, not the DMA: the BlockSpec still
+    streams `tile` rows per grid step (fewer steps -> less per-step issue
+    overhead, measured ~14 us/step on v5e), while the [B, inner] score/key
+    slabs stay small enough for the 16 MB scoped-VMEM limit (tile 4096
+    with full-width slabs at B=256 overflows by 664 KB —
+    R2_TPU_RESULTS4). Sub-tile bin maxima merge with an elementwise max:
+    sub-tile h's cols are offset by h*inner, and inner % 128 == 0 keeps
+    col % 128 bin identity across sub-tiles."""
     j = pl.program_id(0)
     q = q_ref[:]                                  # [B, d]
-    e_tile = e_ref[:]                             # [T, d]
-    scores = jax.lax.dot_general(
-        q.astype(e_tile.dtype), e_tile,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                             # [B, T]
-    b = scores.shape[0]
     row_base = j * tile
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    alive = valid_ref[:].reshape(1, tile) != 0
-    in_range = (cols + row_base) < n_rows
-    scores = jnp.where(alive & in_range, scores, NEG_INF)
-    keys = _pack_keys_fast(scores, cols)          # [B, T] i32, monotonic
-    out_keys_ref[:] = jnp.max(
-        keys.reshape(b, tile // BINS, BINS), axis=1)            # [B, 128]
+    maxes = None
+    for h in range(tile // inner):
+        e_half = e_ref[pl.ds(h * inner, inner), :]    # [inner, d]
+        scores = jax.lax.dot_general(
+            q.astype(e_half.dtype), e_half,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                         # [B, inner]
+        b = scores.shape[0]
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
+        in_range = (cols + row_base) < n_rows
+        scores = jnp.where(alive & in_range, scores, NEG_INF)
+        keys = _pack_keys_fast(scores, cols, shift)  # [B, inner] i32
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)  # [B, 128]
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
 
 
 def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
-                        out_keys_ref, *, tile: int, n_rows: int):
+                        out_keys_ref, *, tile: int, n_rows: int, inner: int,
+                        shift: int):
     j = pl.program_id(0)
-    acc = jax.lax.dot_general(
-        q_ref[:], e_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                             # [B, T] i32
-    b = acc.shape[0]
-    scores = acc.astype(jnp.float32) * qs_ref[:] * es_ref[:].reshape(1, tile)
+    q = q_ref[:]
     row_base = j * tile
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    alive = valid_ref[:].reshape(1, tile) != 0
-    in_range = (cols + row_base) < n_rows
-    scores = jnp.where(alive & in_range, scores, NEG_INF)
-    keys = _pack_keys_fast(scores, cols)
-    out_keys_ref[:] = jnp.max(
-        keys.reshape(b, tile // BINS, BINS), axis=1)
+    maxes = None
+    for h in range(tile // inner):
+        acc = jax.lax.dot_general(
+            q, e_ref[pl.ds(h * inner, inner), :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                         # [B, inner] i32
+        b = acc.shape[0]
+        es_half = es_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        scores = acc.astype(jnp.float32) * qs_ref[:] * es_half
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
+        in_range = (cols + row_base) < n_rows
+        scores = jnp.where(alive & in_range, scores, NEG_INF)
+        keys = _pack_keys_fast(scores, cols, shift)
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
 
 
-def _binned_candidates(keys_all: jax.Array, k1: int, tile: int
+def _binned_candidates(keys_all: jax.Array, k1: int, tile: int,
+                       shift: int = _KEY_SHIFT
                        ) -> tuple[jax.Array, jax.Array]:
     """Finish: top-k1 over all (tile, bin) winner keys.
 
@@ -488,17 +516,28 @@ def _binned_candidates(keys_all: jax.Array, k1: int, tile: int
     keys_f = jax.lax.bitcast_convert_type(keys_all, jnp.float32)
     vals, pos = jax.lax.approx_max_k(keys_f, k1, recall_target=0.99)
     top_keys = jax.lax.bitcast_convert_type(vals, jnp.int32)
-    ids = (pos // BINS) * tile + _unpack_col(top_keys)
-    return _unpack_score(top_keys), ids.astype(jnp.int32)
+    ids = (pos // BINS) * tile + _unpack_col(top_keys, shift)
+    return _unpack_score(top_keys, shift), ids.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def _pick_inner(tile: int, inner: int | None) -> int:
+    """Compute-slab width: full-width up to 2048 (measured-good), sub-
+    tiled above it (scoped VMEM holds [B, inner] slabs, not [B, tile])."""
+    inner = inner or min(tile, 2048)
+    assert tile % inner == 0 and inner % BINS == 0, (tile, inner)
+    assert tile <= 16384, f"tile {tile}: col bits would eat score resolution"
+    return inner
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "inner", "interpret"))
 def binned_topk(
     queries: jax.Array,      # [B, d] f32 (normalized)
     embeddings: jax.Array,   # [N, d] bf16/f32, N % tile == 0
     valid: jax.Array,        # [N] bool/int8
     k: int,
     tile: int = DEFAULT_TILE,
+    inner: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Binned-max scan + exact rescore. Returns (scores [B,k], ids [B,k]).
@@ -517,7 +556,9 @@ def binned_topk(
     assert tile % 128 == 0 and 128 % BINS == 0
     n_tiles = n // tile
     valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
-    kernel = functools.partial(_binned_kernel, tile=tile, n_rows=n)
+    kernel = functools.partial(_binned_kernel, tile=tile, n_rows=n,
+                               inner=_pick_inner(tile, inner),
+                               shift=_tile_shift(tile))
     keys_all = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -540,7 +581,7 @@ def binned_topk(
         interpret=interpret,
     )(queries, embeddings, valid_i8)
     k1 = min(max(k, 16), n_tiles * BINS)
-    s1, c1 = _binned_candidates(keys_all, k1, tile)
+    s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
     out_s, out_i = _exact_rescore(queries, embeddings, s1, c1,
                                   min(k, k1))
     if k > k1:  # corpus smaller than k: pad the contract shape
@@ -552,7 +593,8 @@ def binned_topk(
     return out_s[:b_in], out_i[:b_in]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "inner", "interpret"))
 def binned_topk_int8(
     q_values: jax.Array,     # [B, d] i8
     q_scales: jax.Array,     # [B] f32
@@ -561,6 +603,7 @@ def binned_topk_int8(
     valid: jax.Array,        # [N] bool/int8
     k: int,
     tile: int = DEFAULT_TILE,
+    inner: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Int8 binned-max scan; rescore happens in the caller (the int8 view
@@ -577,7 +620,9 @@ def binned_topk_int8(
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
     valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
-    kernel = functools.partial(_binned_kernel_int8, tile=tile, n_rows=n)
+    kernel = functools.partial(_binned_kernel_int8, tile=tile, n_rows=n,
+                               inner=_pick_inner(tile, inner),
+                               shift=_tile_shift(tile))
     keys_all = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -603,12 +648,13 @@ def binned_topk_int8(
     )(q_values, q_scales.reshape(b, 1), e_values,
       e_scales.reshape(n, 1), valid_i8)
     k1 = min(max(k, 16), n_tiles * BINS)
-    s1, c1 = _binned_candidates(keys_all, k1, tile)
+    s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
     return s1[:b_in], c1[:b_in]
 
 
 def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
-                        out_keys_ref, *, tile: int, n_rows: int):
+                        out_keys_ref, *, tile: int, n_rows: int, inner: int,
+                        shift: int):
     """Packed-int4 corpus scan: nibbles unpack on the VPU, dots on the MXU.
 
     `e_ref` is [T, d/2] with dims [0, d/2) in low nibbles and [d/2, d)
@@ -618,29 +664,36 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     sum of partial dots == full dot, and no lane concat/relayout is ever
     asked of Mosaic."""
     j = pl.program_id(0)
-    x = e_ref[:].astype(jnp.int32)                    # [T, d/2] packed
-    lo = (((x & 0xF) ^ 8) - 8).astype(jnp.int8)       # dims [0, d/2)
-    hi = (x >> 4).astype(jnp.int8)                    # dims [d/2, d)
     q = q_ref[:]                                      # [B, d] i8
-    dh = x.shape[1]
-    dims = (((1,), (1,)), ((), ()))
-    acc = jax.lax.dot_general(q[:, :dh], lo, dimension_numbers=dims,
-                              preferred_element_type=jnp.int32)
-    acc = acc + jax.lax.dot_general(q[:, dh:], hi, dimension_numbers=dims,
-                                    preferred_element_type=jnp.int32)
-    b = acc.shape[0]
-    scores = acc.astype(jnp.float32) * qs_ref[:] * es_ref[:].reshape(1, tile)
     row_base = j * tile
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    alive = valid_ref[:].reshape(1, tile) != 0
-    in_range = (cols + row_base) < n_rows
-    scores = jnp.where(alive & in_range, scores, NEG_INF)
-    keys = _pack_keys_fast(scores, cols)
-    out_keys_ref[:] = jnp.max(
-        keys.reshape(b, tile // BINS, BINS), axis=1)
+    dims = (((1,), (1,)), ((), ()))
+    maxes = None
+    for h in range(tile // inner):
+        x = e_ref[pl.ds(h * inner, inner), :].astype(jnp.int32)
+        lo = (((x & 0xF) ^ 8) - 8).astype(jnp.int8)   # dims [0, d/2)
+        hi = (x >> 4).astype(jnp.int8)                # dims [d/2, d)
+        dh = x.shape[1]
+        acc = jax.lax.dot_general(q[:, :dh], lo, dimension_numbers=dims,
+                                  preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(q[:, dh:], hi,
+                                        dimension_numbers=dims,
+                                        preferred_element_type=jnp.int32)
+        b = acc.shape[0]
+        es_half = es_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        scores = acc.astype(jnp.float32) * qs_ref[:] * es_half
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
+        in_range = (cols + row_base) < n_rows
+        scores = jnp.where(alive & in_range, scores, NEG_INF)
+        keys = _pack_keys_fast(scores, cols, shift)
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "inner", "interpret"))
 def binned_topk_int4(
     q_values: jax.Array,     # [B, d] i8 (queries stay int8 — asymmetric)
     q_scales: jax.Array,     # [B] f32
@@ -649,6 +702,7 @@ def binned_topk_int4(
     valid: jax.Array,        # [N] bool/int8
     k: int,
     tile: int = DEFAULT_TILE,
+    inner: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
@@ -668,7 +722,9 @@ def binned_topk_int4(
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
     valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
-    kernel = functools.partial(_binned_kernel_int4, tile=tile, n_rows=n)
+    kernel = functools.partial(_binned_kernel_int4, tile=tile, n_rows=n,
+                               inner=_pick_inner(tile, inner),
+                               shift=_tile_shift(tile))
     keys_all = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -694,7 +750,7 @@ def binned_topk_int4(
     )(q_values, q_scales.reshape(b, 1), e_packed,
       e_scales.reshape(n, 1), valid_i8)
     k1 = min(max(k, 16), n_tiles * BINS)
-    s1, c1 = _binned_candidates(keys_all, k1, tile)
+    s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
     return s1[:b_in], c1[:b_in]
 
 

@@ -311,7 +311,12 @@ class Int4View:
         q_values, q_scales = quantize_rows_device(q)
         if full_precision is None:
             return self._first_stage(q_values, q_scales, valid, k)
-        k1 = min(max(k, 16), max(rescore_factor * k, k), self.n)
+        # int4 quantization reorders more than int8 (step = amax/7 vs
+        # amax/127), so the first stage widens to 4k (floor 32) where the
+        # int8 view's 16 sufficed: measured on v5e at 1M x 768, a 16-wide
+        # stage rescored to only 0.888 recall@10 (R2_TPU_RESULTS4); the
+        # extra candidates cost one slightly larger gather, nothing more.
+        k1 = min(max(rescore_factor * k, 32), self.n)
         s1, cand = self._first_stage(q_values, q_scales, valid, k1)
         from lattice_tpu.ops.pallas_topk import _exact_rescore
         return _exact_rescore(q, full_precision, s1, cand, k)

@@ -201,6 +201,77 @@ class TestBinnedTopK:
             tile=256, interpret=True)
         assert set(rows) <= set(np.asarray(c1)[0].tolist())
 
+    def test_inner_subtiling_matches_full_width(self):
+        # sub-tiled compute slabs (inner < tile) must be bit-identical to
+        # the full-width kernel: same scores, same ids
+        rng = np.random.default_rng(12)
+        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 64)))
+        q = topk_ops.l2_normalize(rng.normal(size=(4, 64)))
+        valid = np.ones(1024, dtype=bool)
+        valid[500] = False
+        full = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                           jnp.asarray(valid), 10, tile=512, interpret=True)
+        sub = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                          jnp.asarray(valid), 10, tile=512, inner=128,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(sub[1]))
+        np.testing.assert_allclose(np.asarray(full[0]), np.asarray(sub[0]))
+
+    def test_inner_subtiling_int8_matches(self):
+        from lattice_tpu.ops.quant import quantize_rows
+        rng = np.random.default_rng(13)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 64)))
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 64)))
+        ev, es = quantize_rows(emb)
+        qv, qs = quantize_rows(q)
+        valid = jnp.asarray(np.ones(512, bool))
+        full = binned_topk_int8(jnp.asarray(qv), jnp.asarray(qs),
+                                jnp.asarray(ev), jnp.asarray(es), valid, 8,
+                                tile=512, interpret=True)
+        sub = binned_topk_int8(jnp.asarray(qv), jnp.asarray(qs),
+                               jnp.asarray(ev), jnp.asarray(es), valid, 8,
+                               tile=512, inner=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(sub[1]))
+
+    def test_inner_subtiling_int4_matches(self):
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        rng = np.random.default_rng(14)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 64)))
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 64)))
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = jnp.asarray(np.ones(512, bool))
+        full = binned_topk_int4(jnp.asarray(qv), jnp.asarray(qs),
+                                jnp.asarray(ep), jnp.asarray(es), valid, 8,
+                                tile=512, interpret=True)
+        sub = binned_topk_int4(jnp.asarray(qv), jnp.asarray(qs),
+                               jnp.asarray(ep), jnp.asarray(es), valid, 8,
+                               tile=512, inner=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(sub[1]))
+
+    def test_wide_tile_shift13_matches(self):
+        # tile 8192 needs 13 column bits (score resolution ~2e-3); ids
+        # must be exact and scores within the coarser key resolution
+        rng = np.random.default_rng(15)
+        emb = topk_ops.l2_normalize(rng.normal(size=(16384, 32)))
+        q = topk_ops.l2_normalize(rng.normal(size=(2, 32)))
+        valid = np.ones(16384, dtype=bool)
+        s_w, i_w = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                               jnp.asarray(valid), 10, tile=8192,
+                               interpret=True)
+        s_n, i_n = binned_topk(jnp.asarray(q), jnp.asarray(emb),
+                               jnp.asarray(valid), 10, tile=2048,
+                               interpret=True)
+        for r in range(2):
+            got = set(np.asarray(i_w)[r].tolist())
+            want = set(np.asarray(i_n)[r].tolist())
+            # both are binned approximations of the same corpus; the
+            # planted-free random case should agree almost everywhere
+            assert len(got & want) >= 8, (got, want)
+        # rescore output is exact f32 for whatever ids were selected
+        np.testing.assert_allclose(np.asarray(s_w)[0],
+                                   np.sort(np.asarray(s_w)[0])[::-1])
+
     def test_int4_binned_candidates(self):
         from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
         rows = list(range(100, 110))
