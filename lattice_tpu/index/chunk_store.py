@@ -53,9 +53,10 @@ IVF_FILTER_MIN_MATCH_PER_K = 50
 # this bar (isotropic corpora measure ~0.2 and stay on the flat path).
 IVF_MIN_RECALL = float(os.environ.get("LATTICE_IVF_MIN_RECALL", 0.9))
 IVF_AUTO_NPROBE = int(os.environ.get("LATTICE_IVF_NPROBE", 8))
-# Sharded serving quantizes to int8 automatically once the bf16 rows
-# would occupy more than half a chip's HBM (transients + views need the
-# rest); LATTICE_SHARDED_INT8=1/0 forces it either way.
+# Sharded serving quantizes automatically under memory pressure: int8
+# once bf16 rows would occupy more than half a chip's HBM (transients +
+# views need the rest), int4 once they would exceed a full chip.
+# LATTICE_SHARDED_BITS=16/8/4 (or legacy LATTICE_SHARDED_INT8=1/0) forces.
 CHIP_HBM_GB = float(os.environ.get("LATTICE_CHIP_HBM_GB", 16.0))
 
 
@@ -550,30 +551,43 @@ class ChunkStore:
         return ShardedIndex(self._emb, self._valid_host.copy(), mesh=mesh,
                             dtype=str(self.dtype))
 
-    def to_sharded_quantized(self, mesh=None):
-        """Multi-chip int8 view: half the HBM of `to_sharded`, so a fixed
-        mesh holds 2x the chunks (scores int8-quantized, ~1e-2)."""
+    def to_sharded_quantized(self, mesh=None, bits: int = 8):
+        """Multi-chip quantized view: `bits=8` halves the HBM of
+        `to_sharded` (2x chunks per mesh), `bits=4` quarters it (4x)."""
         from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
         emb = np.asarray(self._emb, dtype=np.float32)
-        return ShardedQuantizedIndex(emb, self._valid_host.copy(), mesh=mesh)
+        return ShardedQuantizedIndex(emb, self._valid_host.copy(), mesh=mesh,
+                                     bits=bits)
 
-    def _sharded_wants_int8(self) -> bool:
-        """Memory-pressure rule for the sharded serving view (CLAUDE r2
-        item 5): quantize once bf16 rows would take over half a chip's
-        HBM. Env override: LATTICE_SHARDED_INT8=1/0."""
-        forced = os.environ.get("LATTICE_SHARDED_INT8")
-        if forced in ("0", "1"):
-            return forced == "1"
+    def _sharded_quant_bits(self) -> int:
+        """Memory-pressure tiering for the sharded serving view (CLAUDE r2
+        item 5): 16 (bf16) while rows fit in half a chip's HBM, 8 once
+        they exceed it, 4 once even int8 rows would (i.e. bf16 > a full
+        chip). Env overrides: LATTICE_SHARDED_BITS=16/8/4, or the legacy
+        LATTICE_SHARDED_INT8=1/0."""
+        forced = os.environ.get("LATTICE_SHARDED_BITS")
+        if forced in ("16", "8", "4"):
+            return int(forced)
+        legacy = os.environ.get("LATTICE_SHARDED_INT8")
+        if legacy in ("0", "1"):
+            return 8 if legacy == "1" else 16
         n_dev = max(len(jax.devices()), 1)
         bf16_bytes_per_chip = self._cap * self.dim * 2 / n_dev
-        return bf16_bytes_per_chip > CHIP_HBM_GB * (1024 ** 3) / 2
+        hbm = CHIP_HBM_GB * (1024 ** 3)
+        if bf16_bytes_per_chip > hbm:
+            return 4
+        if bf16_bytes_per_chip > hbm / 2:
+            return 8
+        return 16
 
     def _sharded_view(self):
         """The live multi-chip view under the memory rule, (re)built only
         when dirty."""
-        if self._sharded_wants_int8():
-            if self._shardedq is None or self._shardedq_dirty:
-                self._shardedq = self.to_sharded_quantized()
+        bits = self._sharded_quant_bits()
+        if bits < 16:
+            if (self._shardedq is None or self._shardedq_dirty
+                    or self._shardedq.bits != bits):
+                self._shardedq = self.to_sharded_quantized(bits=bits)
                 self._shardedq_dirty = False
             return self._shardedq
         if self._sharded is None or self._sharded_dirty:

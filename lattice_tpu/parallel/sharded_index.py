@@ -192,21 +192,26 @@ class ShardedIndex:
 
 
 class ShardedQuantizedIndex:
-    """Int8 row-sharded view: 2x the corpus per chip at equal HBM.
+    """Quantized row-sharded view: 2x (int8) or 4x (int4) corpus per chip.
 
     Same per-shard-top-k + merge shape as `ShardedIndex` (including the
     multislice hierarchical merge and payload-filter masks), but each
-    shard holds symmetric per-row int8 values + f32 scales (ops/quant.py)
-    — half the bytes of bf16, so a fixed mesh holds twice the chunks.
-    Scores carry int8 quantization error (~1e-2 cosine, like bf16); the
+    shard holds symmetric per-row quantized values + f32 scales
+    (ops/quant.py) — `bits=8` halves the bytes of bf16, `bits=4` packs
+    two nibbles per byte for a quarter. Scores carry the quantization
+    error (int8 ~1e-2 cosine, like bf16; int4 coarser — pair with a
+    host rescore of the k winners when ordering matters); the
     exact-rescore stage stays single-host because full-precision rows are
     deliberately NOT resident (that would forfeit the capacity win).
     Mutations are O(delta) scatters exactly as in ShardedIndex.
     """
 
     def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
-                 mesh: Mesh | None = None):
-        from lattice_tpu.ops.quant import quantize_rows
+                 mesh: Mesh | None = None, bits: int = 8):
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        if bits not in (8, 4):
+            raise ValueError(f"bits must be 8 or 4, got {bits}")
+        self.bits = bits
         self.mesh = mesh or make_mesh()
         self.multislice = DCN_AXIS in self.mesh.axis_names
         self._row_axes = ((DCN_AXIS, DATA_AXIS) if self.multislice
@@ -222,7 +227,8 @@ class ShardedQuantizedIndex:
             valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
         self.n_rows = n
         self.rows_per_shard = (n + pad) // n_data
-        values, scales = quantize_rows(np.asarray(embeddings, np.float32))
+        quant = quantize_rows if bits == 8 else quantize_rows_int4
+        values, scales = quant(np.asarray(embeddings, np.float32))
         self._row_sharding = NamedSharding(self.mesh, P(self._row_axes))
         self._val_sharding = NamedSharding(self.mesh,
                                            P(self._row_axes, None))
@@ -248,13 +254,16 @@ class ShardedQuantizedIndex:
 
     def update_rows(self, vectors: np.ndarray | jax.Array,
                     rows: np.ndarray) -> bool:
-        from lattice_tpu.ops.quant import quantize_rows_device
+        from lattice_tpu.ops.quant import (quantize_rows_device,
+                                           quantize_rows_int4_device)
         rows = np.asarray(rows, dtype=np.int32)
         if rows.size == 0:
             return True
         if int(rows.max()) >= self.capacity:
             return False
-        nv, ns = quantize_rows_device(jnp.asarray(vectors, jnp.float32))
+        quant = (quantize_rows_device if self.bits == 8
+                 else quantize_rows_int4_device)
+        nv, ns = quant(jnp.asarray(vectors, jnp.float32))
         self.values, self.scales, self.valid = self._update_fn(
             self.values, self.scales, self.valid, jnp.asarray(rows), nv, ns)
         self.n_rows = max(self.n_rows, int(rows.max()) + 1)
@@ -269,7 +278,8 @@ class ShardedQuantizedIndex:
         self.valid = self._invalidate_fn(self.valid, jnp.asarray(rows))
 
     def _build_search(self, k: int, with_mask: bool = False):
-        from lattice_tpu.ops.quant import int8_topk
+        from lattice_tpu.ops.quant import int4_topk, int8_topk
+        local_topk = int8_topk if self.bits == 8 else int4_topk
         mesh = self.mesh
         rows_per_shard = self.rows_per_shard
         multislice = self.multislice
@@ -290,8 +300,8 @@ class ShardedQuantizedIndex:
                          *mask_shard):
             if mask_shard:
                 valid_shard = valid_shard & mask_shard[0]
-            scores, idx = int8_topk(q_values, q_scales, v_shard, s_shard,
-                                    valid_shard, k_local)
+            scores, idx = local_topk(q_values, q_scales, v_shard, s_shard,
+                                     valid_shard, k_local)
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
                 shard_id = (jax.lax.axis_index(DCN_AXIS)

@@ -515,4 +515,47 @@ class TestShardedQuantizedUpgrades:
         assert store._sharded is not None
         # auto rule: tiny corpora never trip the memory threshold
         monkeypatch.delenv("LATTICE_SHARDED_INT8")
-        assert not store._sharded_wants_int8()
+        assert store._sharded_quant_bits() == 16
+        # int4 tier: forced via LATTICE_SHARDED_BITS, serves correctly
+        monkeypatch.setenv("LATTICE_SHARDED_BITS", "4")
+        hits = store.search(emb[:2], k=3)
+        assert hits[0][0][0] == 0
+        assert store._shardedq is not None and store._shardedq.bits == 4
+
+    def test_sharded_quant_bits_tiers(self, monkeypatch):
+        from lattice_tpu.index import chunk_store as cs
+        from lattice_tpu.index.chunk_store import ChunkStore
+        store = ChunkStore(dim=32, dtype="float32")
+        store.add(topk_ops.l2_normalize(
+            np.random.default_rng(10).normal(size=(128, 32))),
+            [{"file_path": "a.py"}] * 128)
+        # shrink the chip so the 128x32 corpus crosses the thresholds
+        bf16_bytes = store._cap * store.dim * 2
+        n_dev = max(1, len(__import__("jax").devices()))
+        per_chip = bf16_bytes / n_dev
+        monkeypatch.setattr(cs, "CHIP_HBM_GB", per_chip * 4 / (1024 ** 3))
+        assert store._sharded_quant_bits() == 16   # fits in half a chip
+        monkeypatch.setattr(cs, "CHIP_HBM_GB", per_chip * 1.5 / (1024 ** 3))
+        assert store._sharded_quant_bits() == 8    # > half, <= full
+        monkeypatch.setattr(cs, "CHIP_HBM_GB", per_chip * 0.5 / (1024 ** 3))
+        assert store._sharded_quant_bits() == 4    # > a full chip
+
+    def test_sharded_int4_view(self):
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        rng = np.random.default_rng(11)
+        emb = topk_ops.l2_normalize(rng.normal(size=(96, 32)))
+        idx = ShardedQuantizedIndex(emb, np.ones(96, bool),
+                                    mesh=make_mesh(8), bits=4)
+        assert idx.bits == 4
+        # packed storage: a quarter of bf16 (plus scales/valid)
+        assert idx.values.shape[1] == 16
+        _, ids = idx.search(emb[:4], k=5)
+        _, o_idx = topk_ops.topk_oracle(emb[:4], emb, np.ones(96, bool), 5)
+        for got, want in zip(ids, o_idx):
+            # int4 scoring: coarser than int8, majority overlap required
+            assert len(set(got.tolist()) & set(want.tolist())) >= 3
+        # O(delta) updates re-quantize through the int4 packer
+        fresh = topk_ops.l2_normalize(rng.normal(size=(1, 32)))
+        assert idx.update_rows(fresh, np.array([33]))
+        _, ids = idx.search(fresh, k=1)
+        assert ids[0, 0] == 33
