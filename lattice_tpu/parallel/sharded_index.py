@@ -27,6 +27,13 @@ from lattice_tpu.ops import topk as topk_ops
 from lattice_tpu.parallel.mesh import DATA_AXIS, DCN_AXIS, make_mesh
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class ShardedIndex:
     """Row-sharded view of an embedding matrix for search.
 
@@ -73,6 +80,8 @@ class ShardedIndex:
             self._emb_sharding)
         self.valid = jax.device_put(jnp.asarray(valid), self._row_sharding)
         self._search_cache: dict[tuple[int, bool], callable] = {}
+        self._force_pallas = False       # tests: exercise the Pallas path
+        self._pallas_interpret = False   # ... in interpret mode off-TPU
         # No donation: on a 1-device mesh device_put can alias the caller's
         # array, and donating a shared buffer would delete it under the
         # owning store. The scatter's transient double-buffer is HBM-
@@ -121,6 +130,22 @@ class ShardedIndex:
         # A shard can hold fewer rows than k; select what exists locally and
         # let the merge re-select the global k.
         k_local = min(k, rows_per_shard)
+        # Per-shard kernel: the Pallas binned scan on real TPU (XLA's
+        # [B, rows_per_shard] score slab costs HBM round-trips the fused
+        # kernel never pays); XLA flat scan elsewhere / when the shard
+        # doesn't tile. Tests force the interpret path on the CPU mesh.
+        from lattice_tpu.ops import pallas_topk as pk
+        tile = pk.pick_tile(rows_per_shard, 8, k=max(k_local, 16))
+        use_pallas = ((self._force_pallas or _on_tpu())
+                      and tile is not None and k_local <= 64)
+        interp = self._pallas_interpret
+
+        def local_topk(queries, emb_shard, valid_shard):
+            if use_pallas:
+                return pk.binned_topk(queries, emb_shard, valid_shard,
+                                      k_local, tile=tile, interpret=interp)
+            return topk_ops.flat_topk(queries, emb_shard, valid_shard,
+                                      k_local)
 
         def merge_axis(scores, idx, axis, k_out):
             all_scores = jax.lax.all_gather(scores, axis, axis=0,
@@ -136,8 +161,8 @@ class ShardedIndex:
             # queries replicated; emb/valid(/mask) are this chip's rows.
             if mask_shard:
                 valid_shard = valid_shard & mask_shard[0]
-            scores, idx = topk_ops.flat_topk(queries, emb_shard, valid_shard,
-                                             k_local)
+            scores, idx = local_topk(queries, emb_shard, valid_shard)
+            scores, idx = scores[:, :k_local], idx[:, :k_local]
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
                 shard_id = (jax.lax.axis_index(DCN_AXIS)
@@ -236,6 +261,8 @@ class ShardedQuantizedIndex:
         self.scales = jax.device_put(jnp.asarray(scales), self._row_sharding)
         self.valid = jax.device_put(jnp.asarray(valid), self._row_sharding)
         self._search_cache: dict[tuple[int, bool], callable] = {}
+        self._force_pallas = False
+        self._pallas_interpret = False
         self._update_fn = jax.jit(
             lambda v, s, val, idx, nv, ns: (
                 v.at[idx].set(nv), s.at[idx].set(ns), val.at[idx].set(True)),
@@ -278,13 +305,29 @@ class ShardedQuantizedIndex:
         self.valid = self._invalidate_fn(self.valid, jnp.asarray(rows))
 
     def _build_search(self, k: int, with_mask: bool = False):
+        from lattice_tpu.ops import pallas_topk as pk
         from lattice_tpu.ops.quant import int4_topk, int8_topk
-        local_topk = int8_topk if self.bits == 8 else int4_topk
+        xla_topk = int8_topk if self.bits == 8 else int4_topk
+        binned = (pk.binned_topk_int8 if self.bits == 8
+                  else pk.binned_topk_int4)
         mesh = self.mesh
         rows_per_shard = self.rows_per_shard
         multislice = self.multislice
         row_axes = self._row_axes
         k_local = min(k, rows_per_shard)
+        # Per-shard kernel: the fused Pallas scan on real TPU (XLA int8
+        # dots upcast there — measured ~100x slower); XLA elsewhere.
+        tile = pk.pick_tile(rows_per_shard, 8, k=max(k_local, 16))
+        use_pallas = ((self._force_pallas or _on_tpu())
+                      and tile is not None and k_local <= 64)
+        interp = self._pallas_interpret
+
+        def local_topk(qv, qs, v_shard, s_shard, valid_shard):
+            if use_pallas:
+                s1, c1 = binned(qv, qs, v_shard, s_shard, valid_shard,
+                                k_local, tile=tile, interpret=interp)
+                return s1[:, :k_local], c1[:, :k_local]
+            return xla_topk(qv, qs, v_shard, s_shard, valid_shard, k_local)
 
         def merge_axis(scores, idx, axis, k_out):
             all_scores = jax.lax.all_gather(scores, axis, axis=0,
@@ -301,7 +344,7 @@ class ShardedQuantizedIndex:
             if mask_shard:
                 valid_shard = valid_shard & mask_shard[0]
             scores, idx = local_topk(q_values, q_scales, v_shard, s_shard,
-                                     valid_shard, k_local)
+                                     valid_shard)
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
                 shard_id = (jax.lax.axis_index(DCN_AXIS)

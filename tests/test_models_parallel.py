@@ -540,6 +540,36 @@ class TestShardedQuantizedUpgrades:
         monkeypatch.setattr(cs, "CHIP_HBM_GB", per_chip * 0.5 / (1024 ** 3))
         assert store._sharded_quant_bits() == 4    # > a full chip
 
+    def test_pallas_per_shard_path(self):
+        # the real-TPU serving kernel per shard (binned Pallas), forced
+        # into interpret mode on the CPU mesh; must match the oracle
+        from lattice_tpu.parallel.sharded_index import ShardedIndex
+        rng = np.random.default_rng(12)
+        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 32)))
+        valid = np.ones(1024, bool)
+        idx = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
+        idx._force_pallas = True
+        idx._pallas_interpret = True
+        q = emb[:3] + 0.001
+        s, ids = idx.search(q, k=5)
+        _, o_idx = topk_ops.topk_oracle(q, emb, valid, 5)
+        for got, want in zip(ids, o_idx):
+            assert len(set(got.tolist()) & set(want.tolist())) >= 4
+
+    def test_pallas_per_shard_quantized(self):
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        rng = np.random.default_rng(13)
+        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 32)))
+        idx = ShardedQuantizedIndex(emb, np.ones(1024, bool),
+                                    mesh=make_mesh(8), bits=4)
+        idx._force_pallas = True
+        idx._pallas_interpret = True
+        q = emb[:2] + 0.001
+        s, ids = idx.search(q, k=5)
+        _, o_idx = topk_ops.topk_oracle(q, emb, np.ones(1024, bool), 5)
+        for got, want in zip(ids, o_idx):
+            assert len(set(got.tolist()) & set(want.tolist())) >= 3
+
     def test_sharded_int4_view(self):
         from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
         rng = np.random.default_rng(11)
