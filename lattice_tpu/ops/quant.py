@@ -255,7 +255,11 @@ class Int4View:
     Sits between int8 (2x, near-lossless) and PQ (8x+, ADC-slow): 4M x 768
     rows fit one v5e chip UNDER the 1M-bf16 HBM budget (4M x 388 B =
     1.48 GiB vs 1.5 GiB) and the scan still rides the int8 MXU, unlike
-    PQ's one-hot-traffic-bound ADC (~190 qps at 4M, R2_TPU_RESULTS3).
+    PQ's one-hot-traffic-bound ADC. Measured on v5e (R2_TPU_RESULTS5):
+    4M x 768 B=256 k=10 serves at 11,036 qps / recall 0.9941 with a
+    device rescore (0.9902 host-rescored, the true capacity mode) — PQ's
+    ADC managed 187 qps on the same corpus at equal memory. At 1M:
+    33.1k qps / 0.9887 two-stage (bf16 binned: 37.4k / 0.9973).
     Replaces the reference's memory ceiling story (Qdrant scalar
     quantization, /root/reference/src/lattice/embeddings/client.py) with
     an MXU-native layout.
