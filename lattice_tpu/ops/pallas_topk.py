@@ -198,6 +198,18 @@ def pick_tile(capacity: int, batch: int, k: int = 10) -> int | None:
     return None
 
 
+def pick_tile_packed(capacity: int, batch: int, k: int = 10) -> int | None:
+    """Tile preference for the packed-int4 kernel: rows are 4x smaller,
+    so tile 4096 double-buffers in 3 MB and measured slightly faster than
+    2048 at 1M/B=256 (33.1k vs 32.1k qps, R2_TPU_RESULTS5; the compute
+    sub-tiles to [B, 2048] slabs either way). bf16/int8 still OOM scoped
+    VMEM at 4096 — they keep `pick_tile`."""
+    for tile in (4096, 2048, 1024, 512):
+        if capacity % tile == 0:
+            return tile
+    return None
+
+
 def _topk_kernel(q_ref, e_ref, valid_ref, out_s_ref, out_i_ref,
                  best_s, best_i, *, k: int, tile: int, n_rows: int):
     j = pl.program_id(0)

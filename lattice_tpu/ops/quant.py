@@ -296,8 +296,9 @@ class Int4View:
         except Exception:
             on_tpu = False
         if on_tpu:
-            from lattice_tpu.ops.pallas_topk import binned_topk_int4, pick_tile
-            tile = pick_tile(self.n, q_values.shape[0], k=k)
+            from lattice_tpu.ops.pallas_topk import (binned_topk_int4,
+                                                     pick_tile_packed)
+            tile = pick_tile_packed(self.n, q_values.shape[0], k=k)
             if tile is not None:
                 s, i = binned_topk_int4(q_values, q_scales,
                                         self.values, self.scales, valid, k,
