@@ -541,6 +541,40 @@ def _pick_inner(tile: int, inner: int | None) -> int:
     return inner
 
 
+def _as_valid_col(valid: jax.Array, n: int) -> jax.Array:
+    """Normalize validity to the kernel's [N, 1] int8 block form.
+
+    Callers that hold a persistent corpus should pass it PRE-SHAPED
+    (`valid_col` below): the xprof decomposition (R2_TPU_RESULTS6)
+    showed the in-jit `[N] bool -> [N,1] i8` relayout costs ~0.65 ms
+    per call at 1M rows — a quarter of the kernel itself — because XLA
+    must re-run the layout conversion every call."""
+    if valid.ndim == 2 and valid.dtype == jnp.int8:
+        return valid
+    return valid.astype(jnp.int8).reshape(n, 1)
+
+
+def _as_scales_col(scales: jax.Array, n: int) -> jax.Array:
+    """Normalize per-row scales to [N, 1]. Pre-shape persistent scales:
+    the [N] -> [N,1] relayout measured ~3.4 ms/call at 1M (four sliced
+    DMA passes, R2_TPU_RESULTS6) — 1.5x the kernel's own runtime."""
+    if scales.ndim == 2:
+        return scales
+    return scales.reshape(n, 1)
+
+
+@jax.jit
+def valid_col(valid: jax.Array) -> jax.Array:
+    """One-time conversion of a [N] validity mask to kernel block form."""
+    return valid.astype(jnp.int8).reshape(valid.shape[0], 1)
+
+
+@jax.jit
+def scales_col(scales: jax.Array) -> jax.Array:
+    """One-time conversion of [N] per-row scales to kernel block form."""
+    return scales.astype(jnp.float32).reshape(scales.shape[0], 1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "inner", "interpret"))
 def binned_topk(
@@ -567,7 +601,7 @@ def binned_topk(
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     assert tile % 128 == 0 and 128 % BINS == 0
     n_tiles = n // tile
-    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    valid_i8 = _as_valid_col(valid, n)
     kernel = functools.partial(_binned_kernel, tile=tile, n_rows=n,
                                inner=_pick_inner(tile, inner),
                                shift=_tile_shift(tile))
@@ -631,7 +665,7 @@ def binned_topk_int8(
             [q_scales, jnp.zeros((b - b_in,), q_scales.dtype)], axis=0)
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
-    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    valid_i8 = _as_valid_col(valid, n)
     kernel = functools.partial(_binned_kernel_int8, tile=tile, n_rows=n,
                                inner=_pick_inner(tile, inner),
                                shift=_tile_shift(tile))
@@ -658,7 +692,7 @@ def binned_topk_int8(
         ),
         interpret=interpret,
     )(q_values, q_scales.reshape(b, 1), e_values,
-      e_scales.reshape(n, 1), valid_i8)
+      _as_scales_col(e_scales, n), valid_i8)
     k1 = min(max(k, 16), n_tiles * BINS)
     s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
     return s1[:b_in], c1[:b_in]
@@ -733,7 +767,7 @@ def binned_topk_int4(
             [q_scales, jnp.zeros((b - b_in,), q_scales.dtype)], axis=0)
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
-    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    valid_i8 = _as_valid_col(valid, n)
     kernel = functools.partial(_binned_kernel_int4, tile=tile, n_rows=n,
                                inner=_pick_inner(tile, inner),
                                shift=_tile_shift(tile))
@@ -760,7 +794,7 @@ def binned_topk_int4(
         ),
         interpret=interpret,
     )(q_values, q_scales.reshape(b, 1), e_packed,
-      e_scales.reshape(n, 1), valid_i8)
+      _as_scales_col(e_scales, n), valid_i8)
     k1 = min(max(k, 16), n_tiles * BINS)
     s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
     return s1[:b_in], c1[:b_in]

@@ -94,6 +94,11 @@ class QuantizedView:
             self.values = jnp.asarray(values)
             self.scales = jnp.asarray(scales)
         self.n, self.d = self.values.shape
+        # kernel-layout scales, converted ONCE: the per-call [N]->[N,1]
+        # relayout measured ~3.4 ms at 1M — 1.5x the kernel itself
+        # (R2_TPU_RESULTS6 trace decomposition)
+        from lattice_tpu.ops.pallas_topk import scales_col
+        self._scales_col = scales_col(self.scales)
 
     def memory_bytes(self) -> int:
         return self.values.size + self.scales.size * 4
@@ -104,6 +109,7 @@ class QuantizedView:
         v, s = quantize_rows_device(rows.astype(jnp.float32))
         self.values = self.values.at[idx].set(v)
         self.scales = self.scales.at[idx].set(s)
+        self._scales_col = self._scales_col.at[idx, 0].set(s)
 
     def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
                      valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -120,9 +126,11 @@ class QuantizedView:
             tile = pick_tile(self.n, q_values.shape[0], k=k)
             if tile is not None:
                 s, i = binned_topk_int8(q_values, q_scales,
-                                        self.values, self.scales, valid, k,
-                                        tile=tile)
+                                        self.values, self._scales_col,
+                                        valid, k, tile=tile)
                 return s[:, :k], i[:, :k]
+        if valid.ndim == 2:          # kernel-layout mask; XLA wants [N] bool
+            valid = valid.reshape(-1).astype(bool)
         return int8_topk(q_values, q_scales,
                          self.values, self.scales, valid, k)
 
@@ -279,6 +287,25 @@ class Int4View:
             self.scales = jnp.asarray(scales)
         self.n = self.values.shape[0]
         self.d = self.values.shape[1] * 2
+        from lattice_tpu.ops.pallas_topk import scales_col
+        self._scales_col = scales_col(self.scales)
+
+    @classmethod
+    def from_packed(cls, values: jax.Array, scales: jax.Array) -> "Int4View":
+        """Adopt already-packed [N, d/2] int8 nibbles + [N] scales.
+
+        The block-wise build path for corpora whose f32 form would not
+        fit HBM (4M x 768 f32 is 12 GB): quantize 512k-row blocks with
+        `quantize_rows_int4_device`, concatenate the packed outputs, and
+        hand them here."""
+        self = cls.__new__(cls)
+        self.values = values
+        self.scales = scales
+        self.n = values.shape[0]
+        self.d = values.shape[1] * 2
+        from lattice_tpu.ops.pallas_topk import scales_col
+        self._scales_col = scales_col(self.scales)
+        return self
 
     def memory_bytes(self) -> int:
         return self.values.size + self.scales.size * 4
@@ -288,6 +315,7 @@ class Int4View:
         v, s = quantize_rows_int4_device(rows.astype(jnp.float32))
         self.values = self.values.at[idx].set(v)
         self.scales = self.scales.at[idx].set(s)
+        self._scales_col = self._scales_col.at[idx, 0].set(s)
 
     def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
                      valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -301,15 +329,17 @@ class Int4View:
             tile = pick_tile_packed(self.n, q_values.shape[0], k=k)
             if tile is not None:
                 s, i = binned_topk_int4(q_values, q_scales,
-                                        self.values, self.scales, valid, k,
-                                        tile=tile)
+                                        self.values, self._scales_col,
+                                        valid, k, tile=tile)
                 return s[:, :k], i[:, :k]
+        if valid.ndim == 2:          # kernel-layout mask; XLA wants [N] bool
+            valid = valid.reshape(-1).astype(bool)
         return int4_topk(q_values, q_scales,
                          self.values, self.scales, valid, k)
 
     def search_device(self, queries: jax.Array, valid: jax.Array, k: int,
                       full_precision: jax.Array | None = None,
-                      rescore_factor: int = 4
+                      rescore_factor: int = 8
                       ) -> tuple[jax.Array, jax.Array]:
         """Device-resident two-stage search (queries int8, corpus int4)."""
         q = queries.astype(jnp.float32)
@@ -317,10 +347,11 @@ class Int4View:
         if full_precision is None:
             return self._first_stage(q_values, q_scales, valid, k)
         # int4 quantization reorders more than int8 (step = amax/7 vs
-        # amax/127), so the first stage widens to 4k (floor 32) where the
-        # int8 view's 16 sufficed: measured on v5e at 1M x 768, a 16-wide
-        # stage rescored to only 0.888 recall@10 (R2_TPU_RESULTS4); the
-        # extra candidates cost one slightly larger gather, nothing more.
+        # amax/127), so the first stage widens to 8k (floor 32) where the
+        # int8 view's 16 sufficed: measured on v5e at 1M x 768 (width
+        # sweep, R2_TPU_RESULTS6): 16-wide rescores to 0.8805 recall@10,
+        # 40-wide 0.9887, 80-wide 0.9996 (+0.1 ms), 160-wide 1.0000
+        # (+1.8 ms) — 80 is the knee.
         k1 = min(max(rescore_factor * k, 32), self.n)
         s1, cand = self._first_stage(q_values, q_scales, valid, k1)
         from lattice_tpu.ops.pallas_topk import _exact_rescore
@@ -328,7 +359,7 @@ class Int4View:
 
     def search(self, queries: np.ndarray, valid: jax.Array, k: int,
                full_precision: jax.Array | None = None,
-               rescore_factor: int = 4) -> tuple[np.ndarray, np.ndarray]:
+               rescore_factor: int = 8) -> tuple[np.ndarray, np.ndarray]:
         s, i = self.search_device(
             jnp.asarray(np.atleast_2d(queries), dtype=jnp.float32),
             valid, k, full_precision, rescore_factor)

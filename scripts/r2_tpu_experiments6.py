@@ -82,13 +82,15 @@ def main() -> None:
     np.asarray(qs)
     log("views built")
 
-    def timed_scalar(fn, iters=8):
-        """Times fn whose output is reduced to a scalar before readback."""
-        red = jax.jit(lambda: fn().max())
-        float(red())  # compile + warm
+    def timed_scalar(fn, qq, ee, iters=8):
+        """Times fn(q, e) whose output reduces to a scalar before readback
+        (q/e passed as ARGUMENTS — a zero-arg jit would embed the 768 MB
+        corpus as an HLO constant and hang the remote-compile helper)."""
+        red = jax.jit(lambda a, b: fn(a, b).max())
+        float(red(qq, ee))  # compile + warm
         t = time.perf_counter()
         for _ in range(iters):
-            out = red()
+            out = red(qq, ee)
         float(out)
         return (time.perf_counter() - t) / iters * 1000.0
 
@@ -146,15 +148,15 @@ def main() -> None:
         kern = {"bf16": kern_bf16, "int8": kern_int8, "int4": kern_int4}[dtype]
         ee = {"bf16": emb, "int8": ev, "int4": view4.values}[dtype]
         qq = q if dtype == "bf16" else qv
-        d_in = ee.shape[1]
+        d_in = int(ee.shape[1])
+        d_q = int(qq.shape[1])
 
-        @jax.jit
-        def run():
+        def run(qq_, ee_):
             return pl.pallas_call(
                 kern,
                 grid=(N // tile,),
                 in_specs=[
-                    pl.BlockSpec((B, qq.shape[1]), lambda j: (0, 0),
+                    pl.BlockSpec((B, d_q), lambda j: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((tile, d_in), lambda j: (j, 0),
                                  memory_space=pltpu.VMEM),
@@ -163,15 +165,16 @@ def main() -> None:
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct(
                     (B, (N // tile) * 128), jnp.float32),
-            )(qq, ee)
-        return run
+            )(qq_, ee_)
+        return run, qq, ee
 
     for dtype in ("bf16", "int8", "int4"):
         for mode in ("rawmax", "pack"):
             for tile in (2048,):
                 name = f"probe_{dtype}_{mode}_t{tile}"
                 try:
-                    ms = timed_scalar(make_probe(mode, tile, dtype))
+                    fn, qq, ee = make_probe(mode, tile, dtype)
+                    ms = timed_scalar(fn, qq, ee)
                     RESULTS[name] = {"ms": round(ms, 2)}
                     log(f"{name}: {ms:.2f} ms")
                 except Exception as e:
