@@ -60,6 +60,14 @@ IVF_AUTO_NPROBE = int(os.environ.get("LATTICE_IVF_NPROBE", 8))
 CHIP_HBM_GB = float(os.environ.get("LATTICE_CHIP_HBM_GB", 16.0))
 
 
+@jax.jit
+def _normalize_queries(q: jax.Array) -> jax.Array:
+    """One-dispatch l2 normalization (eager jnp here was 3+ dispatches,
+    each ~1-2 ms over the axon relay — R2_TPU_RESULTS7)."""
+    q = q.astype(jnp.float32)
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
 class ChunkStore:
     def __init__(self, dim: int, dtype: str = "bfloat16",
                  initial_capacity: int = 1024, device_put: bool = True):
@@ -748,25 +756,21 @@ class ChunkStore:
         """
         if self._size == 0:
             raise VectorStoreError("empty store has no device path")
-        queries = queries.astype(jnp.float32)
-        queries = queries / jnp.maximum(
-            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+        # Plans whose kernels fold normalization into their own (single)
+        # XLA execution get RAW queries — each separate dispatch costs
+        # ~1-2 ms fixed through the axon relay (R2_TPU_RESULTS7), and
+        # eager normalize here was several.
+        raw = queries
         k_eff = min(k, self._cap)
         plan = self._plan_search(int(queries.shape[0]), k_eff, filters,
                                  method)
         mask = self.filter_mask(filters)
         if plan == "sharded" and len(jax.devices()) > 1:
+            # sharded views l2-normalize host-side themselves
             s, i = self._sharded_view().search(
-                np.asarray(queries), k_eff,
+                np.asarray(raw), k_eff,
                 mask=None if mask is None else np.asarray(mask))
             return jnp.asarray(s), jnp.asarray(i)
-        if plan == "ivf":
-            if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
-                self.build_ivf()
-            return self._ivf.search_device(queries, k_eff,
-                                           nprobe=IVF_AUTO_NPROBE, mask=mask)
-        if plan == "pq":
-            return self._search_pq_device(queries, k_eff, mask)
         valid = self._valid if mask is None else (self._valid & mask)
         vcol = self._valid_col() if mask is None else valid
         if plan == "quantized":
@@ -774,22 +778,30 @@ class ChunkStore:
             if self._quant is None or self._quant_dirty:
                 self._quant = QuantizedView(self._emb)
                 self._quant_dirty = False
-            return self._quant.search_device(queries, vcol, k_eff,
+            return self._quant.search_device(raw, vcol, k_eff,
                                              full_precision=self._emb)
         if plan == "int4":
-            return self._int4_view().search_device(queries, vcol, k_eff,
+            return self._int4_view().search_device(raw, vcol, k_eff,
                                                    full_precision=self._emb)
+        if plan == "pallas":
+            tile = pallas_ops.pick_tile(self._cap, int(raw.shape[0]),
+                                        k=k_eff)
+            return pallas_ops.binned_topk(
+                raw, self._emb, vcol, k_eff,
+                tile=tile or pallas_ops.DEFAULT_TILE, normalize=True)
+        queries = _normalize_queries(raw)
+        if plan == "ivf":
+            if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
+                self.build_ivf()
+            return self._ivf.search_device(queries, k_eff,
+                                           nprobe=IVF_AUTO_NPROBE, mask=mask)
+        if plan == "pq":
+            return self._search_pq_device(queries, k_eff, mask)
         if plan == "refined":
             tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
                                         k=max(k_eff, 16))
             return pallas_ops.refined_topk(
                 queries, self._emb, valid, k_eff,
-                tile=tile or pallas_ops.DEFAULT_TILE)
-        if plan == "pallas":
-            tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
-                                        k=k_eff)
-            return pallas_ops.binned_topk(
-                queries, self._emb, vcol, k_eff,
                 tile=tile or pallas_ops.DEFAULT_TILE)
         return topk_ops.flat_topk(queries, self._emb, valid, k_eff)
 

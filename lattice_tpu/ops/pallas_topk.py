@@ -563,27 +563,64 @@ def _as_scales_col(scales: jax.Array, n: int) -> jax.Array:
     return scales.reshape(n, 1)
 
 
-@jax.jit
+_COL_FNS: dict = {}
+
+
+def _col_fns():
+    """Jitted [N]->[N,1] converters with a FORCED row-major output layout.
+
+    XLA's natural layout for a reshape-to-column is {0,1:T(1,128)}, but
+    the Pallas custom-call constrains operands to row-major {1,0:T(8,128)}
+    — so a merely pre-shaped array gets a fresh conversion copy at the
+    call boundary EVERY search (the copies the R2_TPU_RESULTS6/7 traces
+    show surviving the first hoist attempt: 0.8 ms f32 + 0.3 ms i8 per
+    call at 1M, 4x that at 4M). Forcing major_to_minor=(0,1) at
+    conversion time makes the stored array bit-compatible with the
+    kernel's demand, deleting the per-call copy."""
+    dev = jax.devices()[0]
+    fns = _COL_FNS.get(dev)
+    if fns is None:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        fmt = Format(Layout((0, 1)), SingleDeviceSharding(dev))
+        to_i8 = jax.jit(lambda v: v.astype(jnp.int8).reshape(v.shape[0], 1),
+                        out_shardings=fmt)
+        to_f32 = jax.jit(
+            lambda s: s.astype(jnp.float32).reshape(s.shape[0], 1),
+            out_shardings=fmt)
+        relayout_i8 = jax.jit(lambda x: x + jnp.int8(0), out_shardings=fmt)
+        relayout_f32 = jax.jit(lambda x: x + 0.0, out_shardings=fmt)
+        fns = _COL_FNS[dev] = (to_i8, to_f32, relayout_i8, relayout_f32)
+    return fns
+
+
 def valid_col(valid: jax.Array) -> jax.Array:
     """One-time conversion of a [N] validity mask to kernel block form."""
-    return valid.astype(jnp.int8).reshape(valid.shape[0], 1)
+    return _col_fns()[0](valid)
 
 
-@jax.jit
 def scales_col(scales: jax.Array) -> jax.Array:
     """One-time conversion of [N] per-row scales to kernel block form."""
-    return scales.astype(jnp.float32).reshape(scales.shape[0], 1)
+    return _col_fns()[1](scales)
+
+
+def relayout_col(col: jax.Array) -> jax.Array:
+    """Restore the kernel layout after an `.at[].set` update (scatter
+    outputs revert to XLA's preferred layout)."""
+    return _col_fns()[2 if col.dtype == jnp.int8 else 3](col)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile", "inner", "interpret"))
+                   static_argnames=("k", "tile", "inner", "normalize",
+                                    "interpret"))
 def binned_topk(
-    queries: jax.Array,      # [B, d] f32 (normalized)
+    queries: jax.Array,      # [B, d] f32 (normalized, or normalize=True)
     embeddings: jax.Array,   # [N, d] bf16/f32, N % tile == 0
     valid: jax.Array,        # [N] bool/int8
     k: int,
     tile: int = DEFAULT_TILE,
     inner: int | None = None,
+    normalize: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Binned-max scan + exact rescore. Returns (scores [B,k], ids [B,k]).
@@ -593,6 +630,12 @@ def binned_topk(
     (k <= BINS * n_tiles). Candidates widen to max(k, 16) and rescore at
     f32/HIGHEST exactly as refined_topk."""
     n, d = embeddings.shape
+    if normalize:
+        # fold query prep into this execution: through the axon relay
+        # every separate dispatch costs ~1-2 ms fixed (R2_TPU_RESULTS7)
+        queries = queries.astype(jnp.float32)
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
     b_in = queries.shape[0]
     b = max(8, ((b_in + 7) // 8) * 8)
     if b != b_in:

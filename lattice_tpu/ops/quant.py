@@ -79,6 +79,50 @@ def quantized_search(
     return np.asarray(s), np.asarray(i)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _l2n(q: jax.Array) -> jax.Array:
+    q = q.astype(jnp.float32)
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "k1", "tile", "bits"))
+def _fused_two_stage(q, values, scales_col, valid, full_precision,
+                     k: int, k1: int, tile: int, bits: int):
+    """Normalize + quantize + scan + exact rescore in ONE XLA execution.
+
+    Dispatch count is a first-order serving cost: through the axon relay
+    each execution carries ~1-2 ms of fixed overhead, and the previous
+    3-execution pipeline (quantize / scan / rescore) measured ~6.9 ms
+    wall against a 3.4 ms device module (R2_TPU_RESULTS7 trace). One
+    module also lets XLA overlap the query prep with the scan's first
+    DMAs."""
+    from lattice_tpu.ops.pallas_topk import (_exact_rescore,
+                                             binned_topk_int4,
+                                             binned_topk_int8)
+    q = _l2n(q)
+    qv, qs = quantize_rows_device(q)
+    kern = binned_topk_int8 if bits == 8 else binned_topk_int4
+    s1, c1 = kern(qv, qs, values, scales_col, valid, k1, tile=tile)
+    return _exact_rescore(q, full_precision, s1, c1, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "bits"))
+def _fused_first(q, values, scales_col, valid, k: int, tile: int, bits: int):
+    """Single-execution first-stage-only variant (no resident rows)."""
+    from lattice_tpu.ops.pallas_topk import (binned_topk_int4,
+                                             binned_topk_int8)
+    qv, qs = quantize_rows_device(_l2n(q))
+    kern = binned_topk_int8 if bits == 8 else binned_topk_int4
+    s, i = kern(qv, qs, values, scales_col, valid, k, tile=tile)
+    return s[:, :k], i[:, :k]
+
+
 class QuantizedView:
     """Int8 shadow of an embedding matrix for fast first-stage scanning.
 
@@ -109,7 +153,8 @@ class QuantizedView:
         v, s = quantize_rows_device(rows.astype(jnp.float32))
         self.values = self.values.at[idx].set(v)
         self.scales = self.scales.at[idx].set(s)
-        self._scales_col = self._scales_col.at[idx, 0].set(s)
+        from lattice_tpu.ops.pallas_topk import relayout_col
+        self._scales_col = relayout_col(self._scales_col.at[idx, 0].set(s))
 
     def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
                      valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -150,11 +195,23 @@ class QuantizedView:
         matches a 40-wide first stage exactly (0.9953, the storage
         ceiling).
         """
+        from lattice_tpu.ops.pallas_topk import pick_tile
+        k1 = min(max(k, 16), max(rescore_factor * k, k), self.n)
+        if _on_tpu():
+            tile = pick_tile(self.n, queries.shape[0], k=max(k1, 16))
+            if tile is not None:
+                if full_precision is None:
+                    return _fused_first(queries, self.values,
+                                        self._scales_col, valid, k=k,
+                                        tile=tile, bits=8)
+                return _fused_two_stage(queries, self.values,
+                                        self._scales_col, valid,
+                                        full_precision, k=k, k1=k1,
+                                        tile=tile, bits=8)
         q = queries.astype(jnp.float32)
         q_values, q_scales = quantize_rows_device(q)
         if full_precision is None:
             return self._first_stage(q_values, q_scales, valid, k)
-        k1 = min(max(k, 16), max(rescore_factor * k, k), self.n)
         s1, cand = self._first_stage(q_values, q_scales, valid, k1)
         # masked rescore: first-stage -inf slots (fewer valid rows than k1)
         # carry garbage indices that must never be promoted
@@ -315,7 +372,8 @@ class Int4View:
         v, s = quantize_rows_int4_device(rows.astype(jnp.float32))
         self.values = self.values.at[idx].set(v)
         self.scales = self.scales.at[idx].set(s)
-        self._scales_col = self._scales_col.at[idx, 0].set(s)
+        from lattice_tpu.ops.pallas_topk import relayout_col
+        self._scales_col = relayout_col(self._scales_col.at[idx, 0].set(s))
 
     def _first_stage(self, q_values: jax.Array, q_scales: jax.Array,
                      valid: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -342,6 +400,21 @@ class Int4View:
                       rescore_factor: int = 8
                       ) -> tuple[jax.Array, jax.Array]:
         """Device-resident two-stage search (queries int8, corpus int4)."""
+        if _on_tpu():
+            from lattice_tpu.ops.pallas_topk import pick_tile_packed
+            k1w = min(max(rescore_factor * k, 32), self.n)
+            tile = pick_tile_packed(
+                self.n, queries.shape[0],
+                k=k if full_precision is None else max(k1w, 16))
+            if tile is not None:
+                if full_precision is None:
+                    return _fused_first(queries, self.values,
+                                        self._scales_col, valid, k=k,
+                                        tile=tile, bits=4)
+                return _fused_two_stage(queries, self.values,
+                                        self._scales_col, valid,
+                                        full_precision, k=k, k1=k1w,
+                                        tile=tile, bits=4)
         q = queries.astype(jnp.float32)
         q_values, q_scales = quantize_rows_device(q)
         if full_precision is None:
