@@ -805,6 +805,66 @@ class ChunkStore:
                 tile=tile or pallas_ops.DEFAULT_TILE)
         return topk_ops.flat_topk(queries, self._emb, valid, k_eff)
 
+    def search_device_pipelined(self, queries: jax.Array, k: int,
+                                chunk: int = 256,
+                                filters: dict[str, Any] | None = None,
+                                method: str = "auto"
+                                ) -> tuple[jax.Array, jax.Array]:
+        """Bulk device search: ONE XLA execution scans ceil(B/chunk)
+        query chunks through the planned kernel.
+
+        Per-execution dispatch costs ~1-3 ms fixed (axon relay,
+        R2_TPU_RESULTS8: a 2.4 ms device module measured 5.5 ms wall
+        one-batch-at-a-time); bulk callers (offline eval, reindex dedup,
+        backfills) pay it once here. Falls back to per-chunk
+        `search_device` for plans without a scanned variant."""
+        queries = jnp.asarray(queries)
+        b_in = int(queries.shape[0])
+        k_eff = min(k, self._cap)
+        g = max(1, -(-b_in // chunk))
+        pad = g * chunk - b_in
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)])
+        plan = self._plan_search(chunk, k_eff, filters, method)
+        mask = self.filter_mask(filters)
+        q3 = queries.reshape(g, chunk, -1)
+        vcol = self._valid_col() if mask is None else (self._valid & mask)
+        if plan in ("quantized", "int4") and self._device_is_tpu():
+            from lattice_tpu.ops.quant import _fused_two_stage_scanned
+            if plan == "quantized":
+                from lattice_tpu.ops.quant import QuantizedView
+                if self._quant is None or self._quant_dirty:
+                    self._quant = QuantizedView(self._emb)
+                    self._quant_dirty = False
+                view, bits = self._quant, 8
+                k1 = min(max(k_eff, 16), max(4 * k_eff, k_eff), view.n)
+                tile = pallas_ops.pick_tile(view.n, chunk, k=max(k1, 16))
+            else:
+                view, bits = self._int4_view(), 4
+                k1 = min(max(8 * k_eff, 32), view.n)
+                tile = pallas_ops.pick_tile_packed(view.n, chunk,
+                                                   k=max(k1, 16))
+            if tile is not None:
+                s, i = _fused_two_stage_scanned(
+                    q3, view.values, view._scales_col, vcol, self._emb,
+                    k=k_eff, k1=k1, tile=tile, bits=bits)
+                return (s.reshape(g * chunk, -1)[:b_in],
+                        i.reshape(g * chunk, -1)[:b_in])
+        if plan == "pallas":
+            tile = pallas_ops.pick_tile(self._cap, chunk, k=k_eff)
+            if tile is not None:
+                s, i = pallas_ops.binned_topk_scanned(
+                    q3, self._emb, vcol, k_eff, tile=tile)
+                return (s.reshape(g * chunk, -1)[:b_in],
+                        i.reshape(g * chunk, -1)[:b_in])
+        # fallback: per-chunk dispatch through the normal path
+        outs = [self.search_device(q3[i], k_eff, filters=filters,
+                                   method=method) for i in range(g)]
+        s = jnp.concatenate([o[0] for o in outs])[:b_in]
+        i = jnp.concatenate([o[1] for o in outs])[:b_in]
+        return s, i
+
     def _assemble_hits(self, n_queries: int, scores_np: np.ndarray,
                        idx_np: np.ndarray
                        ) -> list[list[tuple[int, float, dict[str, Any]]]]:

@@ -683,6 +683,27 @@ def binned_topk(
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "normalize", "interpret"))
+def binned_topk_scanned(
+    q3: jax.Array,           # [G, B, d] query chunks
+    embeddings: jax.Array,   # [N, d] bf16/f32
+    valid: jax.Array,
+    k: int,
+    tile: int = DEFAULT_TILE,
+    normalize: bool = True,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Bulk serving: scan the binned scan over G query chunks in ONE XLA
+    execution — per-execution dispatch (~3 ms over the axon relay,
+    R2_TPU_RESULTS8) is paid once for all G batches. Returns
+    ([G, B, k], [G, B, k])."""
+    def body(_, qc):
+        return None, binned_topk(qc, embeddings, valid, k, tile=tile,
+                                 normalize=normalize, interpret=interpret)
+    return jax.lax.scan(body, None, q3)[1]
+
+
+@functools.partial(jax.jit,
                    static_argnames=("k", "tile", "inner", "interpret"))
 def binned_topk_int8(
     q_values: jax.Array,     # [B, d] i8

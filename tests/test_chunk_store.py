@@ -186,6 +186,21 @@ class TestQuantizedStorePath:
         got = s.search_int4(new, k=1)
         assert got[0][0][0] == row
 
+    def test_pipelined_matches_search_device(self):
+        # CPU falls back to per-chunk dispatch; results must match the
+        # one-shot path exactly (incl. the padded final chunk)
+        s = ChunkStore(dim=32, dtype="float32", initial_capacity=128)
+        vecs = _vecs(100, 32, seed=25)
+        s.add(vecs, [{"file_path": f"f{i}.py", "content_hash": "h"}
+                     for i in range(100)])
+        q = _vecs(10, 32, seed=26)
+        import jax.numpy as jnp
+        s1, i1 = s.search_device(jnp.asarray(q), 5)
+        s2, i2 = s.search_device_pipelined(jnp.asarray(q), 5, chunk=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-5)
+
     def test_quant_masks_removed_rows_without_rebuild(self):
         s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
         s.add(_vecs(10, 16), [{"file_path": "a.py", "content_hash": "h"}] * 10)

@@ -272,6 +272,43 @@ class TestBinnedTopK:
         np.testing.assert_allclose(np.asarray(s_w)[0],
                                    np.sort(np.asarray(s_w)[0])[::-1])
 
+    def test_scanned_bulk_matches_single(self):
+        # one-execution bulk serving: scan over G chunks must equal G
+        # independent calls
+        from lattice_tpu.ops.pallas_topk import binned_topk_scanned
+        rng = np.random.default_rng(21)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 32)))
+        valid = jnp.asarray(np.ones(512, bool))
+        q = rng.normal(size=(8, 32)).astype(np.float32)   # unnormalized
+        q3 = jnp.asarray(q.reshape(2, 4, 32))
+        s3, i3 = binned_topk_scanned(q3, jnp.asarray(emb), valid, 5,
+                                     tile=128, interpret=True)
+        for g in range(2):
+            s1, i1 = binned_topk(jnp.asarray(
+                topk_ops.l2_normalize(q[g * 4:(g + 1) * 4])),
+                jnp.asarray(emb), valid, 5, tile=128, interpret=True)
+            np.testing.assert_array_equal(np.asarray(i3[g]), np.asarray(i1))
+
+    def test_fused_two_stage_scanned_matches(self):
+        from lattice_tpu.ops.quant import (Int4View, _fused_two_stage,
+                                           _fused_two_stage_scanned)
+        rng = np.random.default_rng(22)
+        emb = topk_ops.l2_normalize(rng.normal(size=(512, 32)))
+        view = Int4View(emb)
+        valid = jnp.asarray(np.ones(512, bool))
+        fp = jnp.asarray(emb, dtype=jnp.float32)
+        q = rng.normal(size=(8, 32)).astype(np.float32)
+        q3 = jnp.asarray(q.reshape(2, 4, 32))
+        s3, i3 = _fused_two_stage_scanned(
+            q3, view.values, view._scales_col, valid, fp,
+            k=5, k1=16, tile=128, bits=4, interpret=True)
+        for g in range(2):
+            s1, i1 = _fused_two_stage(
+                jnp.asarray(q[g * 4:(g + 1) * 4]), view.values,
+                view._scales_col, valid, fp, k=5, k1=16, tile=128, bits=4,
+                interpret=True)
+            np.testing.assert_array_equal(np.asarray(i3[g]), np.asarray(i1))
+
     def test_int4_binned_candidates(self):
         from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
         rows = list(range(100, 110))
