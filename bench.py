@@ -129,6 +129,21 @@ def main() -> None:
 
     # alternate kernels for visibility (not the headline)
     alt = {}
+    # pipelined bulk serving: one execution scans 8 chunks of 256 —
+    # amortizes the fixed per-dispatch overhead (~1-3 ms on this relay)
+    try:
+        q_bulk = jnp.concatenate([q_f32] * 8)
+        def run_pipe():
+            return store.search_device_pipelined(q_bulk, K, chunk=BATCH)
+        np.asarray(run_pipe()[1])
+        t0p = time.perf_counter()
+        for _ in range(4):
+            out = run_pipe()
+        np.asarray(out[1])
+        alt["pipelined_qps"] = round(
+            8 * BATCH * 4 / (time.perf_counter() - t0p), 1)
+    except Exception as exc:
+        alt["pipelined_error"] = repr(exc)[:120]
     for name in ("pallas", "refined", "quantized", "int4", "flat"):
         if name in ("pallas", "refined") and plan == "flat":
             continue  # no valid tile / not on TPU
