@@ -74,7 +74,7 @@ def _pack_keys_fast(scores, cols, shift: int = _KEY_SHIFT):
     recomputes winners anyway).
     """
     bits = jax.lax.bitcast_convert_type(scores + 2.0, jnp.int32)
-    return ((bits >> shift) << shift) | cols
+    return (bits & ~((1 << shift) - 1)) | cols
 
 
 def _pack_keys(scores, cols):
@@ -476,8 +476,9 @@ def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (b, inner), 1) + h * inner
         alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
-        in_range = (cols + row_base) < n_rows
-        scores = jnp.where(alive & in_range, scores, NEG_INF)
+        # no in-range test: wrappers assert n % tile == 0 and padding
+        # rows are invalid, so the valid mask already covers the tail
+        scores = jnp.where(alive, scores, NEG_INF)
         keys = _pack_keys_fast(scores, cols, shift)  # [B, inner] i32
         m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)  # [B, 128]
         maxes = m if maxes is None else jnp.maximum(maxes, m)
@@ -503,8 +504,9 @@ def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (b, inner), 1) + h * inner
         alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
-        in_range = (cols + row_base) < n_rows
-        scores = jnp.where(alive & in_range, scores, NEG_INF)
+        # no in-range test: wrappers assert n % tile == 0 and padding
+        # rows are invalid, so the valid mask already covers the tail
+        scores = jnp.where(alive, scores, NEG_INF)
         keys = _pack_keys_fast(scores, cols, shift)
         m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
         maxes = m if maxes is None else jnp.maximum(maxes, m)
@@ -794,8 +796,9 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (b, inner), 1) + h * inner
         alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
-        in_range = (cols + row_base) < n_rows
-        scores = jnp.where(alive & in_range, scores, NEG_INF)
+        # no in-range test: wrappers assert n % tile == 0 and padding
+        # rows are invalid, so the valid mask already covers the tail
+        scores = jnp.where(alive, scores, NEG_INF)
         keys = _pack_keys_fast(scores, cols, shift)
         m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
         maxes = m if maxes is None else jnp.maximum(maxes, m)
