@@ -207,7 +207,15 @@ class ChunkStore:
         after >20% of the corpus has churned the partition is marked dirty
         and the next search rebuilds (re-measuring recall)."""
         n = len(rows)
-        if self._ivf is not None and not self._ivf_dirty:
+        if (self._ivf is not None and not self._ivf_dirty
+                and getattr(self._ivf, "hollow", False)):
+            # recall-refused index: buckets are gone by design; mutations
+            # have nothing to maintain and must NOT flag a rebuild (the
+            # refusal verdict stands until 20% churn re-measures it)
+            self._ivf_mutations += n
+            if self._ivf_mutations > 0.2 * max(self._size, 1):
+                self._ivf_dirty = True
+        elif self._ivf is not None and not self._ivf_dirty:
             try:
                 if normed_dev is None:
                     self._ivf.remove(rows)

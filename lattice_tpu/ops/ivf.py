@@ -404,6 +404,10 @@ class IVFIndex:
         m = int(emb_rows.shape[0])
         if m == 0:
             return
+        if self.hollow:
+            raise RuntimeError(
+                "hollow IVF (buckets released after a recall refusal) "
+                "cannot take incremental updates; rebuild first")
         data_f32 = emb_rows.astype(jnp.float32)
         sims = jax.lax.dot_general(
             data_f32, self.centroids,

@@ -186,6 +186,24 @@ class TestQuantizedStorePath:
         got = s.search_int4(new, k=1)
         assert got[0][0][0] == row
 
+    def test_hollow_ivf_survives_mutations(self):
+        # recall-refused IVF releases its buckets; later adds must neither
+        # raise nor force a rebuild below the churn threshold (bench_r2
+        # caught an AttributeError on bucket_data=None here)
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=64)
+        s.add(_vecs(30, 16, seed=27),
+              [{"file_path": "a.py", "content_hash": "h"}] * 30)
+        s.build_ivf(n_clusters=4)
+        s._ivf.release_buckets()
+        s._ivf_dirty = False
+        s._ivf_mutations = 0
+        s.add(_vecs(2, 16, seed=28),
+              [{"file_path": "b.py", "content_hash": "h"}] * 2)
+        assert not s._ivf_dirty            # small delta: verdict stands
+        s.add(_vecs(20, 16, seed=29),
+              [{"file_path": "c.py", "content_hash": "h"}] * 20)
+        assert s._ivf_dirty                # >20% churn: re-measure
+
     def test_pipelined_matches_search_device(self):
         # CPU falls back to per-chunk dispatch; results must match the
         # one-shot path exactly (incl. the padded final chunk)
