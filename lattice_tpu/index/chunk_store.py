@@ -644,12 +644,16 @@ class ChunkStore:
                       ADC scan, gated on its build-time measured recall
         4. int4     — LATTICE_INT4=1 (4x-capacity serving mode) on TPU:
                       packed-nibble scan at ~int8 speed + exact rescore
-        5. quantized — LATTICE_INT8=1 (2x-capacity serving mode) on TPU
-        6. pallas   — TPU and the capacity tiles evenly, k <= 64: the
-                      binned-max scan (37.4k qps / 0.9973 recall at 1M;
-                      forced method="refined" gives the exact-at-storage
-                      insertion scan at 29.1k / 0.9996)
-        6. flat     — the XLA fallback, always correct
+        5. quantized — the flat-tier serving DEFAULT on TPU (also forced
+                      by LATTICE_INT8=1): int8 first stage + exact bf16
+                      rescore beats the bf16 binned scan on BOTH axes
+                      (46.5k vs 40.1k qps, recall 0.9965 vs 0.9934 at 1M,
+                      bench_r2) at +0.5x corpus HBM for the shadow;
+                      LATTICE_INT8=0 opts out
+        6. pallas   — bf16 binned-max scan: no int8 shadow memory, or
+                      int8 opted out; forced method="refined" gives the
+                      exact-at-storage insertion scan (29k / 0.9996)
+        7. flat     — the XLA fallback, always correct
         """
         if method in ("flat", "pallas", "refined", "ivf", "pq", "quantized",
                       "int4", "sharded"):
@@ -677,8 +681,11 @@ class ChunkStore:
         if on_tpu and os.environ.get("LATTICE_INT4") == "1":
             return "int4"
         if on_tpu and os.environ.get("LATTICE_INT8") == "1":
-            return "quantized"
+            return "quantized"       # forced even where no tile fits
         tile = pallas_ops.pick_tile(self._cap, batch, k=max(k_eff, 16))
+        if (on_tpu and tile is not None and k_eff <= 64
+                and os.environ.get("LATTICE_INT8") != "0"):
+            return "quantized"
         if on_tpu and tile is not None and k_eff <= 64:
             return "pallas"
         return "flat"

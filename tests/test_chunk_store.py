@@ -438,10 +438,18 @@ class TestDispatchDecisionTable:
         with pytest.raises(VectorStoreError):
             s._plan_search(4, 10, None, "hnsw")
 
-    def test_tpu_small_corpus_prefers_pallas(self, monkeypatch):
-        # capacity must tile evenly (pick_tile wants a 512/1024/2048 divisor)
+    def test_tpu_small_corpus_serves_quantized_default(self, monkeypatch):
+        # flat-tier default on TPU: int8 first stage + exact rescore
+        # (beats the bf16 binned scan on both axes, bench_r2); capacity
+        # must tile evenly (pick_tile wants a 512/1024/2048 divisor)
         s = self._store(n=1024)
         monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        assert s._plan_search(4, 10, None, "auto") == "quantized"
+
+    def test_int8_optout_serves_pallas(self, monkeypatch):
+        s = self._store(n=1024)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setenv("LATTICE_INT8", "0")
         assert s._plan_search(4, 10, None, "auto") == "pallas"
 
     def test_tpu_large_corpus_serves_ivf(self, monkeypatch):
@@ -462,7 +470,7 @@ class TestDispatchDecisionTable:
         monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
         monkeypatch.setattr(cs, "IVF_AUTO_NPROBE", 1)
         plan = s._plan_search(4, 10, None, "auto")
-        assert plan in ("pallas", "flat")
+        assert plan in ("quantized", "pallas", "flat")   # anything but ivf
 
     def test_selective_filter_falls_back_to_flat(self, monkeypatch):
         from lattice_tpu.index import chunk_store as cs
