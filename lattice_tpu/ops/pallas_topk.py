@@ -272,7 +272,7 @@ def fused_topk(
             [queries, jnp.zeros((b - b_in, d), queries.dtype)], axis=0)
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
-    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    valid_i8 = _as_valid_col(valid, n)
 
     kernel = functools.partial(_topk_kernel, k=k, tile=tile, n_rows=n)
     out_s, out_i = pl.pallas_call(
@@ -383,7 +383,7 @@ def fused_topk_int8(
             [q_scales, jnp.zeros((b - b_in,), q_scales.dtype)], axis=0)
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
-    valid_i8 = valid.astype(jnp.int8).reshape(n, 1)
+    valid_i8 = _as_valid_col(valid, n)
     q_scales_col = q_scales.reshape(b, 1)
     e_scales_col = e_scales.reshape(n, 1)
 
