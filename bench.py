@@ -170,6 +170,27 @@ def main() -> None:
         store_c = ChunkStore.from_device_arrays(emb_c, valid_dev)
         plan_c = store_c._plan_search(BATCH, K, None, "auto")
         qps_c, idx_c = timed(lambda: store_c.search_device(qc, K))
+        # small-batch regime: the IVF tier's home turf (per the measured
+        # crossover the dispatcher only probes when batches are small or
+        # the corpus outgrows the flat scan)
+        try:
+            plan_s = store_c._plan_search(16, K, None, "auto")
+            q16 = qc[:16]
+            def t16():
+                out = store_c.search_device(q16, K)
+                np.asarray(out[1])
+                t0s = time.perf_counter()
+                for _ in range(DEVICE_ITERS):
+                    out = store_c.search_device(q16, K)
+                np.asarray(out[1])
+                return 16 * DEVICE_ITERS / (time.perf_counter() - t0s)
+            alt["clustered_smallbatch_plan"] = plan_s
+            alt["clustered_smallbatch_qps"] = round(t16(), 1)
+            if store_c._ivf is not None:
+                alt["clustered_ivf_build_s"] = round(
+                    getattr(store_c._ivf, "build_seconds", 0.0), 1)
+        except Exception as exc:
+            alt["clustered_smallbatch_error"] = repr(exc)[:120]
         _, exact_c = topk_ops.flat_topk(qc, emb_c.astype(jnp.float32),
                                         valid_dev, K)
         exact_c = np.asarray(exact_c)

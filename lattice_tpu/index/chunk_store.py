@@ -53,6 +53,15 @@ IVF_FILTER_MIN_MATCH_PER_K = 50
 # this bar (isotropic corpora measure ~0.2 and stay on the flat path).
 IVF_MIN_RECALL = float(os.environ.get("LATTICE_IVF_MIN_RECALL", 0.9))
 IVF_AUTO_NPROBE = int(os.environ.get("LATTICE_IVF_NPROBE", 8))
+# Measured crossover vs the int8 flat tier (bench_r2, v5e, 1M x 768):
+# at B=256 the int8 two-stage serves 46k qps vs fused-IVF's 28.5k — the
+# probe kernel's per-query bucket DMAs don't batch-amortize the way one
+# big streamed matmul does — while at B=1 IVF wins 2.9 ms vs 5.9. IVF
+# also wins once the corpus outgrows what a flat scan streams in ~10 ms
+# (probe traffic is ~nprobe/C of the corpus). Between those, flat-int8.
+IVF_SMALL_BATCH = int(os.environ.get("LATTICE_IVF_SMALL_BATCH", 32))
+IVF_FLAT_CROSSOVER_ROWS = int(
+    os.environ.get("LATTICE_IVF_CROSSOVER_ROWS", 2_000_000))
 # Sharded serving quantizes automatically under memory pressure: int8
 # once bf16 rows would occupy more than half a chip's HBM (transients +
 # views need the rest), int4 once they would exceed a full chip.
@@ -664,7 +673,10 @@ class ChunkStore:
                 and len(jax.devices()) > 1):
             return "sharded"
         on_tpu = self._device_is_tpu()
+        ivf_pays = (batch <= IVF_SMALL_BATCH
+                    or self._size >= IVF_FLAT_CROSSOVER_ROWS)
         if (on_tpu and k_eff <= 64 and self._size >= IVF_AUTO_MIN_ROWS
+                and ivf_pays
                 and self._filter_selectivity_ok(filters, k_eff)):
             if self._ivf is None or self._ivf_dirty:
                 self.build_ivf()          # one-time; self-measures recall

@@ -472,6 +472,20 @@ class TestDispatchDecisionTable:
         plan = s._plan_search(4, 10, None, "auto")
         assert plan in ("quantized", "pallas", "flat")   # anything but ivf
 
+    def test_large_batch_prefers_flat_int8_over_ivf(self, monkeypatch):
+        # measured crossover (bench_r2): big batches stream the int8 flat
+        # scan faster than per-query bucket probes; IVF keeps small-batch
+        # latency and >crossover corpora
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=256)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
+        assert s._plan_search(4, 10, None, "auto") == "ivf"      # small B
+        plan_big = s._plan_search(256, 10, None, "auto")
+        assert plan_big != "ivf"
+        monkeypatch.setattr(cs, "IVF_FLAT_CROSSOVER_ROWS", 200)
+        assert s._plan_search(256, 10, None, "auto") == "ivf"    # big corpus
+
     def test_selective_filter_falls_back_to_flat(self, monkeypatch):
         from lattice_tpu.index import chunk_store as cs
         s = self._store(n=256)
