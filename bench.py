@@ -105,6 +105,16 @@ def main() -> None:
                       jax.random.fold_in(kq, 2), BATCH)
     queries = np.asarray(q_f32)  # forces attach + materialization
 
+    # exact-recall oracle + host-baseline subsample FIRST, then free the
+    # f32 corpus: keeping 4 GB of f32 alive through the quantized views +
+    # clustered section OOMed a 16 GB chip (bench_r2c)
+    from lattice_tpu.ops import topk as _tk
+    _, exact_i = _tk.flat_topk(q_f32, corpus_f32, valid_dev, K)
+    exact_i = np.asarray(exact_i)
+    sub = min(HOST_SUBSAMPLE, N_ROWS)
+    host_corpus = np.asarray(corpus_f32[:sub])
+    del corpus_f32
+
     store = ChunkStore.from_device_arrays(emb_dev, valid_dev)
 
     # ---- dispatcher plan (on TPU at this scale: builds + self-measures IVF)
@@ -207,9 +217,7 @@ def main() -> None:
     except Exception as exc:  # keep the headline alive on any failure
         alt["clustered_error"] = repr(exc)[:120]
 
-    # ---- recall vs device-exact f32
-    exact_s, exact_i = topk_ops.flat_topk(q_f32, corpus_f32, valid_dev, K)
-    exact_i = np.asarray(exact_i)
+    # ---- recall vs device-exact f32 (oracle computed up front)
     recall = np.mean([
         len(set(idx_np[i].tolist()) & set(exact_i[i].tolist())) / K
         for i in range(BATCH)
@@ -241,8 +249,6 @@ def main() -> None:
     encode_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
 
     # ---- host exact-scan baseline on a subsample, scaled linearly
-    sub = min(HOST_SUBSAMPLE, N_ROWS)
-    host_corpus = np.asarray(corpus_f32[:sub])
     t0 = time.perf_counter()
     host_scores = queries @ host_corpus.T
     np.argpartition(-host_scores, min(K, sub - 1), axis=1)
