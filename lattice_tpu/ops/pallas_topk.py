@@ -99,43 +99,6 @@ def _tile_shift(tile: int) -> int:
     return max((tile - 1).bit_length(), _KEY_SHIFT)
 
 
-def _select_topk_packed(scores, row_base, best_s_ref, best_i_ref, k):
-    """Merge tile scores into the running top-k via packed-key iterations.
-
-    Two full-width VPU passes per selected element (max + clear). Winner
-    ids never require a full-width scan: packed columns < k index the old
-    running best (k-wide gather); columns >= k are tile positions, so the
-    global row id is row_base + (col - k).
-    """
-    b = scores.shape[0]
-    old_best_i = best_i_ref[:]                               # [B, k]
-    local_cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + k
-    running_cols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    keys = jnp.concatenate([
-        _pack_keys(best_s_ref[:], running_cols),
-        _pack_keys(scores, local_cols),
-    ], axis=-1)                                              # [B, k+T]
-    new_keys = []
-    for _ in range(k):
-        kmax = jnp.max(keys, axis=-1, keepdims=True)         # [B, 1]
-        new_keys.append(kmax)
-        keys = jnp.where(keys == kmax, jnp.int32(0), keys)
-    top_keys = jnp.concatenate(new_keys, axis=-1)            # [B, k]
-    cols = _unpack_col(top_keys)                             # [B, k]
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    ids = []
-    for j in range(k):
-        col_j = cols[:, j:j + 1]                             # [B, 1]
-        from_running = jnp.sum(
-            jnp.where(lane_k == col_j, old_best_i, 0), axis=-1,
-            keepdims=True)                                   # k-wide only
-        from_tile = row_base + (col_j - k)
-        ids.append(jnp.where(col_j < k, from_running, from_tile)
-                   .astype(jnp.int32))
-    best_s_ref[:] = _unpack_score(top_keys)
-    best_i_ref[:] = jnp.concatenate(ids, axis=-1)
-
-
 def _select_topk_insertion(scores, row_base, best_s_ref, best_i_ref, k):
     """Data-dependent merge: insert tile winners until none improves.
 
