@@ -108,8 +108,7 @@ def main() -> None:
     # exact-recall oracle + host-baseline subsample FIRST, then free the
     # f32 corpus: keeping 4 GB of f32 alive through the quantized views +
     # clustered section OOMed a 16 GB chip (bench_r2c)
-    from lattice_tpu.ops import topk as _tk
-    _, exact_i = _tk.flat_topk(q_f32, corpus_f32, valid_dev, K)
+    _, exact_i = topk_ops.flat_topk(q_f32, corpus_f32, valid_dev, K)
     exact_i = np.asarray(exact_i)
     sub = min(HOST_SUBSAMPLE, N_ROWS)
     host_corpus = np.asarray(corpus_f32[:sub])

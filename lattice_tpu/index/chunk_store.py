@@ -845,6 +845,8 @@ class ChunkStore:
         one-batch-at-a-time); bulk callers (offline eval, reindex dedup,
         backfills) pay it once here. Falls back to per-chunk
         `search_device` for plans without a scanned variant."""
+        if self._size == 0:
+            raise VectorStoreError("empty store has no device path")
         queries = jnp.asarray(queries)
         b_in = int(queries.shape[0])
         k_eff = min(k, self._cap)

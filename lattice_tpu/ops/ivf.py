@@ -463,6 +463,10 @@ class IVFIndex:
         return c, pos
 
     def remove(self, row_ids: Sequence[int]) -> None:
+        if self.hollow:
+            raise RuntimeError(
+                "hollow IVF (buckets released after a recall refusal) "
+                "cannot take incremental updates; rebuild first")
         """Mark bucket slots dead (-1 id scores -inf in both kernels)."""
         cs, ps = [], []
         for row in row_ids:
@@ -497,6 +501,8 @@ class IVFIndex:
         `max_load` bounds every bucket to max_load * N/C rows via
         `_capped_layout` (skew control); None keeps natural cluster sizes.
         """
+        import time as _time
+        _t0 = _time.perf_counter()
         valid = np.asarray(valid, dtype=bool)
         n, d = emb_dev.shape
         if n_clusters is None:
@@ -522,13 +528,15 @@ class IVFIndex:
             n_clusters, cap, d).astype(jnp.dtype(dtype))
         bucket_data = bucket_data * jnp.asarray(
             bucket_valid[..., None], dtype=bucket_data.dtype)
-        return cls(
+        out = cls(
             centroids=centroids,
             bucket_data=bucket_data,
             bucket_ids=jnp.asarray(bucket_ids),
             bucket_valid=jnp.asarray(bucket_valid),
             n_rows=n, dtype=dtype,
         )
+        out.build_seconds = _time.perf_counter() - _t0
+        return out
 
     @classmethod
     def build(cls, embeddings: np.ndarray, valid: np.ndarray,

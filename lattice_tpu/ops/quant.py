@@ -231,7 +231,9 @@ class QuantizedView:
                                         self._scales_col, valid,
                                         full_precision, k=k, k1=k1,
                                         tile=tile, bits=8)
-        q = queries.astype(jnp.float32)
+        # fallback path must normalize too: callers (ChunkStore) now pass
+        # RAW queries on every route, not just the fused one
+        q = _l2n(queries)
         q_values, q_scales = quantize_rows_device(q)
         if full_precision is None:
             return self._first_stage(q_values, q_scales, valid, k)
@@ -438,7 +440,8 @@ class Int4View:
                                         self._scales_col, valid,
                                         full_precision, k=k, k1=k1w,
                                         tile=tile, bits=4)
-        q = queries.astype(jnp.float32)
+        # fallback path must normalize too (callers pass RAW queries)
+        q = _l2n(queries)
         q_values, q_scales = quantize_rows_device(q)
         if full_precision is None:
             return self._first_stage(q_values, q_scales, valid, k)

@@ -198,10 +198,14 @@ class ShardedIndex:
         the filtered search stays one collective round.
         """
         with_mask = mask is not None
-        fn = self._search_cache.get((k, with_mask))
+        # the compiled closure bakes in the Pallas force/interpret flags,
+        # so they must be part of the cache key (toggling them after a
+        # first search would otherwise serve the stale kernel)
+        key = (k, with_mask, self._force_pallas, self._pallas_interpret)
+        fn = self._search_cache.get(key)
         if fn is None:
             fn = self._build_search(k, with_mask)
-            self._search_cache[(k, with_mask)] = fn
+            self._search_cache[key] = fn
         q = jnp.asarray(topk_ops.l2_normalize(np.atleast_2d(queries)))
         if with_mask:
             m = np.asarray(mask, dtype=bool)
@@ -317,7 +321,10 @@ class ShardedQuantizedIndex:
         k_local = min(k, rows_per_shard)
         # Per-shard kernel: the fused Pallas scan on real TPU (XLA int8
         # dots upcast there — measured ~100x slower); XLA elsewhere.
-        tile = pk.pick_tile(rows_per_shard, 8, k=max(k_local, 16))
+        # int4 shards use the packed tile preference (4096-first) exactly
+        # as the single-chip Int4View does.
+        pick = pk.pick_tile if self.bits == 8 else pk.pick_tile_packed
+        tile = pick(rows_per_shard, 8, k=max(k_local, 16))
         use_pallas = ((self._force_pallas or _on_tpu())
                       and tile is not None and k_local <= 64)
         interp = self._pallas_interpret
@@ -374,10 +381,14 @@ class ShardedQuantizedIndex:
         """Global (scores [B,k], row ids [B,k]); scores int8-quantized."""
         from lattice_tpu.ops.quant import quantize_rows
         with_mask = mask is not None
-        fn = self._search_cache.get((k, with_mask))
+        # the compiled closure bakes in the Pallas force/interpret flags,
+        # so they must be part of the cache key (toggling them after a
+        # first search would otherwise serve the stale kernel)
+        key = (k, with_mask, self._force_pallas, self._pallas_interpret)
+        fn = self._search_cache.get(key)
         if fn is None:
             fn = self._build_search(k, with_mask)
-            self._search_cache[(k, with_mask)] = fn
+            self._search_cache[key] = fn
         q = topk_ops.l2_normalize(np.atleast_2d(queries))
         q_values, q_scales = quantize_rows(q)
         args = [jnp.asarray(q_values), jnp.asarray(q_scales),

@@ -543,13 +543,17 @@ class TestShardedQuantizedUpgrades:
     def test_pallas_per_shard_path(self):
         # the real-TPU serving kernel per shard (binned Pallas), forced
         # into interpret mode on the CPU mesh; must match the oracle
+        from lattice_tpu.ops import pallas_topk as pk
         from lattice_tpu.parallel.sharded_index import ShardedIndex
         rng = np.random.default_rng(12)
-        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 32)))
-        valid = np.ones(1024, bool)
+        # 4096 rows / 8 shards = 512/shard: pick_tile(512) tiles, so the
+        # Pallas branch actually engages (1024 rows left it vacuous)
+        emb = topk_ops.l2_normalize(rng.normal(size=(4096, 32)))
+        valid = np.ones(4096, bool)
         idx = ShardedIndex(emb, valid, mesh=make_mesh(8), dtype="float32")
         idx._force_pallas = True
         idx._pallas_interpret = True
+        assert pk.pick_tile(idx.rows_per_shard, 8, k=16) is not None
         q = emb[:3] + 0.001
         s, ids = idx.search(q, k=5)
         _, o_idx = topk_ops.topk_oracle(q, emb, valid, 5)
@@ -559,14 +563,14 @@ class TestShardedQuantizedUpgrades:
     def test_pallas_per_shard_quantized(self):
         from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
         rng = np.random.default_rng(13)
-        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 32)))
-        idx = ShardedQuantizedIndex(emb, np.ones(1024, bool),
+        emb = topk_ops.l2_normalize(rng.normal(size=(4096, 32)))
+        idx = ShardedQuantizedIndex(emb, np.ones(4096, bool),
                                     mesh=make_mesh(8), bits=4)
         idx._force_pallas = True
         idx._pallas_interpret = True
         q = emb[:2] + 0.001
         s, ids = idx.search(q, k=5)
-        _, o_idx = topk_ops.topk_oracle(q, emb, np.ones(1024, bool), 5)
+        _, o_idx = topk_ops.topk_oracle(q, emb, np.ones(4096, bool), 5)
         for got, want in zip(ids, o_idx):
             assert len(set(got.tolist()) & set(want.tolist())) >= 3
 

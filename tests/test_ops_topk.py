@@ -221,6 +221,22 @@ class TestInt4:
                 if int(c) in want:
                     assert abs(want[int(c)] - float(v)) < 1e-5
 
+    def test_unnormalized_queries_score_as_cosines(self):
+        # ChunkStore passes RAW queries on every route now; the views'
+        # non-fused fallback must normalize too (review finding: scores
+        # came back scaled by ||q|| on the off-TPU path)
+        import jax.numpy as jnp
+        from lattice_tpu.ops.quant import Int4View, QuantizedView
+        rng = np.random.default_rng(14)
+        emb = topk_ops.l2_normalize(rng.normal(size=(200, 32)))
+        valid = jnp.asarray(np.ones(200, bool))
+        q = 3.7 * emb[:2]                       # non-unit queries
+        for view in (QuantizedView(emb), Int4View(emb)):
+            s, i = view.search(q, valid, k=3,
+                               full_precision=jnp.asarray(emb, jnp.float32))
+            assert int(i[0, 0]) == 0 and int(i[1, 0]) == 1
+            assert s.max() <= 1.0 + 1e-4, float(s.max())
+
     def test_memory_quarters(self):
         from lattice_tpu.ops.quant import Int4View
         emb = np.random.default_rng(8).normal(size=(256, 64)).astype(np.float32)
