@@ -46,7 +46,9 @@ K = 10
 DEVICE_ITERS = int(os.environ.get("BENCH_ITERS", 8))
 HOST_SUBSAMPLE = int(os.environ.get("BENCH_HOST_ROWS", 65_536))
 N_CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
-ENCODE_BATCH = int(os.environ.get("BENCH_ENCODE_BATCH", 32))
+# B=128 measured best at full length on v5e (612 chunks/s vs 471 at
+# B=32; R2_TPU_RESULTS10) — bigger batches fill the MXU
+ENCODE_BATCH = int(os.environ.get("BENCH_ENCODE_BATCH", 128))
 ENCODE_LEN = 512
 DELTA_ROWS = 256
 
