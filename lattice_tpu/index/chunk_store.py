@@ -734,9 +734,9 @@ class ChunkStore:
         plan = self._plan_search(len(q), k_eff, filters, method)
         if plan == "sharded" and len(jax.devices()) > 1:
             mask = self.filter_mask(filters)
-            scores_np, idx_np = self._sharded_view().search(
+            scores_np, idx_np = self._sharded_search_rescored(
                 np.asarray(q), k_eff,
-                mask=None if mask is None else np.asarray(mask))
+                None if mask is None else np.asarray(mask))
             return self._assemble_hits(len(q), scores_np, idx_np)
         if plan == "ivf":
             return self.search_ivf(q, k_eff, nprobe=IVF_AUTO_NPROBE,
@@ -794,9 +794,9 @@ class ChunkStore:
         mask = self.filter_mask(filters)
         if plan == "sharded" and len(jax.devices()) > 1:
             # sharded views l2-normalize host-side themselves
-            s, i = self._sharded_view().search(
+            s, i = self._sharded_search_rescored(
                 np.asarray(raw), k_eff,
-                mask=None if mask is None else np.asarray(mask))
+                None if mask is None else np.asarray(mask))
             return jnp.asarray(s), jnp.asarray(i)
         valid = self._valid if mask is None else (self._valid & mask)
         vcol = self._valid_col() if mask is None else valid
@@ -831,6 +831,29 @@ class ChunkStore:
                 queries, self._emb, valid, k_eff,
                 tile=tile or pallas_ops.DEFAULT_TILE)
         return topk_ops.flat_topk(queries, self._emb, valid, k_eff)
+
+    def _sharded_search_rescored(self, q: np.ndarray, k_eff: int,
+                                 mask: np.ndarray | None
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+        """Sharded search; quantized views get a widened first stage +
+        exact rescore against the store's resident bf16 rows.
+
+        The standalone Sharded(Quantized)Index deliberately keeps no
+        full-precision rows (capacity), so its scores carry quantization
+        error — measured first-stage recall on hardware: int8 0.975,
+        int4 0.775 at 131k (R2_TPU_RESULTS11). Inside the store the rows
+        ARE resident, so the merged candidates rescore exactly, the same
+        two-stage design as the single-chip tiers."""
+        view = self._sharded_view()
+        bits = getattr(view, "bits", 16)
+        if bits == 16:
+            return view.search(q, k_eff, mask=mask)
+        wide = min(max((4 if bits == 8 else 8) * k_eff, 32), self._cap)
+        s1, c1 = view.search(q, wide, mask=mask)
+        qn = _normalize_queries(jnp.asarray(q))
+        s, i = pallas_ops._exact_rescore(
+            qn, self._emb, jnp.asarray(s1), jnp.asarray(c1), k_eff)
+        return np.asarray(s), np.asarray(i)
 
     def search_device_pipelined(self, queries: jax.Array, k: int,
                                 chunk: int = 256,

@@ -38,7 +38,7 @@ class UniXcoderEmbedder:
     """Synchronous core satisfying the `Embedder` protocol."""
 
     def __init__(self, weights_dir: str | None = None,
-                 max_length: int = MAX_LENGTH, batch_size: int = 64,
+                 max_length: int = MAX_LENGTH, batch_size: int = 128,
                  finetune_dir: str | None = None):
         self.model = _get_model(weights_dir, finetune_dir)
         self.tokenizer = CodeTokenizer(

@@ -522,6 +522,28 @@ class TestShardedQuantizedUpgrades:
         assert hits[0][0][0] == 0
         assert store._shardedq is not None and store._shardedq.bits == 4
 
+    def test_store_sharded_quantized_rescores_exact(self, monkeypatch):
+        # inside the store the bf16 rows are resident, so the sharded
+        # int4 path must two-stage: widened int4 merge + exact rescore
+        # (standalone view recall was 0.78 first-stage on hardware)
+        from lattice_tpu.index.chunk_store import ChunkStore
+        rng = np.random.default_rng(14)
+        emb = topk_ops.l2_normalize(rng.normal(size=(256, 32)))
+        store = ChunkStore(dim=32, dtype="float32")
+        store.add(emb, [{"file_path": "a.py"}] * 256)
+        monkeypatch.setenv("LATTICE_SHARDED", "1")
+        monkeypatch.setenv("LATTICE_SHARDED_BITS", "4")
+        q = emb[:4] + 0.001
+        hits = store.search(q, k=5)
+        _, o_idx = topk_ops.topk_oracle(q, emb, np.ones(256, bool), 5)
+        for got, want in zip(hits, o_idx):
+            got_rows = {r for r, _, _ in got}
+            assert len(got_rows & set(want.tolist())) >= 4
+        # scores are exact f32 cosines after the rescore
+        for r, s, _ in hits[0]:
+            assert abs(s - float(emb[r] @ (q[0] / np.linalg.norm(q[0])))) \
+                < 1e-4
+
     def test_sharded_quant_bits_tiers(self, monkeypatch):
         from lattice_tpu.index import chunk_store as cs
         from lattice_tpu.index.chunk_store import ChunkStore
