@@ -695,7 +695,11 @@ class ChunkStore:
         if on_tpu and os.environ.get("LATTICE_INT8") == "1":
             return "quantized"       # forced even where no tile fits
         tile = pallas_ops.pick_tile(self._cap, batch, k=max(k_eff, 16))
-        if (on_tpu and tile is not None and k_eff <= 64
+        # int8-default guard: bf16 rows + the int8 shadow must leave HBM
+        # headroom for transients (at 4M x 768 the pair is ~9 GB)
+        resident = self._cap * self.dim * 3        # bf16 (2B) + int8 (1B)
+        shadow_fits = resident < 0.75 * CHIP_HBM_GB * (1024 ** 3)
+        if (on_tpu and tile is not None and k_eff <= 64 and shadow_fits
                 and os.environ.get("LATTICE_INT8") != "0"):
             return "quantized"
         if on_tpu and tile is not None and k_eff <= 64:

@@ -446,6 +446,17 @@ class TestDispatchDecisionTable:
         monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
         assert s._plan_search(4, 10, None, "auto") == "quantized"
 
+    def test_int8_default_respects_hbm_headroom(self, monkeypatch):
+        # when bf16 + int8 shadow would crowd HBM, the default falls back
+        # to the shadow-free bf16 binned scan
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=1024)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        # shrink the chip so resident bytes == HBM (> the 0.75 headroom)
+        tiny_hbm = s._cap * s.dim * 3 / (1024 ** 3)
+        monkeypatch.setattr(cs, "CHIP_HBM_GB", tiny_hbm)
+        assert s._plan_search(4, 10, None, "auto") == "pallas"
+
     def test_int8_optout_serves_pallas(self, monkeypatch):
         s = self._store(n=1024)
         monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
