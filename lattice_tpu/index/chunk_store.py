@@ -527,6 +527,13 @@ class ChunkStore:
             out.append(hits)
         return out
 
+    def adopt_ivf(self, ivf) -> None:
+        """Attach a restored IVF partition (storage/persistence.py): the
+        verdict and layout carry over; mutation accounting restarts."""
+        self._ivf = ivf
+        self._ivf_dirty = False
+        self._ivf_mutations = 0
+
     def _int4_view(self):
         from lattice_tpu.ops.quant import Int4View
         if self._int4 is None or self._int4_dirty:

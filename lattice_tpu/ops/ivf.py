@@ -539,6 +539,51 @@ class IVFIndex:
         return out
 
     @classmethod
+    def restore(cls, centroids: np.ndarray, bucket_ids: np.ndarray,
+                emb_dev: jax.Array, measured_recall: float | None,
+                measured_nprobe: int | None, dtype: str = "bfloat16",
+                hollow: bool = False) -> "IVFIndex":
+        """Rebuild a persisted partition without re-running k-means.
+
+        The expensive parts of a build are clustering + the recall
+        self-measure (12-19 s at 1M); the bucket DATA is just a device
+        gather of the (already loaded) corpus rows, so restoring costs
+        milliseconds. A hollow restore carries only the centroids + the
+        refusal verdict, so a reloaded isotropic index skips the
+        build-then-refuse cycle entirely."""
+        centroids_dev = jnp.asarray(centroids, jnp.float32)
+        n = int(emb_dev.shape[0])
+        if hollow or bucket_ids.size == 0:
+            # construct with a minimal table (the locator needs one),
+            # then drop it exactly as release_buckets does
+            tiny = np.full((1, 1), -1, np.int32)
+            out = cls(centroids=centroids_dev,
+                      bucket_data=jnp.zeros((1, 1, centroids.shape[1]),
+                                            jnp.dtype(dtype)),
+                      bucket_ids=tiny, bucket_valid=tiny >= 0,
+                      n_rows=n, dtype=dtype)
+            out.release_buckets()
+        else:
+            c, cap = bucket_ids.shape
+            d = int(emb_dev.shape[1])
+            bucket_valid = bucket_ids >= 0
+            flat_ids = jnp.asarray(np.maximum(bucket_ids, 0).reshape(-1))
+            bucket_data = jnp.take(emb_dev, flat_ids, axis=0).reshape(
+                c, cap, d).astype(jnp.dtype(dtype))
+            bucket_data = bucket_data * jnp.asarray(
+                bucket_valid[..., None], dtype=bucket_data.dtype)
+            out = cls(centroids=centroids_dev,
+                      bucket_data=bucket_data,
+                      bucket_ids=jnp.asarray(bucket_ids),
+                      bucket_valid=jnp.asarray(bucket_valid),
+                      n_rows=n, dtype=dtype)
+        out.measured_recall = (None if measured_recall is None
+                               else float(measured_recall))
+        out.measured_nprobe = (None if measured_nprobe is None
+                               else int(measured_nprobe))
+        return out
+
+    @classmethod
     def build(cls, embeddings: np.ndarray, valid: np.ndarray,
               n_clusters: int | None = None, iters: int = 10,
               dtype: str = "bfloat16", seed: int = 0,

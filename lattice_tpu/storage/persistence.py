@@ -163,6 +163,55 @@ def save_chunks(store: ChunkStore, data_dir: Path, name: str) -> None:
         payloads.append(store._payloads[row])
     np.savez_compressed(data_dir / f"{name}.npz", embeddings=emb)
     (data_dir / f"{name}_payloads.json").write_text(json.dumps(payloads))
+    _save_ivf(store, data_dir, name, live_rows)
+
+
+def _save_ivf(store: ChunkStore, data_dir: Path, name: str,
+              live_rows: list[int]) -> None:
+    """Persist the IVF partition (or its refusal verdict) with the rows.
+
+    Clustering + the recall self-measure cost 12-19 s at 1M rows; the
+    bucket data itself is a cheap device gather, so only centroids + the
+    id table (remapped to the compacted row numbering) need to survive.
+    A hollow (recall-refused) index saves just centroids + verdict so a
+    reloaded isotropic corpus skips the build-then-refuse cycle."""
+    ivf_path = data_dir / f"{name}_ivf.npz"
+    ivf = getattr(store, "_ivf", None)
+    if (ivf is None or store._ivf_dirty or ivf.measured_recall is None):
+        ivf_path.unlink(missing_ok=True)
+        return
+    if ivf.hollow:
+        bucket_ids = np.zeros((0, 0), np.int32)
+    else:
+        remap = np.full(store._cap, -1, np.int32)
+        remap[np.asarray(live_rows, np.int64)] = np.arange(
+            len(live_rows), dtype=np.int32)
+        old = np.asarray(ivf.bucket_ids)
+        bucket_ids = np.where(old >= 0, remap[np.maximum(old, 0)], -1)
+    np.savez_compressed(
+        ivf_path,
+        centroids=np.asarray(ivf.centroids, np.float32),
+        bucket_ids=bucket_ids.astype(np.int32),
+        measured_recall=np.float64(ivf.measured_recall),
+        measured_nprobe=np.int64(ivf.measured_nprobe or 0),
+        hollow=np.bool_(ivf.hollow))
+
+
+def _load_ivf(store: ChunkStore, data_dir: Path, name: str) -> None:
+    ivf_path = data_dir / f"{name}_ivf.npz"
+    if not ivf_path.is_file() or store._size == 0:
+        return
+    try:
+        from lattice_tpu.ops.ivf import IVFIndex
+        z = np.load(ivf_path)
+        ivf = IVFIndex.restore(
+            z["centroids"], z["bucket_ids"], store._emb,
+            float(z["measured_recall"]),
+            int(z["measured_nprobe"]) or None,
+            dtype=str(store.dtype), hollow=bool(z["hollow"]))
+        store.adopt_ivf(ivf)
+    except Exception:
+        logger.exception("IVF restore failed; it will rebuild on demand")
 
 
 def load_chunks(data_dir: Path, name: str, dim: int,
@@ -176,6 +225,7 @@ def load_chunks(data_dir: Path, name: str, dim: int,
     payloads = json.loads(payload_path.read_text()) if payload_path.is_file() else []
     if len(emb):
         store.add(emb, payloads)
+    _load_ivf(store, data_dir, name)
     return store
 
 

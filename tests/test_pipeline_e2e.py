@@ -182,6 +182,53 @@ class TestPersistence:
         names = [r.qualified_name for r in result.results]
         assert "app.services.user_service.UserService.create_user" in names
 
+    def test_ivf_partition_roundtrip(self, tmp_path):
+        # clustering + recall self-measure are the expensive build parts;
+        # they must survive save/load (only bucket data regenerates)
+        import numpy as np
+        from lattice_tpu.index.chunk_store import ChunkStore
+        from lattice_tpu.storage import persistence
+        rng = np.random.default_rng(0)
+        centers = rng.normal(size=(4, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = rng.integers(0, 4, size=200)
+        emb = centers[assign] + 0.05 * rng.normal(size=(200, 32))
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        s = ChunkStore(dim=32, dtype="float32")
+        s.add(emb, [{"file_path": f"f{i}.py", "content_hash": "h"}
+                    for i in range(200)])
+        s.build_ivf(n_clusters=4)
+        assert s._ivf.measured_recall is not None
+        persistence.save_chunks(s, tmp_path, "code_chunks")
+        s2 = persistence.load_chunks(tmp_path, "code_chunks", 32, "float32")
+        assert s2._ivf is not None and not s2._ivf_dirty
+        assert s2._ivf.measured_recall == s._ivf.measured_recall
+        # restored partition serves: same top hit as a fresh search
+        q = emb[:2] + 0.001
+        got = s2.search_ivf(q, k=3, nprobe=4)
+        want = s.search_ivf(q, k=3, nprobe=4)
+        assert [h[0][0] for h in got] == [h[0][0] for h in want]
+
+    def test_hollow_ivf_verdict_roundtrip(self, tmp_path):
+        # a recall-refused partition reloads as hollow WITH its verdict,
+        # so the dispatcher never rebuilds just to refuse again
+        import numpy as np
+        from lattice_tpu.index.chunk_store import ChunkStore
+        from lattice_tpu.storage import persistence
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(100, 16))
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        s = ChunkStore(dim=16, dtype="float32")
+        s.add(emb, [{"file_path": "a.py", "content_hash": "h"}] * 100)
+        s.build_ivf(n_clusters=4)
+        s._ivf.measured_recall = 0.2       # simulate the refusal verdict
+        s._ivf.release_buckets()
+        persistence.save_chunks(s, tmp_path, "code_chunks")
+        s2 = persistence.load_chunks(tmp_path, "code_chunks", 16, "float32")
+        assert s2._ivf is not None and s2._ivf.hollow
+        assert s2._ivf.measured_recall == 0.2
+        assert not s2._ivf_dirty           # verdict stands, no rebuild
+
     def test_weights_fingerprint_saved_and_mismatch_warns(
             self, indexed, tmp_path, caplog):
         import logging
