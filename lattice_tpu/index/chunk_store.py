@@ -492,27 +492,25 @@ class ChunkStore:
         s1, c1 = self._pq.search_device(queries, k1, mask=mask)
         return pallas_ops._exact_rescore(queries, self._emb, s1, c1, k_eff)
 
-    def search_quantized(self, query_vectors: np.ndarray, k: int,
-                         rescore: bool = True,
-                         filters: dict[str, Any] | None = None
-                         ) -> list[list[tuple[int, float, dict[str, Any]]]]:
-        """Int8 first-stage scan (+ optional full-precision rescore).
-
-        Half the HBM traffic of bf16 at 2x MXU rate (ops/quant.py) — the
-        equal-memory/2x-capacity lever from BASELINE's recall contract.
-        Payload filters AND into the validity mask exactly as on the flat
-        path.
-        """
+    def _quant_view(self):
         from lattice_tpu.ops.quant import QuantizedView
-        if self._size == 0:
-            return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
         if self._quant is None or self._quant_dirty:
             self._quant = QuantizedView(self._emb)  # device-side quantization
             self._quant_dirty = False
+        return self._quant
+
+    def _search_view_two_stage(self, view, query_vectors: np.ndarray, k: int,
+                               rescore: bool,
+                               filters: dict[str, Any] | None
+                               ) -> list[list[tuple[int, float,
+                                                    dict[str, Any]]]]:
+        """Shared host entry for the quantized views' two-stage search."""
+        if self._size == 0:
+            return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
         q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
         mask = self.filter_mask(filters)
         valid = self._valid_col() if mask is None else (self._valid & mask)
-        scores, idx = self._quant.search(
+        scores, idx = view.search(
             q, valid, min(k, self._cap),
             full_precision=self._emb if rescore else None)
         out: list[list[tuple[int, float, dict[str, Any]]]] = []
@@ -526,6 +524,22 @@ class ChunkStore:
                     hits.append((int(row), float(score), payload))
             out.append(hits)
         return out
+
+    def search_quantized(self, query_vectors: np.ndarray, k: int,
+                         rescore: bool = True,
+                         filters: dict[str, Any] | None = None
+                         ) -> list[list[tuple[int, float, dict[str, Any]]]]:
+        """Int8 first-stage scan (+ optional full-precision rescore).
+
+        Half the HBM traffic of bf16 at 2x MXU rate (ops/quant.py) — the
+        equal-memory/2x-capacity lever from BASELINE's recall contract.
+        Payload filters AND into the validity mask exactly as on the flat
+        path.
+        """
+        if self._size == 0:
+            return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
+        return self._search_view_two_stage(self._quant_view(), query_vectors,
+                                           k, rescore, filters)
 
     def adopt_ivf(self, ivf) -> None:
         """Attach a restored IVF partition (storage/persistence.py): the
@@ -554,24 +568,8 @@ class ChunkStore:
         pure scan bandwidth."""
         if self._size == 0:
             return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
-        view = self._int4_view()
-        q = topk_ops.l2_normalize(np.atleast_2d(query_vectors))
-        mask = self.filter_mask(filters)
-        valid = self._valid_col() if mask is None else (self._valid & mask)
-        scores, idx = view.search(
-            q, valid, min(k, self._cap),
-            full_precision=self._emb if rescore else None)
-        out: list[list[tuple[int, float, dict[str, Any]]]] = []
-        for qi in range(len(q)):
-            hits = []
-            for score, row in zip(scores[qi], idx[qi]):
-                if score <= topk_ops.NEG_INF / 2:
-                    continue
-                payload = self._payloads[int(row)]
-                if payload is not None:
-                    hits.append((int(row), float(score), payload))
-            out.append(hits)
-        return out
+        return self._search_view_two_stage(self._int4_view(), query_vectors,
+                                           k, rescore, filters)
 
     def to_sharded(self, mesh=None):
         """Multi-chip view: rows sharded over the data axis with ICI top-k
@@ -812,12 +810,8 @@ class ChunkStore:
         valid = self._valid if mask is None else (self._valid & mask)
         vcol = self._valid_col() if mask is None else valid
         if plan == "quantized":
-            from lattice_tpu.ops.quant import QuantizedView
-            if self._quant is None or self._quant_dirty:
-                self._quant = QuantizedView(self._emb)
-                self._quant_dirty = False
-            return self._quant.search_device(raw, vcol, k_eff,
-                                             full_precision=self._emb)
+            return self._quant_view().search_device(raw, vcol, k_eff,
+                                                    full_precision=self._emb)
         if plan == "int4":
             return self._int4_view().search_device(raw, vcol, k_eff,
                                                    full_precision=self._emb)
@@ -896,11 +890,7 @@ class ChunkStore:
         if plan in ("quantized", "int4") and self._device_is_tpu():
             from lattice_tpu.ops.quant import _fused_two_stage_scanned
             if plan == "quantized":
-                from lattice_tpu.ops.quant import QuantizedView
-                if self._quant is None or self._quant_dirty:
-                    self._quant = QuantizedView(self._emb)
-                    self._quant_dirty = False
-                view, bits = self._quant, 8
+                view, bits = self._quant_view(), 8
                 k1 = min(max(k_eff, 16), max(4 * k_eff, k_eff), view.n)
                 tile = pallas_ops.pick_tile(view.n, chunk, k=max(k1, 16))
             else:
