@@ -28,12 +28,26 @@ import numpy as np
 UNREACHED = np.int32(2**30)
 
 
-def pad_edges(src: np.ndarray, dst: np.ndarray, bucket: int = 1024
-              ) -> tuple[np.ndarray, np.ndarray]:
-    """Pad the edge list to a bucket multiple with (0,0) self-loops so jit
-    retraces only at bucket boundaries."""
+def geometric_bucket(n: int, floor: int = 1024) -> int:
+    """Next power-of-two capacity >= n (min `floor`). Padding to geometric
+    buckets keeps jit cache keys stable while a graph grows incrementally
+    (watch mode adds edges file by file; linear buckets would retrace every
+    1024 edges)."""
+    cap = floor
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def pad_edges(src: np.ndarray, dst: np.ndarray, bucket: int = 1024,
+              geometric: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Pad the edge list with (0,0) self-loops so jit retraces only at
+    bucket boundaries (self-loops are idempotent under reachability)."""
     e = len(src)
-    padded = max(bucket, ((e + bucket - 1) // bucket) * bucket)
+    if geometric:
+        padded = geometric_bucket(e, bucket)
+    else:
+        padded = max(bucket, ((e + bucket - 1) // bucket) * bucket)
     ps = np.zeros(padded, dtype=np.int32)
     pd = np.zeros(padded, dtype=np.int32)
     ps[:e] = src
@@ -114,6 +128,70 @@ def bidirectional_closure(
     up = bfs_distances(src, dst, seeds, n_nodes, max_hops)     # e.g. toward bases
     down = bfs_distances(dst, src, seeds, n_nodes, max_hops)   # toward subclasses
     return up, down
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "max_hops"))
+def bfs_distances_batch(
+    src: jax.Array,        # [E] i32
+    dst: jax.Array,        # [E] i32
+    seed_ids: jax.Array,   # [Q, S] i32 seed node ids (pad with -1)
+    n_nodes: int,
+    max_hops: int,
+) -> jax.Array:
+    """[Q, N] hop distances for Q independent seed sets in ONE execution.
+
+    The serving-throughput shape: a batch of traversal queries (e.g. the
+    reference's transitive-caller lookups, `queries.py:2-50`) shares one
+    pass over the edge list. The frontier lives as [N, Q] so the per-hop
+    gather/scatter moves Q-lane rows (lane-major traffic) instead of Q
+    scalar passes.
+    """
+    q, s = seed_ids.shape
+    safe = jnp.clip(seed_ids, 0, n_nodes - 1)
+    onhot = jnp.zeros((n_nodes, q), dtype=bool)
+    # scatter seeds: rows = seed ids, cols = query index
+    cols = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, s))
+    reached0 = onhot.at[safe.reshape(-1), cols.reshape(-1)].max(
+        (seed_ids >= 0).reshape(-1))
+    dist0 = jnp.where(reached0, 0, UNREACHED).astype(jnp.int32)
+
+    def step(carry, hop):
+        dist, reached = carry
+        msg = reached[src]                                  # [E, Q] row gather
+        nxt = jnp.zeros((n_nodes, q), dtype=bool).at[dst].max(msg)
+        newly = nxt & ~reached
+        dist = jnp.where(newly, hop + 1, dist)
+        return (dist, reached | nxt), None
+
+    (dist, _), _ = jax.lax.scan(
+        step, (dist0, reached0), jnp.arange(max_hops, dtype=jnp.int32))
+    return dist.T                                           # [Q, N]
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "exact"))
+def khop_select(dist: jax.Array, alive: jax.Array, limit: int,
+                exact: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Depth-ordered top-`limit` reached nodes from a distance row.
+
+    Device-side result extraction: instead of reading the full [N] distance
+    vector back over the relay (4 MB at 1M nodes), select the `limit`
+    closest reached nodes on-device and read back O(limit). Mirrors the
+    Cypher `ORDER BY depth LIMIT 50` tail of every traversal query
+    (`query/graph_reasoning/queries.py:2-50`; result cap 50 at
+    `models.py:5-8`). `lax.top_k` lowers to a full sort on TPU
+    (R2_TPU_RESULTS2) — `approx_min_k` (PartialReduce) keeps it cheap; the
+    widened candidate set makes misses at the depth boundary unlikely, and
+    ties within a depth are arbitrary exactly as in Cypher. `exact=True`
+    keeps the sort-based path for small graphs/oracles.
+    """
+    masked = jnp.where(alive & (dist > 0), dist, UNREACHED).astype(jnp.float32)
+    n = masked.shape[-1]
+    k = min(limit, n)
+    if exact:
+        neg_d, idx = jax.lax.top_k(-masked, k)
+        return -neg_d.astype(jnp.int32), idx
+    d, idx = jax.lax.approx_min_k(masked, k)
+    return d.astype(jnp.int32), idx
 
 
 # ---- NumPy oracle ------------------------------------------------------

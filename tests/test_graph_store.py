@@ -159,6 +159,108 @@ class TestDeviceDispatch:
         assert host_r == dev_r
 
 
+class TestBatchedBFS:
+    def _random_graph(self, n, e, seed):
+        rng = np.random.default_rng(seed)
+        return (rng.integers(0, n, size=e).astype(np.int32),
+                rng.integers(0, n, size=e).astype(np.int32))
+
+    def test_batch_matches_single(self):
+        import jax.numpy as jnp
+        n, e = 128, 400
+        src, dst = self._random_graph(n, e, 7)
+        psrc, pdst = gk.pad_edges(src, dst)
+        seed_sets = [[3], [50, 10], [90]]
+        seed_arr = np.full((3, 2), -1, dtype=np.int32)
+        for i, s in enumerate(seed_sets):
+            seed_arr[i, :len(s)] = s
+        batch = np.asarray(gk.bfs_distances_batch(
+            jnp.asarray(psrc), jnp.asarray(pdst), jnp.asarray(seed_arr),
+            n, 4))
+        for i, s in enumerate(seed_sets):
+            seeds = np.zeros(n, dtype=bool)
+            seeds[s] = True
+            single = np.asarray(gk.bfs_distances(
+                jnp.asarray(psrc), jnp.asarray(pdst), jnp.asarray(seeds),
+                n, 4))
+            np.testing.assert_array_equal(batch[i], single)
+
+    def test_khop_select_depth_order(self):
+        import jax.numpy as jnp
+        dist = np.full(64, gk.UNREACHED, dtype=np.int32)
+        dist[0] = 0          # seed: excluded
+        dist[[5, 9]] = 1
+        dist[[20, 30, 40]] = 2
+        dist[50] = 3         # dead node: excluded
+        alive = np.ones(64, dtype=bool)
+        alive[50] = False
+        d, idx = gk.khop_select(jnp.asarray(dist), jnp.asarray(alive), 16,
+                                exact=True)
+        d, idx = np.asarray(d), np.asarray(idx)
+        keep = d < gk.UNREACHED
+        got = sorted(zip(d[keep].tolist(), idx[keep].tolist()))
+        assert got == [(1, 5), (1, 9), (2, 20), (2, 30), (2, 40)]
+
+
+class TestDeviceResidency:
+    def test_edge_cache_reused_across_calls(self, call_graph):
+        g, ids = call_graph
+        e1 = g.device_edges(EdgeType.CALLS)
+        e2 = g.device_edges(EdgeType.CALLS)
+        assert e1[0] is e2[0] and e1[1] is e2[1]  # no per-call upload
+        a1, a2 = g.device_alive(), g.device_alive()
+        assert a1 is a2
+
+    def test_no_pad_per_query(self, call_graph, monkeypatch):
+        g, ids = call_graph
+        g.k_hop([ids["a"]], EdgeType.CALLS, hops=2, device=True)  # warm
+        calls = {"n": 0}
+        real = gk.pad_edges
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(gk, "pad_edges", counting)
+        for _ in range(3):
+            g.k_hop([ids["a"]], EdgeType.CALLS, hops=2, device=True)
+        assert calls["n"] == 0  # the host edge list never re-pads/re-uploads
+
+    def test_cache_invalidated_by_finalize(self, call_graph):
+        g, ids = call_graph
+        e1 = g.device_edges(EdgeType.CALLS)
+        g.add_edge(ids["d"], ids["e"], EdgeType.CALLS)  # marks dirty
+        dev = g.k_hop([ids["a"]], EdgeType.CALLS, hops=4, device=True)
+        assert dev[ids["e"]] == 3  # new edge visible through the cache
+        assert g.device_edges(EdgeType.CALLS)[0] is not e1[0]
+
+    def test_khop_limit_matches_unlimited_prefix(self, call_graph):
+        g, ids = call_graph
+        full = g.k_hop([ids["a"]], EdgeType.CALLS, hops=3, device=True)
+        lim = g.k_hop([ids["a"]], EdgeType.CALLS, hops=3, device=True,
+                      limit=2)
+        assert len(lim) == 2
+        want = sorted(full.items(), key=lambda t: (t[1], t[0]))[:2]
+        assert sorted(lim.items(), key=lambda t: (t[1], t[0])) == want
+
+    def test_k_hop_batch_equals_single(self):
+        rng = np.random.default_rng(3)
+        g = GraphStore()
+        n = 300
+        for i in range(n):
+            g.add_node(f"m.f{i}", EntityType.FUNCTION, "m.py")
+        for s, d in zip(rng.integers(0, n, 900), rng.integers(0, n, 900)):
+            if s != d:
+                g.add_edge(int(s), int(d), EdgeType.CALLS)
+        g.finalize()
+        g.DEVICE_BFS_THRESHOLD = 1  # force the device path at toy scale
+        seed_sets = [[1], [5, 17], [200]]
+        batch = g.k_hop_batch(seed_sets, EdgeType.CALLS, hops=3, limit=500)
+        for s, got in zip(seed_sets, batch):
+            want = g.k_hop(s, EdgeType.CALLS, hops=3, device=False)
+            assert got == want
+
+
 class TestTracer:
     def test_span_aggregation(self):
         from lattice_tpu.utils.tracing import Tracer
