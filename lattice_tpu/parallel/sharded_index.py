@@ -308,33 +308,64 @@ class ShardedQuantizedIndex:
             return
         self.valid = self._invalidate_fn(self.valid, jnp.asarray(rows))
 
-    def _build_search(self, k: int, with_mask: bool = False):
+    def _build_search(self, k: int, with_mask: bool = False,
+                      rescore: bool = True):
         from lattice_tpu.ops import pallas_topk as pk
-        from lattice_tpu.ops.quant import int4_topk, int8_topk
+        from lattice_tpu.ops.quant import (NEG_INF, int4_topk, int8_topk,
+                                           unpack_int4)
         xla_topk = int8_topk if self.bits == 8 else int4_topk
         binned = (pk.binned_topk_int8 if self.bits == 8
                   else pk.binned_topk_int4)
         mesh = self.mesh
+        bits = self.bits
         rows_per_shard = self.rows_per_shard
         multislice = self.multislice
         row_axes = self._row_axes
         k_local = min(k, rows_per_shard)
+        # Widen-then-rescore defaults, inherited from the measured flat
+        # paths (VERDICT r2 #6; R2_TPU_RESULTS11 int4 first-stage recall
+        # 0.775 on chip): int4 widens 8x (floor 32) like Int4View, int8 4x
+        # (floor 16) like QuantizedView; each shard then exact-rescores its
+        # own candidates against DEQUANTIZED rows (the binned first stage
+        # scores through packed bf16 bin maxima — an f32 dot on the same
+        # quantized rows already fixes the ordering; full-precision rows
+        # stay non-resident by design).
+        widen, floor = (8, 32) if bits == 4 else (4, 16)
+        k1 = min(max(widen * k, floor), rows_per_shard)
+        # the binned kernels select through a 64-slot register file; cap
+        # the Pallas first stage there (per-shard width; the global
+        # candidate pool is still D shards x k1)
+        k1p = min(k1, 64)
         # Per-shard kernel: the fused Pallas scan on real TPU (XLA int8
         # dots upcast there — measured ~100x slower); XLA elsewhere.
         # int4 shards use the packed tile preference (4096-first) exactly
         # as the single-chip Int4View does.
         pick = pk.pick_tile if self.bits == 8 else pk.pick_tile_packed
-        tile = pick(rows_per_shard, 8, k=max(k_local, 16))
+        stage_k = (k1p if rescore else k_local)
+        tile = pick(rows_per_shard, 8, k=max(stage_k, 16))
         use_pallas = ((self._force_pallas or _on_tpu())
-                      and tile is not None and k_local <= 64)
+                      and tile is not None and stage_k <= 64)
         interp = self._pallas_interpret
+        kk = (k1p if use_pallas else k1) if rescore else k_local
 
-        def local_topk(qv, qs, v_shard, s_shard, valid_shard):
+        def local_topk(qf, qv, qs, v_shard, s_shard, valid_shard):
             if use_pallas:
                 s1, c1 = binned(qv, qs, v_shard, s_shard, valid_shard,
-                                k_local, tile=tile, interpret=interp)
+                                kk, tile=tile, interpret=interp)
+                s1, c1 = s1[:, :kk], c1[:, :kk]
+            else:
+                s1, c1 = xla_topk(qv, qs, v_shard, s_shard, valid_shard, kk)
+            if not rescore or kk <= k_local:
                 return s1[:, :k_local], c1[:, :k_local]
-            return xla_topk(qv, qs, v_shard, s_shard, valid_shard, k_local)
+            rows = v_shard[c1]                       # [B, k1, d(/2)] gather
+            if bits == 4:
+                rows = unpack_int4(rows)
+            emb = rows.astype(jnp.float32) * s_shard[c1][..., None]
+            sc = jnp.einsum("bd,bkd->bk", qf, emb,
+                            precision=jax.lax.Precision.HIGHEST)
+            sc = jnp.where(s1 > NEG_INF / 2, sc, NEG_INF)
+            top_s, pos = jax.lax.top_k(sc, k_local)
+            return top_s, jnp.take_along_axis(c1, pos, axis=-1)
 
         def merge_axis(scores, idx, axis, k_out):
             all_scores = jax.lax.all_gather(scores, axis, axis=0,
@@ -346,12 +377,12 @@ class ShardedQuantizedIndex:
             top_s, pos = jax.lax.top_k(flat_s, min(k_out, d_ * kk))
             return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
-        def local_search(q_values, q_scales, v_shard, s_shard, valid_shard,
-                         *mask_shard):
+        def local_search(q_f32, q_values, q_scales, v_shard, s_shard,
+                         valid_shard, *mask_shard):
             if mask_shard:
                 valid_shard = valid_shard & mask_shard[0]
-            scores, idx = local_topk(q_values, q_scales, v_shard, s_shard,
-                                     valid_shard)
+            scores, idx = local_topk(q_f32, q_values, q_scales, v_shard,
+                                     s_shard, valid_shard)
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
                 shard_id = (jax.lax.axis_index(DCN_AXIS)
@@ -364,7 +395,8 @@ class ShardedQuantizedIndex:
                                                 DCN_AXIS, k)
             return scores, global_idx
 
-        in_specs = (P(), P(), P(row_axes, None), P(row_axes), P(row_axes))
+        in_specs = (P(), P(), P(), P(row_axes, None), P(row_axes),
+                    P(row_axes))
         if with_mask:
             in_specs = in_specs + (P(row_axes),)
         fn = shard_map(
@@ -376,22 +408,29 @@ class ShardedQuantizedIndex:
         return jax.jit(fn)
 
     def search(self, queries: np.ndarray, k: int,
-               mask: np.ndarray | None = None
+               mask: np.ndarray | None = None, rescore: bool = True
                ) -> tuple[np.ndarray, np.ndarray]:
-        """Global (scores [B,k], row ids [B,k]); scores int8-quantized."""
+        """Global (scores [B,k], row ids [B,k]).
+
+        By default each shard widens its first stage and exact-rescores
+        the candidates against its own dequantized rows before the merge,
+        so scores come back f32-ordered (rescore=False keeps the raw
+        single-stage quantized scan)."""
         from lattice_tpu.ops.quant import quantize_rows
         with_mask = mask is not None
         # the compiled closure bakes in the Pallas force/interpret flags,
         # so they must be part of the cache key (toggling them after a
         # first search would otherwise serve the stale kernel)
-        key = (k, with_mask, self._force_pallas, self._pallas_interpret)
+        key = (k, with_mask, rescore, self._force_pallas,
+               self._pallas_interpret)
         fn = self._search_cache.get(key)
         if fn is None:
-            fn = self._build_search(k, with_mask)
+            fn = self._build_search(k, with_mask, rescore)
             self._search_cache[key] = fn
         q = topk_ops.l2_normalize(np.atleast_2d(queries))
         q_values, q_scales = quantize_rows(q)
-        args = [jnp.asarray(q_values), jnp.asarray(q_scales),
+        args = [jnp.asarray(q, dtype=jnp.float32),
+                jnp.asarray(q_values), jnp.asarray(q_scales),
                 self.values, self.scales, self.valid]
         if with_mask:
             m = np.asarray(mask, dtype=bool)
