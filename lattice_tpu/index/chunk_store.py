@@ -108,6 +108,8 @@ class ChunkStore:
         self._sharded_dirty = True
         self._shardedq = None      # multi-chip int8 view (2x corpus/chip)
         self._shardedq_dirty = True
+        self._rank_cols = None     # (node_ids, quality) device columns for
+        self._rank_cols_dirty = True  # the fused hybrid rank (ops/ranking.py)
 
     @classmethod
     def from_device_arrays(cls, embeddings: jax.Array, valid: jax.Array,
@@ -282,6 +284,7 @@ class ChunkStore:
             except Exception:
                 logger.exception("incremental PQ update failed; rebuilding")
                 self._pq_dirty = True
+        self._rank_cols_dirty = True
 
     def _drop_row(self, row: int) -> None:
         payload = self._payloads[row]
@@ -341,6 +344,37 @@ class ChunkStore:
         self._sharded_dirty = True
         self._shardedq = None
         self._shardedq_dirty = True
+        self._rank_cols = None
+        self._rank_cols_dirty = True
+
+    def device_rank_columns(self, node_resolver) -> tuple[jax.Array, jax.Array]:
+        """Resident ([cap] i32 graph-node ids, [cap] f32 content quality).
+
+        The row->node join column (`graph_node_id` payload key, reference
+        `embeddings/chunker.py:13-37`) and the content-length quality
+        heuristic (`query/ranking/scorer.py:79-126`) are per-row constants;
+        materializing them once lets `ops/ranking.fused_rank_rows` run the
+        hybrid fuse fully on device instead of re-walking payloads per
+        query. `node_resolver(qualified_name) -> node id | None` is
+        usually `GraphStore.id_of` (ids are MERGE-stable across
+        re-finalize). Rebuilt lazily after any mutation.
+        """
+        if self._rank_cols is None or self._rank_cols_dirty:
+            node_ids = np.full(self._cap, -1, dtype=np.int32)
+            quality = np.zeros(self._cap, dtype=np.float32)
+            for row, payload in enumerate(self._payloads):
+                if payload is None:
+                    continue
+                qn = payload.get("graph_node_id")
+                if qn:
+                    nid = node_resolver(qn)
+                    if nid is not None:
+                        node_ids[row] = nid
+                n = len(payload.get("content") or "")
+                quality[row] = 1.0 if 80 <= n <= 4000 else (0.5 if n else 0.0)
+            self._rank_cols = (jnp.asarray(node_ids), jnp.asarray(quality))
+            self._rank_cols_dirty = False
+        return self._rank_cols
 
     # ---- filters -------------------------------------------------------
 

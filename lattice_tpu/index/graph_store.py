@@ -309,6 +309,28 @@ class GraphStore:
         from lattice_tpu.ops import graph_kernels as gk
         return gk.geometric_bucket(self.n_nodes())
 
+    def device_degree(self, edge_type: EdgeType):
+        """[n_padded] i32 total (in+out) degree, HBM-resident and cached
+        per finalize generation — the centrality signal of
+        `GET_ENTITY_CENTRALITY` (`queries.py:314-329`) as a device column
+        for the fused hybrid rank (`ops/ranking.fused_rank_rows`)."""
+        import jax.numpy as jnp
+
+        self._ensure_final()
+        cache = getattr(self, "_device_edges", None)
+        if cache is None:
+            cache = self._device_edges = {}
+        ent = cache.get(("degree", edge_type))
+        if ent is None:
+            es = self._edges[edge_type]
+            deg = np.zeros(self._n_padded(), dtype=np.int32)
+            n = self.n_nodes()
+            deg[:n] = (np.diff(es.indptr) + np.diff(es.rev_indptr)).astype(
+                np.int32)
+            ent = jnp.asarray(deg)
+            cache[("degree", edge_type)] = ent
+        return ent
+
     def k_hop(self, node_ids: list[int], edge_type: EdgeType, hops: int,
               reverse: bool = False, device: bool | None = None,
               limit: int | None = None) -> dict[int, int]:

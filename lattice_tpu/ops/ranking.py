@@ -42,18 +42,9 @@ class FuseWeights:
     degree_cap: float = 50.0
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def fused_rank(
-    graph_depth: jax.Array,     # [N] i32, UNREACHED where node not in context
-    relevance: jax.Array,       # [N] f32, relationship relevance (0 if none)
-    vector_scores: jax.Array,   # [N] f32 cosine, NEG_INF where no vector hit
-    entity_match: jax.Array,    # [N] f32 in [0, 1]
-    degree: jax.Array,          # [N] i32 (in+out CALLS degree)
-    quality: jax.Array,         # [N] f32 content-quality heuristic
-    weights: jax.Array,         # [8] f32: packed FuseWeights
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (fused scores [k], node ids [k]) over all N nodes."""
+def _fuse_scores(graph_depth, relevance, vector_scores, entity_match,
+                 degree, quality, weights) -> jax.Array:
+    """The elementwise fuse shared by every ranking entry point."""
     w_g, w_v, w_c, w_x, bonus, boost, decay, cap = (
         weights[0], weights[1], weights[2], weights[3], weights[4],
         weights[5], weights[6], weights[7])
@@ -75,10 +66,71 @@ def fused_rank(
         0.0)
     both = in_graph & has_vec
     fused = jnp.where(both, (side_g + side_v) * 0.5 * boost, side_g + side_v)
-    fused = jnp.where(in_graph | has_vec, fused, NEG_INF)
-    k_eff = min(k, fused.shape[0])
-    top_scores, top_idx = jax.lax.top_k(fused, k_eff)
-    return top_scores, top_idx.astype(jnp.int32)
+    return jnp.where(in_graph | has_vec, fused, NEG_INF)
+
+
+def _select_topk(fused: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the [N] fused row: `lax.top_k` lowers to a FULL SORT on
+    TPU (R2_TPU_RESULTS2, ~80 ms at 1M) — widen through `approx_max_k`
+    (PartialReduce) then exact-sort the tiny candidate set. Exact on CPU
+    (approx_max_k falls back to top_k there)."""
+    n = fused.shape[0]
+    k_eff = min(k, n)
+    kw = min(max(4 * k_eff, 32), n)
+    val, idx = jax.lax.approx_max_k(fused, kw)
+    top, pos = jax.lax.top_k(val, k_eff)
+    return top, jnp.take_along_axis(idx, pos, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_rank(
+    graph_depth: jax.Array,     # [N] i32, UNREACHED where node not in context
+    relevance: jax.Array,       # [N] f32, relationship relevance (0 if none)
+    vector_scores: jax.Array,   # [N] f32 cosine, NEG_INF where no vector hit
+    entity_match: jax.Array,    # [N] f32 in [0, 1]
+    degree: jax.Array,          # [N] i32 (in+out CALLS degree)
+    quality: jax.Array,         # [N] f32 content-quality heuristic
+    weights: jax.Array,         # [8] f32: packed FuseWeights
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (fused scores [k], node ids [k]) over all N nodes."""
+    fused = _fuse_scores(graph_depth, relevance, vector_scores, entity_match,
+                         degree, quality, weights)
+    return _select_topk(fused, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_rank_rows(
+    dist_nodes: jax.Array,      # [M] i32 BFS hop distances in NODE space
+    degree_nodes: jax.Array,    # [M] i32 degree vector in NODE space
+    row_node_ids: jax.Array,    # [N] i32 graph node id per chunk row (-1 none)
+    relevance: jax.Array,       # [M] f32 relationship relevance in NODE space
+    vector_scores: jax.Array,   # [N] f32 cosine per row, NEG_INF invalid
+    entity_match: jax.Array,    # [N] f32
+    quality: jax.Array,         # [N] f32
+    weights: jax.Array,         # [8] f32
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-native hybrid rank: gather graph evidence node->row, fuse,
+    select — one execution, one O(k) readback.
+
+    The host `deep_search` assembly loops over payloads per query
+    (`query/engine.py`), which is O(corpus) Python — at 1M rows that
+    dominates end-to-end latency. Here the graph side stays in node space
+    (`bfs_distances` output + `degree_counts`), chunk rows join through
+    the resident `row_node_ids` column (the `graph_node_id` payload key
+    the reference stores per point, `embeddings/chunker.py:13-37`), and
+    the fuse + selection never leave HBM.
+    """
+    m = dist_nodes.shape[0]
+    safe = jnp.clip(row_node_ids, 0, m - 1)
+    has_node = (row_node_ids >= 0) & (row_node_ids < m)
+    depth = jnp.where(has_node, dist_nodes[safe], UNREACHED).astype(jnp.int32)
+    degree = jnp.where(has_node, degree_nodes[safe], 0).astype(jnp.int32)
+    rel = jnp.where(has_node, relevance[safe], 0.0)
+    fused = _fuse_scores(depth, rel, vector_scores, entity_match,
+                         degree, quality, weights)
+    return _select_topk(fused, k)
 
 
 def pack_weights(w: FuseWeights) -> np.ndarray:

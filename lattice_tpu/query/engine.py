@@ -221,12 +221,18 @@ class QueryEngine:
 
         limit = limit or self.settings.search_limit
         plan = self.planner.plan_heuristic(query_text)
-        graph_context = self._graph_phase(plan)
         store = self.indexer.code
-        cap = store.capacity
         if len(store) == 0:
             return QueryResult(query=query_text, answer="", results=[],
-                               query_plan=plan, graph_context=graph_context)
+                               query_plan=plan,
+                               graph_context=self._graph_phase(plan))
+        if store.capacity >= self.DEEP_DEVICE_THRESHOLD:
+            # corpus-scale: the per-payload Python walk below is O(corpus)
+            # per query; the device path joins graph evidence to rows
+            # through resident columns instead
+            return self._deep_search_device(query_text, plan, limit)
+        graph_context = self._graph_phase(plan)
+        cap = store.capacity
 
         t0 = time.perf_counter()
         # vector side: cosine of every row
@@ -294,6 +300,132 @@ class QueryEngine:
                 score=float(score),
                 content=payload.get("content") or "",
             ))
+        return QueryResult(
+            query=query_text, answer="", results=results, query_plan=plan,
+            graph_context=graph_context,
+            phase_times_ms={"deep_fuse_ms": elapsed_ms},
+        )
+
+    # rows above which the host payload walk is replaced by the
+    # device-resident join (ops/ranking.fused_rank_rows)
+    DEEP_DEVICE_THRESHOLD = 100_000
+
+    def _deep_search_device(self, query_text: str, plan, limit: int
+                            ) -> QueryResult:
+        """Corpus-scale hybrid rank, fully device-resident.
+
+        plan -> BFS over HBM-resident CALLS edges (both directions; depth
+        = min) -> one MXU cosine pass over every row -> node->row evidence
+        join + fuse + selection in one execution (BASELINE config 5's
+        hybrid path; reference semantics `query/engine.py:102-220` with
+        the ranker formulas of `ranking/scorer.py:9-126`). Host work per
+        query is O(seed entities + k), never O(corpus).
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lattice_tpu.core.types import EdgeType, ResultSource
+        from lattice_tpu.ops import graph_kernels as gk
+        from lattice_tpu.ops import topk as topk_ops
+        from lattice_tpu.ops.ranking import (FuseWeights, fused_rank_rows,
+                                             pack_weights)
+        from lattice_tpu.query.ranking.models import RankedResult
+        from lattice_tpu.query.ranking.scorer import (
+            _DEFAULT_RELEVANCE,
+            _RELATIONSHIP_RELEVANCE,
+        )
+
+        t0 = time.perf_counter()
+        graph = self.graph_store
+        store = self.indexer.code
+        graph._ensure_final()
+        n_pad = graph._n_padded()
+        relevance_map = _RELATIONSHIP_RELEVANCE.get(plan.intent,
+                                                    _DEFAULT_RELEVANCE)
+        rel_caller = relevance_map.get(
+            "caller", _DEFAULT_RELEVANCE["caller"])
+        rel_callee = relevance_map.get(
+            "callee", _DEFAULT_RELEVANCE["callee"])
+        rel_primary = relevance_map.get("primary", 1.0)
+
+        seeds: list[int] = []
+        for e in plan.entities:
+            ids = graph.find_by_name(e.name) or [
+                nid for nid, _ in graph.find_fuzzy(e.name, limit=3)]
+            seeds.extend(ids[:5])
+        seeds = list(dict.fromkeys(s for s in seeds if s < n_pad))[:16]
+
+        hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
+        if seeds and graph.n_edges(EdgeType.CALLS):
+            psrc, pdst = graph.device_edges(EdgeType.CALLS)
+            ids_dev = jnp.asarray(np.asarray(seeds, np.int32))
+            seeds_dev = jnp.zeros(n_pad, dtype=bool).at[ids_dev].set(True)
+            d_fwd = gk.bfs_distances(psrc, pdst, seeds_dev, n_pad, hops)
+            d_bwd = gk.bfs_distances(pdst, psrc, seeds_dev, n_pad, hops)
+            dist = jnp.minimum(d_fwd, d_bwd)
+            rel_nodes = jnp.where(
+                seeds_dev, rel_primary,
+                jnp.where(d_bwd < d_fwd, rel_caller, rel_callee)
+            ).astype(jnp.float32)
+        else:
+            dist = jnp.full((n_pad,), int(gk.UNREACHED), dtype=jnp.int32)
+            rel_nodes = jnp.zeros((n_pad,), dtype=jnp.float32)
+
+        degree = graph.device_degree(EdgeType.CALLS)
+        qvec = topk_ops.l2_normalize(
+            self.vector_searcher.embedder.embed(query_text)[None, :])
+        emb, valid = store.device_arrays
+        vec = topk_ops.batched_matmul_scores(jnp.asarray(qvec), emb)[0]
+        vec = jnp.where(valid, vec, -1e30)
+
+        node_ids, quality = store.device_rank_columns(graph.id_of)
+        match_rows: list[int] = []
+        inverted = store._inverted["graph_node_id"]
+        for s in seeds:
+            match_rows.extend(inverted.get(graph.node(s).qualified_name, ()))
+        match = jnp.zeros((store.capacity,), dtype=jnp.float32)
+        if match_rows:
+            match = match.at[jnp.asarray(
+                np.asarray(match_rows, np.int32))].set(1.0)
+
+        weights = jnp.asarray(pack_weights(FuseWeights(
+            *_weights_tuple(self.ranker.config, plan))))
+        scores, rows = fused_rank_rows(dist, degree, node_ids, rel_nodes,
+                                       vec, match, quality, weights, limit)
+        scores, rows = np.asarray(scores), np.asarray(rows)
+        elapsed_ms = (time.perf_counter() - t0) * 1000
+
+        # one vectorized depth readback for the k winners (never per-row)
+        def _nid(row: int) -> int:
+            qn = (store.payload(row) or {}).get("graph_node_id") or ""
+            nid = graph.id_of(qn) if qn else None
+            return -1 if nid is None else nid  # node id 0 is a real id
+
+        winner_nids = np.asarray([_nid(int(r)) for r in rows],
+                                 dtype=np.int32)
+        winner_depth = np.asarray(
+            dist[jnp.asarray(np.clip(winner_nids, 0, n_pad - 1))])
+        results = []
+        for j, (score, row) in enumerate(zip(scores, rows)):
+            payload = store.payload(int(row))
+            if payload is None or score <= -1e29:
+                continue
+            qn = payload.get("graph_node_id") or ""
+            in_graph = bool(winner_nids[j] >= 0
+                            and winner_depth[j] < int(gk.UNREACHED))
+            results.append(RankedResult(
+                name=(payload.get("name") or "").rsplit(".", 1)[-1],
+                qualified_name=qn,
+                entity_type=payload.get("entity_type") or "",
+                file_path=payload.get("file_path") or "",
+                start_line=payload.get("start_line") or 0,
+                end_line=payload.get("end_line") or 0,
+                source=(ResultSource.HYBRID if in_graph
+                        else ResultSource.VECTOR),
+                score=float(score),
+                content=payload.get("content") or "",
+            ))
+        graph_context = self._graph_phase(plan)
         return QueryResult(
             query=query_text, answer="", results=results, query_plan=plan,
             graph_context=graph_context,

@@ -322,6 +322,25 @@ class TestDeepSearch:
         names = " ".join(r.qualified_name for r in result.results)
         assert "validate" in names
 
+    def test_deep_device_path_matches_host(self, indexed):
+        """The corpus-scale device join (fused_rank_rows) must agree with
+        the host payload-walk path on the same query."""
+        engine = QueryEngine(indexed.graph_builder.store, indexed.indexer)
+        q = "who calls validate_email_format?"
+        host = engine.deep_search(q, limit=10)
+        engine.DEEP_DEVICE_THRESHOLD = 1  # force the device route
+        dev = engine.deep_search(q, limit=10)
+        host_names = [r.qualified_name for r in host.results]
+        dev_names = [r.qualified_name for r in dev.results]
+        # same leading result and strong overlap (device relevance is
+        # direction-scalar where the host tags per-relationship)
+        assert dev_names[0] == host_names[0]
+        overlap = len(set(dev_names) & set(host_names)) / max(
+            len(host_names), 1)
+        assert overlap >= 0.7
+        from lattice_tpu.core.types import ResultSource
+        assert any(r.source == ResultSource.HYBRID for r in dev.results)
+
 
 class TestGraphReasoningDispatch:
     @pytest.fixture(scope="class")
