@@ -22,12 +22,28 @@ Also measured (BASELINE configs 2 & 5, VERDICT r1 #4):
 - `delta_upsert_ms` — incremental add of 256 rows into the live store
   (device row writes + O(delta) IVF/int8 view upserts, no rebuild)
 
-The comparison system is a single-host NumPy exact scan (the stand-in for
-CPU Qdrant, which cannot run in this offline image), measured on a
-subsample and scaled linearly (an exact scan is O(N)). Recall methodology
-per BASELINE: bf16 rows are half the bytes of the f32 HNSW vectors Qdrant
-stores (before its graph overhead), so recall@10 vs the exact scan at
->=0.95 matches "recall parity with Qdrant HNSW at equal memory".
+Round-3 additions (VERDICT r2 #1/#3/#5/#7):
+- `graph_*` — traversal kernels on a 1M-node / 10M-edge power-law code
+  graph through `GraphStore.k_hop` (single-traversal latency + batched
+  qps + hierarchy closure), BASELINE config 4.
+- `hybrid_query_ms` — plan -> device BFS -> full-corpus cosine ->
+  `fused_rank_rows` p50 at 1M rows (BASELINE config 5's query path).
+- `latency_b1_ms` / `latency_b8_ms` — small-batch serving latency in
+  both regimes.
+- `ivf_fresh_after_delta` measured in the clustered regime (where IVF
+  actually serves).
+
+Comparison baselines (both host-side; CPU Qdrant cannot run in this
+offline image — VERDICT r2 #7 renamed the field to say what it is):
+- `vs_host_exact_scan` (was `vs_baseline`, kept one round): single-core
+  NumPy exact scan on a subsample, scaled linearly (exact scan is O(N)).
+- `host_ivf_qps_est`: a NumPy IVF (sqrt(N) lists, nprobe=8) measured on
+  the subsample and scaled by the IVF cost model
+  (nlist + nprobe*N/nlist dots/query) — an honest HNSW-class CPU
+  estimate, since graph-ANN serves in the same 10^2-10^3 qps decade.
+Recall methodology per BASELINE: bf16 rows are half the bytes of the f32
+HNSW vectors Qdrant stores (before its graph overhead), so recall@10 vs
+the exact scan at >=0.95 matches "recall parity at equal memory".
 Prints ONE JSON line.
 """
 
@@ -51,6 +67,215 @@ N_CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
 ENCODE_BATCH = int(os.environ.get("BENCH_ENCODE_BATCH", 128))
 ENCODE_LEN = 512
 DELTA_ROWS = 256
+
+
+def _p50(samples_ms: list[float]) -> float:
+    return float(np.percentile(np.asarray(samples_ms), 50))
+
+
+def _bench_latency(store, queries_f32, k: int, iters: int = 12) -> dict:
+    """p50 single-dispatch latency at B=1 and B=8 through the dispatcher
+    (VERDICT r2 #5). Each call times through a host readback — on the axon
+    relay only a readback proves execution."""
+    out = {}
+    for b in (1, 8):
+        q = queries_f32[:b]
+        store.search_device(q, k)  # warm/compile this batch shape
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _, idx = store.search_device(q, k)
+            np.asarray(idx)
+            times.append((time.perf_counter() - t0) * 1000.0)
+        out[f"latency_b{b}_ms"] = round(_p50(times), 3)
+    return out
+
+
+def _build_bench_graph(n_nodes: int, n_edges: int, seed: int = 0):
+    """Synthetic code graph: power-law in-degree CALLS edges (a few hub
+    utilities called from everywhere, a long tail of leaf functions —
+    the shape real call graphs take)."""
+    from lattice_tpu.core.types import EdgeType, EntityType
+    from lattice_tpu.index.graph_store import GraphStore
+
+    rng = np.random.default_rng(seed)
+    g = GraphStore()
+    g.add_nodes_bulk([f"m.f{i}" for i in range(n_nodes)],
+                     EntityType.FUNCTION, "synthetic.py")
+    src = rng.integers(0, n_nodes, size=n_edges, dtype=np.int64)
+    # power-law targets: u^4 concentrates mass near node 0 (hubs)
+    dst = (n_nodes * rng.random(n_edges) ** 4).astype(np.int64)
+    dst = np.minimum(dst, n_nodes - 1)
+    g.add_edges_bulk(src, dst, EdgeType.CALLS)
+    # EXTENDS: a sparse forest over 10% of nodes for the hierarchy closure
+    n_ext = max(n_nodes // 10, 1)
+    child = rng.choice(n_nodes, size=n_ext, replace=False)
+    parent = (n_nodes * rng.random(n_ext) ** 4).astype(np.int64)
+    g.add_edges_bulk(child, np.minimum(parent, n_nodes - 1),
+                     EdgeType.EXTENDS)
+    g.finalize()
+    return g
+
+
+def _bench_graph(alt: dict) -> "GraphStore | None":
+    """BASELINE config 4: CALLS/EXTENDS traversals as frontier kernels at
+    1M nodes / 10M edges, measured through `GraphStore.k_hop` exactly as
+    the serving path runs them (reference semantics:
+    `query/graph_reasoning/queries.py:2-50,88-128`)."""
+    from lattice_tpu.core.types import EdgeType
+
+    n = int(os.environ.get("BENCH_GRAPH_NODES", 1 << 20))
+    e = int(os.environ.get("BENCH_GRAPH_EDGES", 10_000_000))
+    rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    g = _build_bench_graph(n, e)
+    alt["graph_build_s"] = round(time.perf_counter() - t0, 1)
+    alt["graph_nodes"] = n
+    alt["graph_edges"] = e
+
+    hops, limit = 5, 50
+    seeds = rng.integers(0, n, size=64).tolist()
+    g.k_hop([seeds[0]], EdgeType.CALLS, hops=hops, limit=limit,
+            device=True)  # warm: edge upload + compile
+    times = []
+    for s in seeds[:16]:
+        t0 = time.perf_counter()
+        g.k_hop([s], EdgeType.CALLS, hops=hops, limit=limit, device=True)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    alt["graph_khop_ms"] = round(_p50(times), 2)
+
+    # callers (reverse) share the cadence
+    g.k_hop([seeds[0]], EdgeType.CALLS, hops=hops, limit=limit,
+            device=True, reverse=True)
+    times = []
+    for s in seeds[:8]:
+        t0 = time.perf_counter()
+        g.k_hop([s], EdgeType.CALLS, hops=hops, limit=limit, device=True,
+                reverse=True)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    alt["graph_khop_rev_ms"] = round(_p50(times), 2)
+
+    # batched traversal throughput: 64 independent queries per execution
+    qsets = [[int(s)] for s in seeds]
+    g.k_hop_batch(qsets, EdgeType.CALLS, hops=hops, limit=limit)  # warm
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        g.k_hop_batch(qsets, EdgeType.CALLS, hops=hops, limit=limit)
+    alt["graph_khop_qps"] = round(
+        len(qsets) * iters / (time.perf_counter() - t0), 1)
+
+    # hierarchy closure (EXTENDS both directions, `queries.py:88-128`)
+    ext_seeds = rng.integers(0, n, size=8).tolist()
+    g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit, device=True)
+    t0 = time.perf_counter()
+    up = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit,
+                 device=True)
+    down = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit,
+                   device=True, reverse=True)
+    alt["graph_closure_ms"] = round((time.perf_counter() - t0) * 1000.0, 2)
+    alt["graph_closure_nodes"] = len(up) + len(down)
+    return g
+
+
+def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
+    """BASELINE config 5's query path: plan -> device BFS over the CALLS
+    graph -> full-corpus cosine -> `fused_rank_rows` (the deep_search
+    device route, `query/engine.py`), p50 end-to-end at 1M rows. Rows
+    join nodes 1:1 (the bench store holds no payloads; the engine path
+    uses the resident graph_node_id column instead)."""
+    import jax.numpy as jnp
+
+    from lattice_tpu.core.types import EdgeType
+    from lattice_tpu.ops import graph_kernels as gk
+    from lattice_tpu.ops import topk as topk_ops
+    from lattice_tpu.ops.ranking import (FuseWeights, fused_rank_rows,
+                                         pack_weights)
+    from lattice_tpu.query.query_planner import QueryPlanner
+
+    planner = QueryPlanner()
+    n_pad = graph._n_padded()
+    cap = store.capacity
+    psrc, pdst = graph.device_edges(EdgeType.CALLS)
+    degree = graph.device_degree(EdgeType.CALLS)
+    node_ids = jnp.arange(cap, dtype=jnp.int32)
+    quality = jnp.ones((cap,), dtype=jnp.float32)
+    match = jnp.zeros((cap,), dtype=jnp.float32)
+    weights = jnp.asarray(pack_weights(FuseWeights()))
+    emb, valid = store.device_arrays
+    rng = np.random.default_rng(2)
+
+    def one_query(qvec, seed_id):
+        plan = planner.plan_heuristic(f"who calls f{seed_id}?")  # host plan
+        ids_dev = jnp.asarray(np.asarray([seed_id], np.int32))
+        seeds_dev = jnp.zeros(n_pad, dtype=bool).at[ids_dev].set(True)
+        d_fwd = gk.bfs_distances(psrc, pdst, seeds_dev, n_pad, 5)
+        d_bwd = gk.bfs_distances(pdst, psrc, seeds_dev, n_pad, 5)
+        dist = jnp.minimum(d_fwd, d_bwd)
+        rel = jnp.where(dist < gk.UNREACHED, 0.7, 0.0).astype(jnp.float32)
+        vec = topk_ops.batched_matmul_scores(qvec[None, :], emb)[0]
+        vec = jnp.where(valid, vec, -1e30)
+        scores, rows = fused_rank_rows(
+            dist[:n_pad], degree, node_ids, rel, vec, match, quality,
+            weights, 50)
+        np.asarray(rows)
+        del plan
+
+    q_dev = jnp.asarray(queries_f32)
+    one_query(q_dev[0], int(rng.integers(0, graph.n_nodes())))  # warm
+    times = []
+    for i in range(12):
+        sid = int(rng.integers(0, graph.n_nodes()))
+        t0 = time.perf_counter()
+        one_query(q_dev[i % q_dev.shape[0]], sid)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    alt["hybrid_query_ms"] = round(_p50(times), 2)
+
+    # the fuse kernel's own cost (graph evidence precomputed)
+    seeds_dev = jnp.zeros(n_pad, dtype=bool).at[jnp.asarray([7])].set(True)
+    dist = gk.bfs_distances(psrc, pdst, seeds_dev, n_pad, 5)
+    rel = jnp.where(dist < gk.UNREACHED, 0.7, 0.0).astype(jnp.float32)
+    vec = jnp.where(valid, topk_ops.batched_matmul_scores(
+        q_dev[:1], emb)[0], -1e30)
+    np.asarray(fused_rank_rows(dist, degree, node_ids, rel, vec, match,
+                               quality, weights, 50)[1])
+    times = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        _, rows = fused_rank_rows(dist, degree, node_ids, rel, vec, match,
+                                  quality, weights, 50)
+        np.asarray(rows)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    alt["hybrid_fuse_ms"] = round(_p50(times), 2)
+
+
+def _host_ivf_estimate(host_corpus: np.ndarray, queries: np.ndarray,
+                       n_total: int, k: int) -> float:
+    """HNSW-class CPU comparison: NumPy IVF on the subsample, scaled by
+    the IVF cost model to the full corpus (docstring at module top)."""
+    sub, d = host_corpus.shape
+    nlist_sub = max(int(np.sqrt(sub)), 16)
+    nprobe = 8
+    rng = np.random.default_rng(3)
+    centroids = host_corpus[rng.choice(sub, nlist_sub, replace=False)]
+    assign = np.argmax(host_corpus @ centroids.T, axis=1)
+    order = np.argsort(assign, kind="stable")
+    sorted_rows = host_corpus[order]
+    bounds = np.searchsorted(assign[order], np.arange(nlist_sub + 1))
+    t0 = time.perf_counter()
+    for q in queries[:32]:
+        cscores = centroids @ q
+        probes = np.argpartition(-cscores, nprobe)[:nprobe]
+        cand = np.concatenate([
+            sorted_rows[bounds[p]:bounds[p + 1]] for p in probes])
+        if len(cand):
+            s = cand @ q
+            np.argpartition(-s, min(k, len(s) - 1))
+    qps_sub = 32 / (time.perf_counter() - t0)
+    nlist_n = max(int(np.sqrt(n_total)), 16)
+    cost_sub = nlist_sub + nprobe * sub / nlist_sub
+    cost_n = nlist_n + nprobe * n_total / nlist_n
+    return qps_sub * cost_sub / cost_n
 
 
 def main() -> None:
@@ -140,6 +365,11 @@ def main() -> None:
 
     # alternate kernels for visibility (not the headline)
     alt = {}
+    # small-batch serving latency, flat/isotropic regime (VERDICT r2 #5)
+    try:
+        alt.update(_bench_latency(store, q_f32, K))
+    except Exception as exc:
+        alt["latency_error"] = repr(exc)[:120]
     # pipelined bulk serving: one execution scans 8 chunks of 256 —
     # amortizes the fixed per-dispatch overhead (~1-3 ms on this relay)
     try:
@@ -214,6 +444,31 @@ def main() -> None:
         alt["clustered_ivf_self_recall"] = (
             round(store_c._ivf.measured_recall, 4)
             if store_c._ivf is not None else None)
+        # small-batch latency in the clustered regime
+        try:
+            for kk, vv in _bench_latency(store_c, qc, K).items():
+                alt[f"clustered_{kk}"] = vv
+        except Exception as exc:
+            alt["clustered_latency_error"] = repr(exc)[:120]
+        # BASELINE config 5's freshness story IN THE REGIME WHERE IVF
+        # SERVES (VERDICT r2 weak #4): delta-upsert rows into the live
+        # clustered store, assert the IVF view stays fresh (O(delta)
+        # insert, no rebuild) and a query finds a fresh row at small
+        # batch (where the dispatcher probes IVF)
+        try:
+            fresh = np.asarray(gen_block(
+                centers, jax.random.fold_in(kd, 77),
+                jax.random.fold_in(kd, 78), 32, spread=0.06))
+            rows_f = store_c.add(fresh, [{"file_path": "fresh.py"}] * 32)
+            alt["clustered_ivf_fresh_after_delta"] = (
+                not store_c._ivf_dirty if store_c._ivf is not None
+                else None)
+            _, found = store_c.search_device(jnp.asarray(fresh[:8]), K)
+            found = np.asarray(found)
+            hits = sum(1 for i in range(8) if rows_f[i] in found[i])
+            alt["clustered_delta_self_hits"] = f"{hits}/8"
+        except Exception as exc:
+            alt["clustered_fresh_error"] = repr(exc)[:120]
         del emb_c, store_c
     except Exception as exc:  # keep the headline alive on any failure
         alt["clustered_error"] = repr(exc)[:120]
@@ -236,6 +491,15 @@ def main() -> None:
     delta_ms = (time.perf_counter() - t0) * 1000.0
     ivf_still_fresh = not store._ivf_dirty if store._ivf else None
 
+    # ---- BASELINE config 4 + hybrid query path (VERDICT r2 #1/#3)
+    if os.environ.get("BENCH_GRAPH", "1") == "1":
+        try:
+            bench_graph = _bench_graph(alt)
+            _bench_hybrid(alt, bench_graph, store, np.asarray(queries))
+            del bench_graph
+        except Exception as exc:
+            alt["graph_error"] = repr(exc)[:200]
+
     # ---- config 2: encoder throughput at the real model config
     from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
     enc_model = UniXcoderModel(UniXcoderConfig())
@@ -248,21 +512,41 @@ def main() -> None:
         out = enc_model.encode(ids, mask)
     float(out[0, 0])
     encode_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
+    # model FLOPs per token: QKVO + FFN matmuls + the two [L,L] attention
+    # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4 wants MFU reported)
+    h, ff, nl, length = 768, 3072, 12, ENCODE_LEN
+    flops_tok = 2 * nl * (4 * h * h + 2 * h * ff) + 2 * nl * 2 * length * h
+    on_tpu = device.platform.lower() in ("tpu", "axon")
+    encode_mfu = (encode_cps * length * flops_tok / 197e12
+                  if on_tpu else None)
 
-    # ---- host exact-scan baseline on a subsample, scaled linearly
+    # ---- host baselines on a subsample (exact scan + IVF estimate)
     t0 = time.perf_counter()
     host_scores = queries @ host_corpus.T
     np.argpartition(-host_scores, min(K, sub - 1), axis=1)
     host_sub_s = time.perf_counter() - t0
     host_qps = BATCH / (host_sub_s * (N_ROWS / sub))
+    try:
+        host_ivf_qps = _host_ivf_estimate(host_corpus, queries, N_ROWS, K)
+    except Exception:
+        host_ivf_qps = None
 
     print(json.dumps({
         "metric": f"serving_qps_{N_ROWS // 1000}k_{DIM}d",
         "value": round(headline_qps, 1),
         "unit": "queries/s",
+        # renamed from vs_baseline (VERDICT r2 #7): this is a scaled
+        # single-core NumPy exact scan, not Qdrant
         "vs_baseline": round(headline_qps / host_qps, 2),
         "extra": {
+            "vs_host_exact_scan": round(headline_qps / host_qps, 2),
+            "vs_host_ivf_est": (round(headline_qps / host_ivf_qps, 1)
+                                if host_ivf_qps else None),
+            "host_ivf_qps_est": (round(host_ivf_qps, 1)
+                                 if host_ivf_qps else None),
             "host_exact_qps_scaled": round(host_qps, 2),
+            "encode_mfu": (round(encode_mfu, 3)
+                           if encode_mfu is not None else None),
             "recall_at_10_vs_exact": round(float(recall), 4),
             "device": str(device),
             "batch": BATCH,

@@ -135,6 +135,45 @@ class GraphStore:
         es.dst.append(dst_id)
         self._finalized = False
 
+    # ---- bulk construction (restore / synthetic corpora) ---------------
+
+    def add_nodes_bulk(self, qualified_names: list[str],
+                       entity_type: EntityType, file_path: str = ""
+                       ) -> np.ndarray:
+        """Append many NEW nodes in one pass (no per-node MERGE probing).
+
+        The columnar equivalent of the reference's UNWIND batch MERGE
+        (`graph/queries.py:229-323`) for the restore/bulk-build case where
+        names are known fresh; duplicate qualified names raise.
+        """
+        for qn in qualified_names:
+            if qn in self._ids:
+                raise GraphError(f"bulk add of existing node: {qn}")
+        start = len(self._qns)
+        n = len(qualified_names)
+        ids = np.arange(start, start + n, dtype=np.int64)
+        self._ids.update(zip(qualified_names, ids.tolist()))
+        self._qns.extend(qualified_names)
+        self._names.extend(qn.rsplit(".", 1)[-1] for qn in qualified_names)
+        self._types.extend([entity_type.code] * n)
+        fid = self.file_id(file_path) if file_path else -1
+        self._file_ids.extend([fid] * n)
+        self._start_lines.extend([0] * n)
+        self._end_lines.extend([0] * n)
+        self._alive.extend([True] * n)
+        if fid >= 0:
+            self._file_nodes.setdefault(fid, []).extend(ids.tolist())
+        self._finalized = False
+        return ids
+
+    def add_edges_bulk(self, src: np.ndarray, dst: np.ndarray,
+                       edge_type: EdgeType) -> None:
+        """Append an edge array in one pass (UNWIND-batch analog)."""
+        es = self._edges[edge_type]
+        es.src.extend(np.asarray(src, dtype=np.int64).tolist())
+        es.dst.extend(np.asarray(dst, dtype=np.int64).tolist())
+        self._finalized = False
+
     def id_of(self, qualified_name: str) -> int | None:
         nid = self._ids.get(qualified_name)
         if nid is not None and self._alive[nid]:
@@ -384,17 +423,18 @@ class GraphStore:
         alive = self.device_alive()
         # seeds scatter on device: host->device traffic is O(seeds), not O(N)
         ids = jnp.asarray(np.asarray(node_ids, dtype=np.int32))
-        seeds = jnp.zeros(n_pad, dtype=bool).at[ids].set(True)
-        dist_dev = gk.bfs_distances(psrc, pdst, seeds, n_pad, hops)
         if limit is not None:
-            # widen 4x then trim exactly: approx_min_k can straddle the
-            # depth boundary; the host sort of O(4*limit) restores the
-            # exact depth ordering
-            d, idx = gk.khop_select(dist_dev, alive, min(4 * limit, n_pad))
+            # ONE fused execution (scatter+BFS+select) and an O(limit)
+            # readback; widen 4x then trim exactly host-side
+            # (approx_min_k can straddle the depth boundary)
+            d, idx = gk.khop_bounded(psrc, pdst, ids, alive, n_pad, hops,
+                                     min(4 * limit, n_pad))
             d, idx = np.asarray(d), np.asarray(idx)
             keep = d < int(gk.UNREACHED)
             pairs = sorted(zip(d[keep].tolist(), idx[keep].tolist()))
             return {int(v): int(dd) for dd, v in pairs[:limit]}
+        seeds = jnp.zeros(n_pad, dtype=bool).at[ids].set(True)
+        dist_dev = gk.bfs_distances(psrc, pdst, seeds, n_pad, hops)
         dist = np.asarray(dist_dev)[:self.n_nodes()]
         reached = np.flatnonzero((dist > 0) & (dist < gk.UNREACHED))
         return {int(v): int(dist[v]) for v in reached if self._alive[v]}

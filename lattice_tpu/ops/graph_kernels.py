@@ -194,6 +194,25 @@ def khop_select(dist: jax.Array, alive: jax.Array, limit: int,
     return d.astype(jnp.int32), idx
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_nodes", "max_hops", "limit"))
+def khop_bounded(
+    src: jax.Array, dst: jax.Array,
+    seed_ids: jax.Array,       # [S] i32, pad with -1
+    alive: jax.Array,          # [N] bool
+    n_nodes: int, max_hops: int, limit: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Seed scatter + BFS + depth-ordered selection fused in ONE
+    execution: per-traversal dispatch cost is one call + one O(limit)
+    readback (each separate eager op costs ~2 ms through the axon relay,
+    so the unfused sequence paid ~5x the kernel's own time at small
+    graphs)."""
+    safe = jnp.clip(seed_ids, 0, n_nodes - 1)
+    seeds = jnp.zeros(n_nodes, dtype=bool).at[safe].max(seed_ids >= 0)
+    dist = bfs_distances(src, dst, seeds, n_nodes, max_hops)
+    return khop_select(dist, alive, limit)
+
+
 # ---- NumPy oracle ------------------------------------------------------
 
 

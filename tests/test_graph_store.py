@@ -261,6 +261,35 @@ class TestDeviceResidency:
             assert got == want
 
 
+class TestBulkConstruction:
+    def test_bulk_equals_incremental(self):
+        g1, g2 = GraphStore(), GraphStore()
+        names = [f"m.f{i}" for i in range(50)]
+        rng = np.random.default_rng(0)
+        src = rng.integers(0, 50, 120)
+        dst = rng.integers(0, 50, 120)
+        ids = g1.add_nodes_bulk(names, EntityType.FUNCTION, "m.py")
+        g1.add_edges_bulk(src, dst, EdgeType.CALLS)
+        for n in names:
+            g2.add_node(n, EntityType.FUNCTION, "m.py")
+        for s, d in zip(src, dst):
+            g2.add_edge(int(s), int(d), EdgeType.CALLS)
+        g1.finalize()
+        g2.finalize()
+        assert ids.tolist() == list(range(50))
+        assert g1.id_of("m.f7") == g2.id_of("m.f7") == 7
+        assert g1.k_hop([3], EdgeType.CALLS, hops=3, device=False) == \
+            g2.k_hop([3], EdgeType.CALLS, hops=3, device=False)
+        assert g1.stats == g2.stats
+
+    def test_bulk_rejects_duplicates(self):
+        from lattice_tpu.core.errors import GraphError
+        g = GraphStore()
+        g.add_node("m.a", EntityType.FUNCTION, "m.py")
+        with pytest.raises(GraphError):
+            g.add_nodes_bulk(["m.b", "m.a"], EntityType.FUNCTION, "m.py")
+
+
 class TestTracer:
     def test_span_aggregation(self):
         from lattice_tpu.utils.tracing import Tracer
