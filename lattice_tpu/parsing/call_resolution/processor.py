@@ -207,9 +207,17 @@ class CallProcessor:
             if not self.imports.is_local_module(root) \
                     and not self.imports.is_local_module(hit):
                 return ResolvedCall(f"ext.{hit}", resolution="external")
-        # 5b. var-typed receiver: `user.save()` where user: User.
+        # 5b. var-typed receiver: `user.save()` where user: User, and
+        # `self.attr.m()` where __init__ typed the attr — there the
+        # receiver is the ATTR (parts[1]) and the method parts[2], not
+        # rest's head (which is the attr name and can never be a method
+        # of the attr's own type).
         if rest:
-            method = rest.split(".", 1)[0]
+            parts = text.split(".")
+            if receiver in ("self", "this") and len(parts) >= 3:
+                method = parts[2]
+            else:
+                method = rest.split(".", 1)[0]
             var_type = self._receiver_type(receiver, text, caller, module_qn,
                                            language, class_qn)
             if var_type is not None:
