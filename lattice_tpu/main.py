@@ -151,14 +151,11 @@ def run_search(args: argparse.Namespace, settings: Settings) -> int:
     else:
         result = engine.search_sync(args.query, limit=args.limit)
     if args.json:
-        print(json.dumps([{
-            "name": r.qualified_name or r.name,
-            "type": r.entity_type,
-            "file": r.file_path,
-            "line": r.start_line,
-            "score": round(r.score, 4),
-            "source": r.source.value,
-        } for r in result.results], indent=1))
+        from lattice_tpu.query.ranking.utils import (
+            ranked_results_to_search_results,
+        )
+        print(json.dumps(ranked_results_to_search_results(result.results),
+                         indent=1))
         return 0
     if not result.results:
         print("no results")

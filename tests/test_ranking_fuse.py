@@ -66,6 +66,85 @@ class TestFusedRank:
         assert np.all(np.asarray(s) <= NEG_INF / 2)
 
 
+class TestFusedRankRows:
+    def test_row_join_matches_flat_fuse(self):
+        """fused_rank_rows (node->row gather form) must equal fused_rank
+        on pre-gathered arrays when rows map 1:1 to nodes."""
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops.graph_kernels import UNREACHED
+        from lattice_tpu.ops.ranking import (FuseWeights, fused_rank,
+                                             fused_rank_rows, pack_weights)
+        rng = np.random.default_rng(0)
+        n = 96
+        depth = np.full(n, UNREACHED, np.int32)
+        depth[rng.choice(n, 20, replace=False)] = rng.integers(1, 4, 20)
+        degree = rng.integers(0, 80, n).astype(np.int32)
+        vec = np.where(rng.random(n) < 0.5,
+                       rng.random(n).astype(np.float32), -1e30)
+        match = (rng.random(n) < 0.2).astype(np.float32)
+        quality = rng.random(n).astype(np.float32)
+        rel_scalar = 0.7
+        rel_nodes = np.full(n, rel_scalar, np.float32)
+        w = jnp.asarray(pack_weights(FuseWeights()))
+        rel_flat = np.where(depth < UNREACHED, rel_scalar, 0.0).astype(
+            np.float32)
+        s1, i1 = fused_rank(jnp.asarray(depth), jnp.asarray(rel_flat),
+                            jnp.asarray(vec), jnp.asarray(match),
+                            jnp.asarray(degree), jnp.asarray(quality), w, 10)
+        s2, i2 = fused_rank_rows(
+            jnp.asarray(depth), jnp.asarray(degree),
+            jnp.arange(n, dtype=jnp.int32), jnp.asarray(rel_nodes),
+            jnp.asarray(vec), jnp.asarray(match), jnp.asarray(quality),
+            w, 10)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_rows_without_nodes_rank_on_vector_side(self):
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops.graph_kernels import UNREACHED
+        from lattice_tpu.ops.ranking import (FuseWeights, fused_rank_rows,
+                                             pack_weights)
+        n_nodes, n_rows = 16, 8
+        dist = np.zeros(n_nodes, np.int32)  # every NODE reached
+        node_ids = np.full(n_rows, -1, np.int32)  # but no row joins one
+        vec = np.linspace(0.9, 0.2, n_rows).astype(np.float32)
+        s, rows = fused_rank_rows(
+            jnp.asarray(dist), jnp.zeros(n_nodes, jnp.int32),
+            jnp.asarray(node_ids),
+            jnp.full(n_nodes, 0.7, jnp.float32), jnp.asarray(vec),
+            jnp.zeros(n_rows, jnp.float32), jnp.ones(n_rows, jnp.float32),
+            jnp.asarray(pack_weights(FuseWeights())), 4)
+        assert np.asarray(rows)[0] == 0  # best cosine wins, no graph side
+
+
+class TestResultSerialization:
+    def test_reference_dict_shape(self):
+        """Parity: `query/ranking/utils.py:6-30` transport layout."""
+        from lattice_tpu.core.types import ResultSource
+        from lattice_tpu.query.ranking.models import RankedResult
+        from lattice_tpu.query.ranking.utils import (
+            ranked_results_to_search_results,
+        )
+        r = RankedResult(
+            name="create_user", qualified_name="app.svc.create_user",
+            entity_type="function", file_path="app/svc.py",
+            start_line=10, end_line=30, source=ResultSource.HYBRID,
+            score=0.91, content="def create_user(): ...",
+            depth=2, relationship="caller")
+        out = ranked_results_to_search_results([r])
+        assert len(out) == 1
+        d = out[0]
+        assert d["source"] == "hybrid" and d["score"] == 0.91
+        assert d["entity_name"] == "create_user"
+        assert d["graph_node_id"] == "app.svc.create_user"
+        assert d["metadata"]["depth_from_query"] == 2
+        assert d["metadata"]["relationship"] == "caller"
+        assert isinstance(d["metadata"]["signal_scores"], dict)
+
+
 class TestLanguageConfigs:
     def test_nine_configs(self):
         from lattice_tpu.parsing.language_config import (
