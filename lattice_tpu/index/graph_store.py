@@ -489,16 +489,48 @@ class GraphStore:
             out.append((o, i))
         return out
 
+    def _path_corridor(self, src_id: int, dst_id: int, edge_type: EdgeType,
+                       max_len: int) -> set[int] | None:
+        """Device-computed set of nodes lying on SOME src->dst path of
+        length <= max_len (`ops/graph_kernels.nodes_on_paths`); None when
+        the graph is below the device threshold (host traversal is fine
+        there). Bounds host path work to the corridor instead of the
+        whole frontier fan-out at 10M-edge scale."""
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops import graph_kernels as gk
+
+        if self.n_edges(edge_type) < self.DEVICE_BFS_THRESHOLD:
+            return None
+        n_pad = self._n_padded()
+        psrc, pdst = self.device_edges(edge_type)
+        s = jnp.zeros(n_pad, dtype=bool).at[
+            jnp.asarray([src_id], jnp.int32)].set(True)
+        t = jnp.zeros(n_pad, dtype=bool).at[
+            jnp.asarray([dst_id], jnp.int32)].set(True)
+        _, _, on_path = gk.nodes_on_paths(psrc, pdst, s, t, n_pad, max_len)
+        return set(np.flatnonzero(np.asarray(on_path)).tolist())
+
     def shortest_path(self, src_id: int, dst_id: int, edge_type: EdgeType,
                       max_len: int = 10) -> list[int] | None:
-        """One shortest path (FIND_CALL_CHAIN, `queries.py:52-67`)."""
+        """One shortest path (FIND_CALL_CHAIN, `queries.py:52-67`).
+
+        Large graphs first compute the device corridor; the host BFS then
+        expands only corridor nodes (O(corridor) instead of O(frontier
+        fan-out))."""
         self._ensure_final()
+        corridor = self._path_corridor(src_id, dst_id, edge_type, max_len)
+        if corridor is not None and (src_id not in corridor
+                                     or dst_id not in corridor):
+            return None
         prev: dict[int, int] = {src_id: -1}
         frontier = [src_id]
         for _ in range(max_len):
             nxt = []
             for u in frontier:
                 for v in self.neighbors([u], edge_type)[0]:
+                    if corridor is not None and v not in corridor:
+                        continue
                     if v not in prev:
                         prev[v] = u
                         if v == dst_id:
@@ -518,9 +550,14 @@ class GraphStore:
 
         Device kernels compute the on-path corridor for big graphs
         (`ops/graph_kernels.nodes_on_paths`); enumeration itself is
-        host-side DFS restricted to the corridor.
+        host-side DFS restricted to the corridor (irregular output stays
+        on the host, the pruning runs on the MXU-fed frontier kernels).
         """
         self._ensure_final()
+        corridor = self._path_corridor(src_id, dst_id, edge_type, max_len)
+        if corridor is not None and (src_id not in corridor
+                                     or dst_id not in corridor):
+            return []
         paths: list[list[int]] = []
         stack: list[tuple[int, list[int]]] = [(src_id, [src_id])]
         while stack and len(paths) < max_paths:
@@ -531,6 +568,8 @@ class GraphStore:
             if len(path) > max_len:
                 continue
             for v in self.neighbors([u], edge_type)[0]:
+                if corridor is not None and v not in corridor:
+                    continue
                 if v not in path:  # simple paths
                     stack.append((v, path + [v]))
         return paths

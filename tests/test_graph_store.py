@@ -261,6 +261,50 @@ class TestDeviceResidency:
             assert got == want
 
 
+class TestPathCorridor:
+    def _graph(self, n=200, e=600, seed=11):
+        rng = np.random.default_rng(seed)
+        g = GraphStore()
+        for i in range(n):
+            g.add_node(f"m.f{i}", EntityType.FUNCTION, "m.py")
+        for s, d in zip(rng.integers(0, n, e), rng.integers(0, n, e)):
+            if s != d:
+                g.add_edge(int(s), int(d), EdgeType.CALLS)
+        g.finalize()
+        return g
+
+    def test_corridor_paths_equal_plain_dfs(self):
+        g = self._graph()
+        pairs = [(1, 50), (3, 120), (7, 7)]
+        plain = [sorted(map(tuple, g.all_paths(a, b, EdgeType.CALLS,
+                                               max_len=4, max_paths=50)))
+                 for a, b in pairs]
+        g.DEVICE_BFS_THRESHOLD = 1  # force the device corridor
+        pruned = [sorted(map(tuple, g.all_paths(a, b, EdgeType.CALLS,
+                                                max_len=4, max_paths=50)))
+                  for a, b in pairs]
+        assert plain == pruned
+
+    def test_corridor_shortest_path_same_length(self):
+        g = self._graph(seed=5)
+        found = None
+        for a, b in [(0, 99), (2, 150), (10, 30), (4, 77)]:
+            p = g.shortest_path(a, b, EdgeType.CALLS, max_len=8)
+            if p is not None:
+                found = (a, b, len(p))
+                break
+        assert found is not None, "graph too sparse for the test seed"
+        a, b, plain_len = found
+        g.DEVICE_BFS_THRESHOLD = 1
+        p2 = g.shortest_path(a, b, EdgeType.CALLS, max_len=8)
+        assert p2 is not None and len(p2) == plain_len
+        # corridor correctly reports unreachable pairs as None
+        iso = g.add_node("m.isolated", EntityType.FUNCTION, "m.py")
+        g.finalize()
+        g.DEVICE_BFS_THRESHOLD = 1
+        assert g.shortest_path(a, iso, EdgeType.CALLS, max_len=8) is None
+
+
 class TestBulkConstruction:
     def test_bulk_equals_incremental(self):
         g1, g2 = GraphStore(), GraphStore()
