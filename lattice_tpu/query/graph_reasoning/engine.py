@@ -62,7 +62,10 @@ class GraphReasoningEngine:
     def _khop_nodes(self, seed_ids: list[int], edge_type: EdgeType,
                     hops: int, reverse: bool, relationship: str
                     ) -> list[GraphNode]:
-        result = self.store.k_hop(seed_ids, edge_type, hops, reverse=reverse)
+        # the Cypher result cap rides into the traversal so the device
+        # path reads back O(limit), not the full [N] distance vector
+        result = self.store.k_hop(seed_ids, edge_type, hops, reverse=reverse,
+                                  limit=MAX_RESULTS_PER_QUERY)
         nodes = [self._to_node(nid, depth, relationship)
                  for nid, depth in result.items()]
         nodes.sort(key=lambda n: (n.depth, n.qualified_name))
