@@ -465,11 +465,9 @@ class GraphStore:
         seed_arr = np.full((len(seed_sets), s_max), -1, dtype=np.int32)
         for i, s in enumerate(seed_sets):
             seed_arr[i, :len(s)] = s
-        dist = gk.bfs_distances_batch(psrc, pdst, jnp.asarray(seed_arr),
-                                      n_pad, hops)
-        sel = jax.vmap(lambda row: gk.khop_select(
-            row, alive, min(4 * limit, n_pad)))
-        d, idx = sel(dist)
+        d, idx = gk.khop_batch_bounded(psrc, pdst, jnp.asarray(seed_arr),
+                                       alive, n_pad, hops,
+                                       min(4 * limit, n_pad))
         d, idx = np.asarray(d), np.asarray(idx)
         out = []
         for i in range(len(seed_sets)):

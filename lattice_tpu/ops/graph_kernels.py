@@ -196,6 +196,20 @@ def khop_select(dist: jax.Array, alive: jax.Array, limit: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "max_hops", "limit"))
+def khop_batch_bounded(
+    src: jax.Array, dst: jax.Array,
+    seed_ids: jax.Array,       # [Q, S] i32, pad with -1
+    alive: jax.Array,          # [N] bool
+    n_nodes: int, max_hops: int, limit: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched traversals + per-query depth selection in ONE execution
+    ([Q, limit] readback)."""
+    dist = bfs_distances_batch(src, dst, seed_ids, n_nodes, max_hops)
+    return jax.vmap(lambda row: khop_select(row, alive, limit))(dist)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_nodes", "max_hops", "limit"))
 def khop_bounded(
     src: jax.Array, dst: jax.Array,
     seed_ids: jax.Array,       # [S] i32, pad with -1
