@@ -91,6 +91,33 @@ class TestWatcher:
         assert ctx.indexer.code.scroll(
             {"file_path": "app/api/routes.py"}) == []
 
+    def test_directory_rename_end_to_end(self, indexed_ws):
+        """A subtree move must delete every old path's nodes/vectors and
+        re-index them under the new module names (the reference's watcher
+        missed these — SURVEY §2.2 relative-vs-absolute delete bug)."""
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws")
+        watcher.prime(ctx.parsed)
+        (workspace / "app" / "utils").rename(workspace / "app" / "helpers")
+        events = watcher.poll_once()
+        kinds = sorted(e.kind for e in events)
+        assert "deleted" in kinds and "created" in kinds
+        asyncio.run(watcher.process_events(events))
+        store = ctx.graph_builder.store
+        # old module names gone from the graph and the vector store
+        assert store.id_of("app.utils.validators.normalize_name") is None
+        assert ctx.indexer.code.scroll(
+            {"file_path": "app/utils/validators.py"}) == []
+        # re-registered under the new package name
+        moved = store.id_of("app.helpers.validators.normalize_name")
+        assert moved is not None
+        rows = ctx.indexer.code.scroll(
+            {"graph_node_id": "app.helpers.validators.normalize_name"})
+        assert rows
+        # steady state afterwards: no phantom events
+        assert watcher.poll_once() == []
+
 
 class TestInotifyWatcher:
     """Kernel-event detection path (pipeline/inotify.py)."""
