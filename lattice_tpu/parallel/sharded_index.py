@@ -236,7 +236,18 @@ class ShardedQuantizedIndex:
     """
 
     def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
-                 mesh: Mesh | None = None, bits: int = 8):
+                 mesh: Mesh | None = None, bits: int = 8,
+                 keep_full_precision: bool = False):
+        """`keep_full_precision=True` shards a bf16 copy of the rows
+        alongside the quantized planes and rescores candidates against it
+        in-shard. That forfeits the capacity win (it is the SPEED
+        configuration: the scan reads 1/4-1/2 the bytes, the rescore
+        gathers k1 bf16 rows) but restores exact ordering — measured
+        necessity: on tightly-clustered corpora the true top-10 are
+        near-ties finer than the int4 step, so a dequantized-int4 rescore
+        cannot beat the raw int4 ordering (~0.80 recall@10 on chip,
+        R3 phase C; candidate COVERAGE at width 64 is 1.0, so an exact
+        rescore recovers ~1.0)."""
         from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
         if bits not in (8, 4):
             raise ValueError(f"bits must be 8 or 4, got {bits}")
@@ -264,6 +275,10 @@ class ShardedQuantizedIndex:
         self.values = jax.device_put(jnp.asarray(values), self._val_sharding)
         self.scales = jax.device_put(jnp.asarray(scales), self._row_sharding)
         self.valid = jax.device_put(jnp.asarray(valid), self._row_sharding)
+        self.full_precision = (
+            jax.device_put(jnp.asarray(embeddings, dtype=jnp.bfloat16),
+                           self._val_sharding)
+            if keep_full_precision else None)
         self._search_cache: dict[tuple[int, bool], callable] = {}
         self._force_pallas = False
         self._pallas_interpret = False
@@ -275,9 +290,14 @@ class ShardedQuantizedIndex:
         self._invalidate_fn = jax.jit(
             lambda val, idx: val.at[idx].set(False),
             out_shardings=self._row_sharding)
+        self._update_fp_fn = jax.jit(
+            lambda fp, idx, v: fp.at[idx].set(v.astype(jnp.bfloat16)),
+            out_shardings=self._val_sharding)
 
     def memory_bytes(self) -> int:
-        return self.values.size + self.scales.size * 4 + self.valid.size
+        fp = (self.full_precision.size * 2
+              if self.full_precision is not None else 0)
+        return self.values.size + self.scales.size * 4 + self.valid.size + fp
 
     @property
     def capacity(self) -> int:
@@ -297,6 +317,10 @@ class ShardedQuantizedIndex:
         nv, ns = quant(jnp.asarray(vectors, jnp.float32))
         self.values, self.scales, self.valid = self._update_fn(
             self.values, self.scales, self.valid, jnp.asarray(rows), nv, ns)
+        if self.full_precision is not None:
+            self.full_precision = self._update_fp_fn(
+                self.full_precision, jnp.asarray(rows),
+                jnp.asarray(vectors, jnp.float32))
         self.n_rows = max(self.n_rows, int(rows.max()) + 1)
         return True
 
@@ -347,8 +371,9 @@ class ShardedQuantizedIndex:
                       and tile is not None and stage_k <= 64)
         interp = self._pallas_interpret
         kk = (k1p if use_pallas else k1) if rescore else k_local
+        has_fp = self.full_precision is not None
 
-        def local_topk(qf, qv, qs, v_shard, s_shard, valid_shard):
+        def local_topk(qf, qv, qs, v_shard, s_shard, valid_shard, fp_shard):
             if use_pallas:
                 s1, c1 = binned(qv, qs, v_shard, s_shard, valid_shard,
                                 kk, tile=tile, interpret=interp)
@@ -357,10 +382,15 @@ class ShardedQuantizedIndex:
                 s1, c1 = xla_topk(qv, qs, v_shard, s_shard, valid_shard, kk)
             if not rescore or kk <= k_local:
                 return s1[:, :k_local], c1[:, :k_local]
-            rows = v_shard[c1]                       # [B, k1, d(/2)] gather
-            if bits == 4:
-                rows = unpack_int4(rows)
-            emb = rows.astype(jnp.float32) * s_shard[c1][..., None]
+            if fp_shard is not None:
+                # exact bf16 rescore (speed configuration): recovers the
+                # true ordering the quantized rows cannot express
+                emb = fp_shard[c1].astype(jnp.float32)
+            else:
+                rows = v_shard[c1]                   # [B, k1, d(/2)] gather
+                if bits == 4:
+                    rows = unpack_int4(rows)
+                emb = rows.astype(jnp.float32) * s_shard[c1][..., None]
             sc = jnp.einsum("bd,bkd->bk", qf, emb,
                             precision=jax.lax.Precision.HIGHEST)
             sc = jnp.where(s1 > NEG_INF / 2, sc, NEG_INF)
@@ -378,11 +408,13 @@ class ShardedQuantizedIndex:
             return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
         def local_search(q_f32, q_values, q_scales, v_shard, s_shard,
-                         valid_shard, *mask_shard):
-            if mask_shard:
-                valid_shard = valid_shard & mask_shard[0]
+                         valid_shard, *extra):
+            extra = list(extra)
+            fp_shard = extra.pop(0) if has_fp else None
+            if extra:
+                valid_shard = valid_shard & extra[0]
             scores, idx = local_topk(q_f32, q_values, q_scales, v_shard,
-                                     s_shard, valid_shard)
+                                     s_shard, valid_shard, fp_shard)
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
                 shard_id = (jax.lax.axis_index(DCN_AXIS)
@@ -397,6 +429,8 @@ class ShardedQuantizedIndex:
 
         in_specs = (P(), P(), P(), P(row_axes, None), P(row_axes),
                     P(row_axes))
+        if has_fp:
+            in_specs = in_specs + (P(row_axes, None),)
         if with_mask:
             in_specs = in_specs + (P(row_axes),)
         fn = shard_map(
@@ -432,6 +466,8 @@ class ShardedQuantizedIndex:
         args = [jnp.asarray(q, dtype=jnp.float32),
                 jnp.asarray(q_values), jnp.asarray(q_scales),
                 self.values, self.scales, self.valid]
+        if self.full_precision is not None:
+            args.append(self.full_precision)
         if with_mask:
             m = np.asarray(mask, dtype=bool)
             pad = self.valid.shape[0] - m.shape[0]

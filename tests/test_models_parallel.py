@@ -251,6 +251,48 @@ class TestShardedQuantizedIndex:
                          deq[idx_rescored])
         np.testing.assert_allclose(sc_rescored, want, atol=2e-3)
 
+    def test_int4_full_precision_rescore_beats_capacity_tier(self):
+        """On tightly-clustered near-tie data the int4 rows cannot order
+        the true top-10 (quantization step > tie gaps), so the capacity
+        tier caps around ~0.8 recall — while keep_full_precision=True
+        (the speed configuration) recovers near-exact ordering. Measured
+        on-chip in R3 phase C (0.805 dequant vs 1.0 coverage)."""
+        from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
+        rng = np.random.default_rng(3)
+        n, d, k, nclus = 8192, 256, 10, 16
+        centers = topk_ops.l2_normalize(rng.normal(size=(nclus, d)))
+        assign = rng.integers(0, nclus, n)
+        emb = topk_ops.l2_normalize(
+            centers[assign] + 0.06 * rng.normal(size=(n, d)))
+        valid = np.ones(n, bool)
+        queries = topk_ops.l2_normalize(
+            centers[rng.integers(0, nclus, 16)]
+            + 0.06 * rng.normal(size=(16, d)))
+        _, o_idx = topk_ops.topk_oracle(queries, emb, valid, k)
+
+        def recall(idx):
+            return float(np.mean([
+                len(set(g.tolist()) & set(w.tolist())) / k
+                for g, w in zip(idx, o_idx)]))
+
+        capacity = ShardedQuantizedIndex(emb, valid, mesh=make_mesh(8),
+                                         bits=4)
+        speed = ShardedQuantizedIndex(emb, valid, mesh=make_mesh(8),
+                                      bits=4, keep_full_precision=True)
+        _, i_cap = capacity.search(queries, k=k)
+        _, i_spd = speed.search(queries, k=k)
+        r_cap, r_spd = recall(i_cap), recall(i_spd)
+        assert r_spd >= 0.95, (r_cap, r_spd)
+        assert r_spd > r_cap + 0.05, (r_cap, r_spd)
+        # the speed view costs the bf16 bytes again; the capacity view
+        # stays ~1/4 of bf16
+        assert speed.memory_bytes() > 4 * capacity.memory_bytes()
+        # fp rows follow O(delta) updates
+        fresh = topk_ops.l2_normalize(rng.normal(size=(2, d)))
+        assert speed.update_rows(fresh, np.array([5, 9]))
+        _, i_new = speed.search(fresh[:1], k=1)
+        assert i_new[0, 0] == 5
+
     def test_int4_rescore_pallas_interpret_matches_xla(self):
         """The forced-Pallas first stage (interpret mode on the CPU mesh)
         must produce the same rescored winners as the XLA fallback path."""
