@@ -135,68 +135,75 @@ def _bench_graph(alt: dict) -> "GraphStore | None":
 
     hops, limit = 5, 50
     seeds = rng.integers(0, n, size=64).tolist()
-    g.k_hop([seeds[0]], EdgeType.CALLS, hops=hops, limit=limit,
-            device=True)  # warm: edge upload + compile
+    # serving path: vectorized host CSR walk (R3 measured 4 ms p50 here
+    # vs 1.5 s for the dense device BFS — XLA scalar gather is serial)
+    g.k_hop([seeds[0]], EdgeType.CALLS, hops=hops, limit=limit)  # warm
     times = []
-    for s in seeds[:16]:
+    for s in seeds[:32]:
         t0 = time.perf_counter()
-        g.k_hop([s], EdgeType.CALLS, hops=hops, limit=limit, device=True)
+        g.k_hop([s], EdgeType.CALLS, hops=hops, limit=limit)
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["graph_khop_ms"] = round(_p50(times), 2)
 
     # callers (reverse) share the cadence
-    g.k_hop([seeds[0]], EdgeType.CALLS, hops=hops, limit=limit,
-            device=True, reverse=True)
     times = []
-    for s in seeds[:8]:
+    for s in seeds[:16]:
         t0 = time.perf_counter()
-        g.k_hop([s], EdgeType.CALLS, hops=hops, limit=limit, device=True,
-                reverse=True)
+        g.k_hop([s], EdgeType.CALLS, hops=hops, limit=limit, reverse=True)
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["graph_khop_rev_ms"] = round(_p50(times), 2)
 
-    # batched traversal throughput: 64 independent queries per execution
+    # traversal throughput: 64 independent queries, serving path
     qsets = [[int(s)] for s in seeds]
-    g.k_hop_batch(qsets, EdgeType.CALLS, hops=hops, limit=limit)  # warm
     t0 = time.perf_counter()
-    iters = 4
+    iters = 3
     for _ in range(iters):
         g.k_hop_batch(qsets, EdgeType.CALLS, hops=hops, limit=limit)
     alt["graph_khop_qps"] = round(
         len(qsets) * iters / (time.perf_counter() - t0), 1)
 
+    # the dense device batch kernel, for the huge-reach regime
+    try:
+        g.k_hop_batch(qsets, EdgeType.CALLS, hops=hops, limit=limit,
+                      device=True)  # warm/compile
+        t0 = time.perf_counter()
+        g.k_hop_batch(qsets, EdgeType.CALLS, hops=hops, limit=limit,
+                      device=True)
+        alt["graph_khop_qps_device_dense"] = round(
+            len(qsets) / (time.perf_counter() - t0), 1)
+    except Exception as exc:
+        alt["graph_device_error"] = repr(exc)[:120]
+
     # hierarchy closure (EXTENDS both directions, `queries.py:88-128`)
     ext_seeds = rng.integers(0, n, size=8).tolist()
-    g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit, device=True)
     t0 = time.perf_counter()
-    up = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit,
-                 device=True)
+    up = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit)
     down = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit,
-                   device=True, reverse=True)
+                   reverse=True)
     alt["graph_closure_ms"] = round((time.perf_counter() - t0) * 1000.0, 2)
     alt["graph_closure_nodes"] = len(up) + len(down)
     return g
 
 
 def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
-    """BASELINE config 5's query path: plan -> device BFS over the CALLS
-    graph -> full-corpus cosine -> `fused_rank_rows` (the deep_search
-    device route, `query/engine.py`), p50 end-to-end at 1M rows. Rows
-    join nodes 1:1 (the bench store holds no payloads; the engine path
-    uses the resident graph_node_id column instead)."""
+    """BASELINE config 5's query path: plan -> sparse host BFS (the
+    measured-best traversal at this scale) -> full-corpus cosine ->
+    `fused_rank_rows_sparse` (the deep_search device route,
+    `query/engine.py`), p50 end-to-end at 1M rows. Rows join nodes 1:1
+    (the bench store holds no payloads; the engine path uses the
+    resident graph_node_id column instead)."""
     import jax.numpy as jnp
 
     from lattice_tpu.core.types import EdgeType
     from lattice_tpu.ops import graph_kernels as gk
     from lattice_tpu.ops import topk as topk_ops
-    from lattice_tpu.ops.ranking import (FuseWeights, fused_rank_rows,
+    from lattice_tpu.ops.ranking import (FuseWeights,
+                                         fused_rank_rows_sparse,
                                          pack_weights)
     from lattice_tpu.query.query_planner import QueryPlanner
 
     planner = QueryPlanner()
-    n_pad = graph._n_padded()
     cap = store.capacity
-    psrc, pdst = graph.device_edges(EdgeType.CALLS)
     degree = graph.device_degree(EdgeType.CALLS)
     node_ids = jnp.arange(cap, dtype=jnp.int32)
     quality = jnp.ones((cap,), dtype=jnp.float32)
@@ -204,20 +211,25 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
     weights = jnp.asarray(pack_weights(FuseWeights()))
     emb, valid = store.device_arrays
     rng = np.random.default_rng(2)
+    R_CAP = 1 << 16  # sparse-reach pad bucket (stable jit key)
 
     def one_query(qvec, seed_id):
         plan = planner.plan_heuristic(f"who calls f{seed_id}?")  # host plan
-        ids_dev = jnp.asarray(np.asarray([seed_id], np.int32))
-        seeds_dev = jnp.zeros(n_pad, dtype=bool).at[ids_dev].set(True)
-        d_fwd = gk.bfs_distances(psrc, pdst, seeds_dev, n_pad, 5)
-        d_bwd = gk.bfs_distances(pdst, psrc, seeds_dev, n_pad, 5)
-        dist = jnp.minimum(d_fwd, d_bwd)
-        rel = jnp.where(dist < gk.UNREACHED, 0.7, 0.0).astype(jnp.float32)
+        f_ids, f_d = graph._host_bfs([seed_id], EdgeType.CALLS, 5)
+        b_ids, b_d = graph._host_bfs([seed_id], EdgeType.CALLS, 5,
+                                     reverse=True)
+        ids = np.concatenate([[seed_id], f_ids, b_ids])[:R_CAP]
+        depths = np.concatenate([[0], f_d, b_d])[:R_CAP].astype(np.int32)
+        rel = np.full(len(ids), 0.7, np.float32)
+        pad = R_CAP - len(ids)
+        ids = np.concatenate([ids, np.full(pad, -1)]).astype(np.int32)
+        depths = np.concatenate([depths, np.zeros(pad, np.int32)])
+        rel = np.concatenate([rel, np.zeros(pad, np.float32)])
         vec = topk_ops.batched_matmul_scores(qvec[None, :], emb)[0]
         vec = jnp.where(valid, vec, -1e30)
-        scores, rows = fused_rank_rows(
-            dist[:n_pad], degree, node_ids, rel, vec, match, quality,
-            weights, 50)
+        scores, rows = fused_rank_rows_sparse(
+            jnp.asarray(ids), jnp.asarray(depths), jnp.asarray(rel),
+            degree, node_ids, vec, match, quality, weights, 50)
         np.asarray(rows)
         del plan
 
@@ -231,19 +243,28 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["hybrid_query_ms"] = round(_p50(times), 2)
 
-    # the fuse kernel's own cost (graph evidence precomputed)
-    seeds_dev = jnp.zeros(n_pad, dtype=bool).at[jnp.asarray([7])].set(True)
-    dist = gk.bfs_distances(psrc, pdst, seeds_dev, n_pad, 5)
-    rel = jnp.where(dist < gk.UNREACHED, 0.7, 0.0).astype(jnp.float32)
+    # the device fuse's own cost (graph evidence precomputed)
+    f_ids, f_d = graph._host_bfs([7], EdgeType.CALLS, 5)
+    ids = np.full(R_CAP, -1, np.int32)
+    depths = np.zeros(R_CAP, np.int32)
+    rel = np.zeros(R_CAP, np.float32)
+    m = min(len(f_ids), R_CAP)
+    ids[:m] = f_ids[:m]
+    depths[:m] = f_d[:m]
+    rel[:m] = 0.7
+    ids_d, dep_d, rel_d = (jnp.asarray(ids), jnp.asarray(depths),
+                           jnp.asarray(rel))
     vec = jnp.where(valid, topk_ops.batched_matmul_scores(
         q_dev[:1], emb)[0], -1e30)
-    np.asarray(fused_rank_rows(dist, degree, node_ids, rel, vec, match,
-                               quality, weights, 50)[1])
+    np.asarray(fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree,
+                                      node_ids, vec, match, quality,
+                                      weights, 50)[1])
     times = []
     for _ in range(12):
         t0 = time.perf_counter()
-        _, rows = fused_rank_rows(dist, degree, node_ids, rel, vec, match,
-                                  quality, weights, 50)
+        _, rows = fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree,
+                                         node_ids, vec, match, quality,
+                                         weights, 50)
         np.asarray(rows)
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["hybrid_fuse_ms"] = round(_p50(times), 2)

@@ -241,6 +241,7 @@ class GraphStore:
         self._sharded_graphs = {}   # multi-chip views rebuild on next use
         self._device_edges = {}     # HBM-resident edge arrays rebuild too
         self._device_alive = None
+        self._alive_np = None
         self._finalized = True
 
     def _ensure_final(self) -> None:
@@ -270,11 +271,73 @@ class GraphStore:
             out.append([int(v) for v in indices[lo:hi] if self._alive[v]])
         return out
 
-    # Edge count beyond which k_hop dispatches to the device frontier
-    # kernel instead of the host CSR walk. Host BFS is O(edges touched)
-    # with Python overhead; the device kernel is O(hops * E) but fully
-    # vectorized — the crossover sits around tens of thousands of edges.
+    # Edge count beyond which BATCHED traversals (and path corridors in
+    # their batched form) dispatch to the device frontier kernel. Measured
+    # on v5e at 1M nodes / 10M edges (R3 phase B): the dense device pass
+    # is gather/scatter-bound at ~1.5 s for a SINGLE query (XLA lowers
+    # scalar gathers to a serial loop), but amortizes to ~21 ms/query at
+    # Q=128 ([N, Q] frontiers gather full lane rows). Single-query k_hop
+    # therefore always runs the vectorized host CSR walk — O(edges
+    # touched), which for code-graph queries (bounded hops, 50-result
+    # caps) is milliseconds even at 10M edges.
     DEVICE_BFS_THRESHOLD = 50_000
+
+    def _alive_arr(self) -> np.ndarray:
+        arr = getattr(self, "_alive_np", None)
+        if arr is None or len(arr) != len(self._alive):
+            arr = self._alive_np = np.asarray(self._alive, dtype=bool)
+        return arr
+
+    def _host_bfs(self, seed_ids: list[int], edge_type: EdgeType,
+                  hops: int, reverse: bool = False
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized CSR frontier expansion on the host.
+
+        Returns (reached_ids, depths) EXCLUDING the seeds, in discovery
+        (depth) order. Each hop is three NumPy primitives over the
+        frontier's adjacency span (repeat/arange gather + unique), so the
+        cost is O(edges touched) with C constants — the right shape for
+        single traversals, where a dense device pass would re-scan all E
+        edges per hop through a serial scalar gather.
+        """
+        self._ensure_final()
+        es = self._edges[edge_type]
+        indptr = es.rev_indptr if reverse else es.indptr
+        indices = es.rev_dst if reverse else es.coo_dst
+        n = self.n_nodes()
+        dist = np.full(n, -1, dtype=np.int32)
+        seeds = np.asarray([s for s in seed_ids if 0 <= s < n],
+                           dtype=np.int64)
+        if seeds.size == 0 or len(indices) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        dist[seeds] = 0
+        frontier = seeds
+        out_ids: list[np.ndarray] = []
+        out_depths: list[np.ndarray] = []
+        for hop in range(1, hops + 1):
+            starts = indptr[frontier]
+            degs = (indptr[frontier + 1] - starts).astype(np.int64)
+            total = int(degs.sum())
+            if total == 0:
+                break
+            base = np.repeat(starts, degs)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(degs) - degs, degs)
+            nbrs = indices[base + offs]
+            nbrs = nbrs[dist[nbrs] < 0]
+            if nbrs.size == 0:
+                break
+            nbrs = np.unique(nbrs)
+            dist[nbrs] = hop
+            out_ids.append(nbrs)
+            out_depths.append(np.full(nbrs.size, hop, np.int32))
+            frontier = nbrs
+        if not out_ids:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        ids = np.concatenate(out_ids)
+        depths = np.concatenate(out_depths)
+        keep = self._alive_arr()[ids]
+        return ids[keep], depths[keep]
 
     def _want_sharded(self) -> bool:
         """Multi-chip traversal tier: LATTICE_SHARDED=1 with >1 device
@@ -388,25 +451,19 @@ class GraphStore:
         if self._want_sharded():
             out = self.to_sharded(edge_type).k_hop(node_ids, hops,
                                                    reverse=reverse)
+        elif device:
+            # explicit opt-in only: the dense device pass re-scans all E
+            # edges per hop and only pays off BATCHED (k_hop_batch)
+            return self._k_hop_device(node_ids, edge_type, hops, reverse,
+                                      limit)
         else:
-            if device is None:
-                device = self.n_edges(edge_type) >= self.DEVICE_BFS_THRESHOLD
-            if device:
-                return self._k_hop_device(node_ids, edge_type, hops, reverse,
-                                          limit)
-            dist: dict[int, int] = {nid: 0 for nid in node_ids}
-            frontier = list(node_ids)
-            for hop in range(1, hops + 1):
-                nxt: list[int] = []
-                for neigh in self.neighbors(frontier, edge_type, reverse):
-                    for v in neigh:
-                        if v not in dist:
-                            dist[v] = hop
-                            nxt.append(v)
-                frontier = nxt
-                if not frontier:
-                    break
-            out = {k: v for k, v in dist.items() if v > 0}
+            ids, depths = self._host_bfs(node_ids, edge_type, hops,
+                                         reverse=reverse)
+            if limit is not None and len(ids) > limit:
+                # discovery order is depth order; trim with id tiebreak
+                order = np.lexsort((ids, depths))[:limit]
+                ids, depths = ids[order], depths[order]
+            return {int(v): int(d) for v, d in zip(ids, depths)}
         if limit is not None and len(out) > limit:
             out = dict(sorted(out.items(), key=lambda t: (t[1], t[0]))[:limit])
         return out
@@ -440,13 +497,19 @@ class GraphStore:
         return {int(v): int(dist[v]) for v in reached if self._alive[v]}
 
     def k_hop_batch(self, seed_sets: list[list[int]], edge_type: EdgeType,
-                    hops: int, reverse: bool = False, limit: int = 50
-                    ) -> list[dict[int, int]]:
-        """Batched traversals: Q independent seed sets answered in ONE
-        device execution (`ops/graph_kernels.bfs_distances_batch`) with
-        O(Q*limit) readback. This is the serving-throughput path the
-        reference answers one Bolt round-trip at a time
-        (`graph_reasoning/engine.py:86-122`)."""
+                    hops: int, reverse: bool = False, limit: int = 50,
+                    device: bool = False) -> list[dict[int, int]]:
+        """Batched traversals: Q independent seed sets.
+
+        Default: the vectorized host CSR walk per query — measured 4 ms
+        p50 at 1M nodes / 10M edges (R3), so 128 queries cost ~0.5 s
+        serial. `device=True` answers all Q in ONE device execution
+        (`ops/graph_kernels.bfs_distances_batch`, O(Q*limit) readback) —
+        that pass re-scans all E edges per hop (~21 ms/query at Q=128 on
+        v5e), so it only wins when most queries reach a large fraction
+        of the graph (closures from hub seeds), where the host walk's
+        O(touched) approaches O(E) anyway. Reference semantics: one Bolt
+        round-trip per traversal (`graph_reasoning/engine.py:86-122`)."""
         import jax
         import jax.numpy as jnp
 
@@ -455,9 +518,10 @@ class GraphStore:
         self._ensure_final()
         if not seed_sets:
             return []
-        if self.n_edges(edge_type) < self.DEVICE_BFS_THRESHOLD:
+        if (not device
+                or self.n_edges(edge_type) < self.DEVICE_BFS_THRESHOLD):
             return [self.k_hop(s, edge_type, hops, reverse=reverse,
-                               limit=limit, device=False) for s in seed_sets]
+                               limit=limit) for s in seed_sets]
         n_pad = self._n_padded()
         psrc, pdst = self.device_edges(edge_type, reverse=reverse)
         alive = self.device_alive()
@@ -489,25 +553,23 @@ class GraphStore:
 
     def _path_corridor(self, src_id: int, dst_id: int, edge_type: EdgeType,
                        max_len: int) -> set[int] | None:
-        """Device-computed set of nodes lying on SOME src->dst path of
-        length <= max_len (`ops/graph_kernels.nodes_on_paths`); None when
-        the graph is below the device threshold (host traversal is fine
-        there). Bounds host path work to the corridor instead of the
-        whole frontier fan-out at 10M-edge scale."""
-        import jax.numpy as jnp
-
-        from lattice_tpu.ops import graph_kernels as gk
-
+        """Set of nodes lying on SOME src->dst path of length <= max_len
+        (the dense-device analog is `ops/graph_kernels.nodes_on_paths`;
+        the sparse host BFS is faster for single pairs — R3 phase B);
+        None when the graph is below the device threshold (plain DFS is
+        fine there). Bounds host path enumeration to the corridor instead
+        of the whole frontier fan-out at 10M-edge scale."""
         if self.n_edges(edge_type) < self.DEVICE_BFS_THRESHOLD:
             return None
-        n_pad = self._n_padded()
-        psrc, pdst = self.device_edges(edge_type)
-        s = jnp.zeros(n_pad, dtype=bool).at[
-            jnp.asarray([src_id], jnp.int32)].set(True)
-        t = jnp.zeros(n_pad, dtype=bool).at[
-            jnp.asarray([dst_id], jnp.int32)].set(True)
-        _, _, on_path = gk.nodes_on_paths(psrc, pdst, s, t, n_pad, max_len)
-        return set(np.flatnonzero(np.asarray(on_path)).tolist())
+        f_ids, f_d = self._host_bfs([src_id], edge_type, max_len)
+        fwd = dict(zip(f_ids.tolist(), f_d.tolist()))
+        fwd[src_id] = 0
+        b_ids, b_d = self._host_bfs([dst_id], edge_type, max_len,
+                                    reverse=True)
+        bwd = dict(zip(b_ids.tolist(), b_d.tolist()))
+        bwd[dst_id] = 0
+        return {v for v, df in fwd.items()
+                if v in bwd and df + bwd[v] <= max_len}
 
     def shortest_path(self, src_id: int, dst_id: int, edge_type: EdgeType,
                       max_len: int = 10) -> list[int] | None:

@@ -133,6 +133,38 @@ def fused_rank_rows(
     return _select_topk(fused, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_rank_rows_sparse(
+    reached_ids: jax.Array,     # [R] i32 node ids the BFS reached (-1 pad)
+    reached_depths: jax.Array,  # [R] i32 hop depths
+    reached_rel: jax.Array,     # [R] f32 relationship relevance per node
+    degree_nodes: jax.Array,    # [M] i32
+    row_node_ids: jax.Array,    # [N] i32 (-1 none)
+    vector_scores: jax.Array,   # [N] f32
+    entity_match: jax.Array,    # [N] f32
+    quality: jax.Array,         # [N] f32
+    weights: jax.Array,         # [8] f32
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """`fused_rank_rows` fed by a SPARSE reach set.
+
+    The graph side comes from the vectorized host CSR walk (O(edges
+    touched), measured 4 ms p50 at 1M/10M — R3; the dense device BFS
+    re-scans all E edges per hop through XLA's serial scalar gather and
+    took ~1.5 s/query). Host->device traffic is O(reached) ids/depths;
+    the scatter + join + fuse + selection stay one device execution.
+    Duplicate ids keep the MINIMUM depth (multi-direction reach)."""
+    m = degree_nodes.shape[0]
+    on = reached_ids >= 0
+    safe_r = jnp.clip(reached_ids, 0, m - 1)
+    dist = jnp.full((m,), UNREACHED, dtype=jnp.int32).at[safe_r].min(
+        jnp.where(on, reached_depths, UNREACHED).astype(jnp.int32))
+    rel = jnp.zeros((m,), dtype=jnp.float32).at[safe_r].max(
+        jnp.where(on, reached_rel, 0.0))
+    return fused_rank_rows(dist, degree_nodes, row_node_ids, rel,
+                           vector_scores, entity_match, quality, weights, k)
+
+
 def pack_weights(w: FuseWeights) -> np.ndarray:
     return np.asarray([
         w.graph_weight, w.vector_weight, w.centrality_weight,

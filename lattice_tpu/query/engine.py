@@ -312,14 +312,17 @@ class QueryEngine:
 
     def _deep_search_device(self, query_text: str, plan, limit: int
                             ) -> QueryResult:
-        """Corpus-scale hybrid rank, fully device-resident.
+        """Corpus-scale hybrid rank: sparse host BFS + device fuse.
 
-        plan -> BFS over HBM-resident CALLS edges (both directions; depth
-        = min) -> one MXU cosine pass over every row -> node->row evidence
-        join + fuse + selection in one execution (BASELINE config 5's
-        hybrid path; reference semantics `query/engine.py:102-220` with
-        the ranker formulas of `ranking/scorer.py:9-126`). Host work per
-        query is O(seed entities + k), never O(corpus).
+        plan -> vectorized host CSR BFS (both directions; O(edges
+        touched), measured 4 ms p50 at 1M/10M — the dense device BFS
+        re-scans all E edges per hop and lost by ~400x, R3 phase B) ->
+        one MXU cosine pass over every row -> sparse reach scatter +
+        node->row join + fuse + selection in ONE device execution
+        (BASELINE config 5's hybrid path; reference semantics
+        `query/engine.py:102-220` with the ranker formulas of
+        `ranking/scorer.py:9-126`). Host work per query is O(seeds +
+        reached + k), never O(corpus).
         """
         import jax.numpy as jnp
         import numpy as np
@@ -327,7 +330,8 @@ class QueryEngine:
         from lattice_tpu.core.types import EdgeType, ResultSource
         from lattice_tpu.ops import graph_kernels as gk
         from lattice_tpu.ops import topk as topk_ops
-        from lattice_tpu.ops.ranking import (FuseWeights, fused_rank_rows,
+        from lattice_tpu.ops.ranking import (FuseWeights,
+                                             fused_rank_rows_sparse,
                                              pack_weights)
         from lattice_tpu.query.ranking.models import RankedResult
         from lattice_tpu.query.ranking.scorer import (
@@ -357,19 +361,28 @@ class QueryEngine:
 
         hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
         if seeds and graph.n_edges(EdgeType.CALLS):
-            psrc, pdst = graph.device_edges(EdgeType.CALLS)
-            ids_dev = jnp.asarray(np.asarray(seeds, np.int32))
-            seeds_dev = jnp.zeros(n_pad, dtype=bool).at[ids_dev].set(True)
-            d_fwd = gk.bfs_distances(psrc, pdst, seeds_dev, n_pad, hops)
-            d_bwd = gk.bfs_distances(pdst, psrc, seeds_dev, n_pad, hops)
-            dist = jnp.minimum(d_fwd, d_bwd)
-            rel_nodes = jnp.where(
-                seeds_dev, rel_primary,
-                jnp.where(d_bwd < d_fwd, rel_caller, rel_callee)
-            ).astype(jnp.float32)
+            f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops)
+            b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
+                                         reverse=True)
+            r_ids = np.concatenate([
+                np.asarray(seeds, np.int64), f_ids, b_ids])
+            r_depths = np.concatenate([
+                np.zeros(len(seeds), np.int32), f_d, b_d])
+            r_rel = np.concatenate([
+                np.full(len(seeds), rel_primary, np.float32),
+                np.full(len(f_ids), rel_callee, np.float32),
+                np.full(len(b_ids), rel_caller, np.float32)])
         else:
-            dist = jnp.full((n_pad,), int(gk.UNREACHED), dtype=jnp.int32)
-            rel_nodes = jnp.zeros((n_pad,), dtype=jnp.float32)
+            r_ids = np.empty(0, np.int64)
+            r_depths = np.empty(0, np.int32)
+            r_rel = np.empty(0, np.float32)
+        reach_set = {int(v): int(d) for v, d in zip(r_ids, r_depths)}
+        # pad the sparse reach to a geometric bucket for a stable jit key
+        r_cap = gk.geometric_bucket(max(len(r_ids), 1), floor=512)
+        pad = r_cap - len(r_ids)
+        r_ids = np.concatenate([r_ids, np.full(pad, -1, np.int64)])
+        r_depths = np.concatenate([r_depths, np.zeros(pad, np.int32)])
+        r_rel = np.concatenate([r_rel, np.zeros(pad, np.float32)])
 
         degree = graph.device_degree(EdgeType.CALLS)
         qvec = topk_ops.l2_normalize(
@@ -390,29 +403,21 @@ class QueryEngine:
 
         weights = jnp.asarray(pack_weights(FuseWeights(
             *_weights_tuple(self.ranker.config, plan))))
-        scores, rows = fused_rank_rows(dist, degree, node_ids, rel_nodes,
-                                       vec, match, quality, weights, limit)
+        scores, rows = fused_rank_rows_sparse(
+            jnp.asarray(r_ids.astype(np.int32)), jnp.asarray(r_depths),
+            jnp.asarray(r_rel), degree, node_ids, vec, match, quality,
+            weights, limit)
         scores, rows = np.asarray(scores), np.asarray(rows)
         elapsed_ms = (time.perf_counter() - t0) * 1000
 
-        # one vectorized depth readback for the k winners (never per-row)
-        def _nid(row: int) -> int:
-            qn = (store.payload(row) or {}).get("graph_node_id") or ""
-            nid = graph.id_of(qn) if qn else None
-            return -1 if nid is None else nid  # node id 0 is a real id
-
-        winner_nids = np.asarray([_nid(int(r)) for r in rows],
-                                 dtype=np.int32)
-        winner_depth = np.asarray(
-            dist[jnp.asarray(np.clip(winner_nids, 0, n_pad - 1))])
         results = []
-        for j, (score, row) in enumerate(zip(scores, rows)):
+        for score, row in zip(scores, rows):
             payload = store.payload(int(row))
             if payload is None or score <= -1e29:
                 continue
             qn = payload.get("graph_node_id") or ""
-            in_graph = bool(winner_nids[j] >= 0
-                            and winner_depth[j] < int(gk.UNREACHED))
+            nid = graph.id_of(qn) if qn else None
+            in_graph = nid is not None and nid in reach_set
             results.append(RankedResult(
                 name=(payload.get("name") or "").rsplit(".", 1)[-1],
                 qualified_name=qn,

@@ -255,7 +255,8 @@ class TestDeviceResidency:
         g.finalize()
         g.DEVICE_BFS_THRESHOLD = 1  # force the device path at toy scale
         seed_sets = [[1], [5, 17], [200]]
-        batch = g.k_hop_batch(seed_sets, EdgeType.CALLS, hops=3, limit=500)
+        batch = g.k_hop_batch(seed_sets, EdgeType.CALLS, hops=3, limit=500,
+                              device=True)
         for s, got in zip(seed_sets, batch):
             want = g.k_hop(s, EdgeType.CALLS, hops=3, device=False)
             assert got == want
