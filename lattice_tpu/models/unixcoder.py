@@ -42,10 +42,34 @@ class UniXcoderConfig:
     layer_norm_eps: float = 1e-5
     pad_token_id: int = 1           # RoBERTa pad
     dtype: str = "bfloat16"         # compute dtype; params stay f32
+    # None = auto. The vanilla path materializes a [B, H, L, L] score
+    # tensor in HBM between the two attention matmuls (~1.6 GB/layer f32
+    # at B=128 L=512); the Pallas flash kernel streams it through VMEM
+    # instead — but measured SLOWER on v5e (369 vs 611 chunks/s, R3
+    # phase A: head_dim 64 pads to the 128-lane MXU tile), so auto stays
+    # on the vanilla einsum. LATTICE_FLASH_ATTN=0/1 overrides.
+    fused_attention: bool | None = None
+    # dtype of the materialized attention scores/probs. bfloat16 halves
+    # the [B, H, L, L] HBM round-trip (the dominant non-matmul traffic);
+    # the softmax itself still reduces through f32 inside the fusion.
+    scores_dtype: str = "float32"
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+
+def _flash_enabled(cfg: "UniXcoderConfig") -> bool:
+    import os
+    env = os.environ.get("LATTICE_FLASH_ATTN")
+    if env is not None:
+        return env == "1"
+    if cfg.fused_attention is not None:
+        return cfg.fused_attention
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 class SelfAttention(nn.Module):
@@ -66,14 +90,39 @@ class SelfAttention(nn.Module):
             return x.reshape(x.shape[0], x.shape[1], cfg.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / np.sqrt(head_dim)
-        # attention mask: [B, L] -> additive [B, 1, 1, L]
-        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9)
-        probs = jax.nn.softmax(scores + bias, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cfg.compute_dtype), v,
-                         preferred_element_type=jnp.float32)
+        if _flash_enabled(cfg) and hidden.shape[1] >= 128:
+            # Pallas flash attention: the [L, L] score block lives in
+            # VMEM only; padding masked via segment ids (pad tokens form
+            # their own segment so real tokens never attend to them —
+            # the same semantics as the additive [B,1,1,L] bias).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+            seg = mask.astype(jnp.int32)
+            qh = jnp.transpose(q, (0, 2, 1, 3))      # [B, H, L, d]
+            kh = jnp.transpose(k, (0, 2, 1, 3))
+            vh = jnp.transpose(v, (0, 2, 1, 3))
+            ctx = flash_attention(
+                qh.astype(cfg.compute_dtype), kh.astype(cfg.compute_dtype),
+                vh.astype(cfg.compute_dtype),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=float(1.0 / np.sqrt(head_dim)), causal=False)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3))   # [B, L, H, d]
+        else:
+            scores_dt = jnp.dtype(cfg.scores_dtype)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=scores_dt)
+            scores = scores / np.sqrt(head_dim)
+            # attention mask: [B, L] -> additive [B, 1, 1, L]
+            bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9)
+            # softmax reduces through f32 inside one fusion either way;
+            # scores_dtype only sets what round-trips HBM
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32) + bias, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd",
+                             probs.astype(cfg.compute_dtype), v,
+                             preferred_element_type=jnp.float32)
         ctx = ctx.reshape(hidden.shape[0], hidden.shape[1], cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype,
                        param_dtype=jnp.float32, name="output")(
