@@ -204,8 +204,9 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
 
     planner = QueryPlanner()
     cap = store.capacity
-    degree = graph.device_degree(EdgeType.CALLS)
-    node_ids = jnp.arange(cap, dtype=jnp.int32)
+    # rows join nodes 1:1 in the bench corpus, so the resident degree
+    # column is the graph degree vector truncated to row space
+    degree = graph.device_degree(EdgeType.CALLS)[:cap]
     quality = jnp.ones((cap,), dtype=jnp.float32)
     match = jnp.zeros((cap,), dtype=jnp.float32)
     weights = jnp.asarray(pack_weights(FuseWeights()))
@@ -229,7 +230,7 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
         vec = jnp.where(valid, vec, -1e30)
         scores, rows = fused_rank_rows_sparse(
             jnp.asarray(ids), jnp.asarray(depths), jnp.asarray(rel),
-            degree, node_ids, vec, match, quality, weights, 50)
+            degree, vec, match, quality, weights, 50)
         np.asarray(rows)
         del plan
 
@@ -256,15 +257,13 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
                            jnp.asarray(rel))
     vec = jnp.where(valid, topk_ops.batched_matmul_scores(
         q_dev[:1], emb)[0], -1e30)
-    np.asarray(fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree,
-                                      node_ids, vec, match, quality,
-                                      weights, 50)[1])
+    np.asarray(fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree, vec,
+                                      match, quality, weights, 50)[1])
     times = []
     for _ in range(12):
         t0 = time.perf_counter()
-        _, rows = fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree,
-                                         node_ids, vec, match, quality,
-                                         weights, 50)
+        _, rows = fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree, vec,
+                                         match, quality, weights, 50)
         np.asarray(rows)
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["hybrid_fuse_ms"] = round(_p50(times), 2)

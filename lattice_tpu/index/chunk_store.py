@@ -19,6 +19,7 @@ the device array (append segments + reuse, SURVEY §7 hard part (d)).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from typing import Any, Sequence
@@ -35,6 +36,34 @@ from lattice_tpu.ops import pallas_topk as pallas_ops
 # plus graph_node_id, the vector->graph join key used by the context builder).
 INDEXED_FIELDS = ("file_path", "entity_type", "language", "content_hash",
                   "project_name", "graph_node_id")
+
+
+@dataclasses.dataclass(frozen=True)
+class RankColumns:
+    """Resident ranking columns (see `ChunkStore.device_rank_columns`)."""
+
+    node_ids: jax.Array          # [cap] i32 graph node id per row (-1)
+    quality: jax.Array           # [cap] f32 content-quality heuristic
+    degree: jax.Array            # [cap] i32 CALLS degree centrality
+    node_row_indptr: np.ndarray  # [n_nodes+1] host CSR: node -> rows
+    node_row_indices: np.ndarray
+    generation: int              # graph finalize generation it was built at
+
+    def rows_for_nodes(self, node_ids: np.ndarray, *value_arrays
+                       ) -> tuple[np.ndarray, ...]:
+        """Vectorized node->rows expansion; each aligned per-node value
+        array comes back repeated per row."""
+        node_ids = np.asarray(node_ids, dtype=np.int64)
+        starts = self.node_row_indptr[node_ids]
+        degs = self.node_row_indptr[node_ids + 1] - starts
+        total = int(degs.sum())
+        if total == 0:
+            return (np.empty(0, np.int32),
+                    *(np.empty(0, v.dtype) for v in value_arrays))
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(degs) - degs, degs)
+        rows = self.node_row_indices[np.repeat(starts, degs) + offs]
+        return (rows, *(np.repeat(v, degs) for v in value_arrays))
 
 logger = logging.getLogger(__name__)
 
@@ -347,19 +376,28 @@ class ChunkStore:
         self._rank_cols = None
         self._rank_cols_dirty = True
 
-    def device_rank_columns(self, node_resolver) -> tuple[jax.Array, jax.Array]:
-        """Resident ([cap] i32 graph-node ids, [cap] f32 content quality).
+    def device_rank_columns(self, graph) -> "RankColumns":
+        """Resident per-row ranking columns + the node->rows join map.
 
-        The row->node join column (`graph_node_id` payload key, reference
-        `embeddings/chunker.py:13-37`) and the content-length quality
-        heuristic (`query/ranking/scorer.py:79-126`) are per-row constants;
-        materializing them once lets `ops/ranking.fused_rank_rows` run the
-        hybrid fuse fully on device instead of re-walking payloads per
-        query. `node_resolver(qualified_name) -> node id | None` is
-        usually `GraphStore.id_of` (ids are MERGE-stable across
-        re-finalize). Rebuilt lazily after any mutation.
+        The row->node join (`graph_node_id` payload key, reference
+        `embeddings/chunker.py:13-37`), the content-length quality
+        heuristic (`query/ranking/scorer.py:79-126`), and the CALLS
+        degree centrality are per-row constants between mutations;
+        materializing them once lets the hybrid fuse run per query with
+        only the SPARSE reach set crossing to the device — a per-query
+        node->row gather over [cap] rows costs ~50 ms at 1M through
+        XLA's serial scalar gather (R3 phase B2). The host-side reverse
+        CSR (node id -> row ids) expands BFS reach sets to rows with
+        vectorized NumPy. Rebuilt after store mutations or a graph
+        re-finalize (tracked by `graph.generation`).
         """
-        if self._rank_cols is None or self._rank_cols_dirty:
+        from lattice_tpu.core.types import EdgeType
+
+        graph._ensure_final()
+        gen = getattr(graph, "generation", 0)
+        cached = self._rank_cols
+        if (cached is None or self._rank_cols_dirty
+                or cached.generation != gen):
             node_ids = np.full(self._cap, -1, dtype=np.int32)
             quality = np.zeros(self._cap, dtype=np.float32)
             for row, payload in enumerate(self._payloads):
@@ -367,12 +405,33 @@ class ChunkStore:
                     continue
                 qn = payload.get("graph_node_id")
                 if qn:
-                    nid = node_resolver(qn)
+                    nid = graph.id_of(qn)
                     if nid is not None:
                         node_ids[row] = nid
                 n = len(payload.get("content") or "")
                 quality[row] = 1.0 if 80 <= n <= 4000 else (0.5 if n else 0.0)
-            self._rank_cols = (jnp.asarray(node_ids), jnp.asarray(quality))
+            # degree centrality as a ROW column (static per generation)
+            es = graph._edges[EdgeType.CALLS]
+            deg_nodes = (np.diff(es.indptr)
+                         + np.diff(es.rev_indptr)).astype(np.int32)
+            has = node_ids >= 0
+            degree = np.zeros(self._cap, dtype=np.int32)
+            degree[has] = deg_nodes[node_ids[has]]
+            # reverse CSR: node id -> rows (multi-row nodes = _part{n})
+            n_nodes = graph.n_nodes()
+            counts = np.zeros(n_nodes + 1, dtype=np.int64)
+            np.add.at(counts, node_ids[has] + 1, 1)
+            indptr = np.cumsum(counts)
+            order = np.argsort(node_ids[has], kind="stable")
+            indices = np.flatnonzero(has)[order].astype(np.int32)
+            self._rank_cols = RankColumns(
+                node_ids=jnp.asarray(node_ids),
+                quality=jnp.asarray(quality),
+                degree=jnp.asarray(degree),
+                node_row_indptr=indptr,
+                node_row_indices=indices,
+                generation=gen,
+            )
             self._rank_cols_dirty = False
         return self._rank_cols
 

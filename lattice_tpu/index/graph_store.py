@@ -75,6 +75,7 @@ class GraphStore:
         self._file_nodes: dict[int, list[int]] = {}  # file id -> node ids
         self._edges: dict[EdgeType, _EdgeSet] = {e: _EdgeSet() for e in EdgeType}
         self._finalized = False
+        self.generation = 0   # bumped each finalize; callers key caches on it
         self.project: str | None = None
 
     # ---- construction --------------------------------------------------
@@ -242,6 +243,7 @@ class GraphStore:
         self._device_edges = {}     # HBM-resident edge arrays rebuild too
         self._device_alive = None
         self._alive_np = None
+        self.generation += 1
         self._finalized = True
 
     def _ensure_final(self) -> None:

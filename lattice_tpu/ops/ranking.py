@@ -135,34 +135,38 @@ def fused_rank_rows(
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def fused_rank_rows_sparse(
-    reached_ids: jax.Array,     # [R] i32 node ids the BFS reached (-1 pad)
-    reached_depths: jax.Array,  # [R] i32 hop depths
-    reached_rel: jax.Array,     # [R] f32 relationship relevance per node
-    degree_nodes: jax.Array,    # [M] i32
-    row_node_ids: jax.Array,    # [N] i32 (-1 none)
+    reach_rows: jax.Array,      # [R] i32 ROW ids the BFS reached (-1 pad)
+    reach_depths: jax.Array,    # [R] i32 hop depths per row
+    reach_rel: jax.Array,       # [R] f32 relationship relevance per row
+    row_degree: jax.Array,      # [N] i32 resident degree column
     vector_scores: jax.Array,   # [N] f32
     entity_match: jax.Array,    # [N] f32
     quality: jax.Array,         # [N] f32
     weights: jax.Array,         # [8] f32
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """`fused_rank_rows` fed by a SPARSE reach set.
+    """The hybrid fuse fed by a SPARSE reach set, entirely in ROW space.
 
     The graph side comes from the vectorized host CSR walk (O(edges
-    touched), measured 4 ms p50 at 1M/10M — R3; the dense device BFS
-    re-scans all E edges per hop through XLA's serial scalar gather and
-    took ~1.5 s/query). Host->device traffic is O(reached) ids/depths;
-    the scatter + join + fuse + selection stay one device execution.
-    Duplicate ids keep the MINIMUM depth (multi-direction reach)."""
-    m = degree_nodes.shape[0]
-    on = reached_ids >= 0
-    safe_r = jnp.clip(reached_ids, 0, m - 1)
-    dist = jnp.full((m,), UNREACHED, dtype=jnp.int32).at[safe_r].min(
-        jnp.where(on, reached_depths, UNREACHED).astype(jnp.int32))
-    rel = jnp.zeros((m,), dtype=jnp.float32).at[safe_r].max(
-        jnp.where(on, reached_rel, 0.0))
-    return fused_rank_rows(dist, degree_nodes, row_node_ids, rel,
-                           vector_scores, entity_match, quality, weights, k)
+    touched), 4 ms p50 at 1M/10M — the dense device BFS re-scans all E
+    edges per hop through XLA's serial scalar gather, ~1.5 s/query), and
+    the node->row expansion happens host-side through the resident
+    reverse CSR (`ChunkStore.RankColumns.rows_for_nodes`) — a per-query
+    device-side node->row gather over [N] rows costs ~50 ms at 1M
+    through the same serial gather. Static node-derived signals (degree
+    centrality) live as resident row columns. Host->device traffic is
+    O(reached); scatter + fuse + selection stay one execution. Duplicate
+    rows keep the MINIMUM depth (multi-direction reach)."""
+    n = vector_scores.shape[0]
+    on = reach_rows >= 0
+    safe = jnp.clip(reach_rows, 0, n - 1)
+    depth = jnp.full((n,), UNREACHED, dtype=jnp.int32).at[safe].min(
+        jnp.where(on, reach_depths, UNREACHED).astype(jnp.int32))
+    rel = jnp.zeros((n,), dtype=jnp.float32).at[safe].max(
+        jnp.where(on, reach_rel, 0.0))
+    fused = _fuse_scores(depth, rel, vector_scores, entity_match,
+                         row_degree, quality, weights)
+    return _select_topk(fused, k)
 
 
 def pack_weights(w: FuseWeights) -> np.ndarray:

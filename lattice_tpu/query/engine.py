@@ -359,39 +359,42 @@ class QueryEngine:
             seeds.extend(ids[:5])
         seeds = list(dict.fromkeys(s for s in seeds if s < n_pad))[:16]
 
+        cols = store.device_rank_columns(graph)
         hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
         if seeds and graph.n_edges(EdgeType.CALLS):
             f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops)
             b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
                                          reverse=True)
-            r_ids = np.concatenate([
+            n_ids = np.concatenate([
                 np.asarray(seeds, np.int64), f_ids, b_ids])
-            r_depths = np.concatenate([
+            n_depths = np.concatenate([
                 np.zeros(len(seeds), np.int32), f_d, b_d])
-            r_rel = np.concatenate([
+            n_rel = np.concatenate([
                 np.full(len(seeds), rel_primary, np.float32),
                 np.full(len(f_ids), rel_callee, np.float32),
                 np.full(len(b_ids), rel_caller, np.float32)])
         else:
-            r_ids = np.empty(0, np.int64)
-            r_depths = np.empty(0, np.int32)
-            r_rel = np.empty(0, np.float32)
-        reach_set = {int(v): int(d) for v, d in zip(r_ids, r_depths)}
+            n_ids = np.empty(0, np.int64)
+            n_depths = np.empty(0, np.int32)
+            n_rel = np.empty(0, np.float32)
+        reach_set = {int(v): int(d) for v, d in zip(n_ids, n_depths)}
+        # node->row expansion through the resident reverse CSR, host-side
+        r_rows, r_depths, r_rel = cols.rows_for_nodes(n_ids, n_depths,
+                                                      n_rel)
         # pad the sparse reach to a geometric bucket for a stable jit key
-        r_cap = gk.geometric_bucket(max(len(r_ids), 1), floor=512)
-        pad = r_cap - len(r_ids)
-        r_ids = np.concatenate([r_ids, np.full(pad, -1, np.int64)])
-        r_depths = np.concatenate([r_depths, np.zeros(pad, np.int32)])
+        r_cap = gk.geometric_bucket(max(len(r_rows), 1), floor=512)
+        pad = r_cap - len(r_rows)
+        r_rows = np.concatenate([r_rows, np.full(pad, -1, np.int32)])
+        r_depths = np.concatenate([r_depths,
+                                   np.zeros(pad, np.int32)]).astype(np.int32)
         r_rel = np.concatenate([r_rel, np.zeros(pad, np.float32)])
 
-        degree = graph.device_degree(EdgeType.CALLS)
         qvec = topk_ops.l2_normalize(
             self.vector_searcher.embedder.embed(query_text)[None, :])
         emb, valid = store.device_arrays
         vec = topk_ops.batched_matmul_scores(jnp.asarray(qvec), emb)[0]
         vec = jnp.where(valid, vec, -1e30)
 
-        node_ids, quality = store.device_rank_columns(graph.id_of)
         match_rows: list[int] = []
         inverted = store._inverted["graph_node_id"]
         for s in seeds:
@@ -404,9 +407,8 @@ class QueryEngine:
         weights = jnp.asarray(pack_weights(FuseWeights(
             *_weights_tuple(self.ranker.config, plan))))
         scores, rows = fused_rank_rows_sparse(
-            jnp.asarray(r_ids.astype(np.int32)), jnp.asarray(r_depths),
-            jnp.asarray(r_rel), degree, node_ids, vec, match, quality,
-            weights, limit)
+            jnp.asarray(r_rows), jnp.asarray(r_depths), jnp.asarray(r_rel),
+            cols.degree, vec, match, cols.quality, weights, limit)
         scores, rows = np.asarray(scores), np.asarray(rows)
         elapsed_ms = (time.perf_counter() - t0) * 1000
 
