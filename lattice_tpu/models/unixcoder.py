@@ -235,6 +235,21 @@ class UniXcoderModel:
                 return b
         return self.LENGTH_BUCKETS[-1]
 
+    def enable_bf16_inference(self) -> None:
+        """Cast matrix params to bf16 in place for serving.
+
+        The forward already computes in bf16 — keeping master params f32
+        makes XLA re-convert every weight on every step and read 2x the
+        param bytes from HBM. Vectors (LayerNorm scales/biases, biases)
+        stay f32: the f32 LayerNorm path is a quality invariant. Opt-in:
+        training and the torch-parity path keep full-precision masters.
+        """
+        self.params = jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.bfloat16) if getattr(x, "ndim", 0) >= 2
+                       else x),
+            self.params)
+        self.weights_fingerprint += "+bf16serve"
+
     def use_mesh(self, mesh) -> None:
         """Shard the encoder over a device mesh: batch rows over `data`
         (pjit batch-DP embedding, SURVEY §2.4 row 4 — replaces the
