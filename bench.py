@@ -205,8 +205,11 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
     planner = QueryPlanner()
     cap = store.capacity
     # rows join nodes 1:1 in the bench corpus, so the resident degree
-    # column is the graph degree vector truncated to row space
-    degree = graph.device_degree(EdgeType.CALLS)[:cap]
+    # column is the graph degree vector fit to row space (the store may
+    # have grown past the node count via the delta-upsert section)
+    deg_nodes = graph.device_degree(EdgeType.CALLS)
+    m = min(int(deg_nodes.shape[0]), cap)
+    degree = jnp.zeros((cap,), dtype=jnp.int32).at[:m].set(deg_nodes[:m])
     quality = jnp.ones((cap,), dtype=jnp.float32)
     match = jnp.zeros((cap,), dtype=jnp.float32)
     weights = jnp.asarray(pack_weights(FuseWeights()))

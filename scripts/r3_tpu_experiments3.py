@@ -99,6 +99,40 @@ def main():
         log(f"FAILED: {exc!r}")
         RESULTS["error"] = repr(exc)[:300]
     save()
+
+    # hybrid section at full scale with the row-space fuse (validates the
+    # bench fix after the 2M-cap shape crash in bench_r3a)
+    try:
+        import jax.numpy as jnp
+
+        from bench import _bench_graph, _bench_hybrid
+        from lattice_tpu.index.chunk_store import ChunkStore
+
+        alt = {}
+        g = _bench_graph(alt)
+        key = jax.random.PRNGKey(0)
+        N, D = 1 << 20, 768
+        parts = []
+        for i in range(0, N, 1 << 17):
+            k2 = jax.random.fold_in(key, i)
+            x = jax.random.normal(k2, (1 << 17, D), dtype=jnp.float32)
+            x = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            parts.append(x.astype(jnp.bfloat16))
+        emb = jnp.concatenate(parts)
+        del parts
+        store = ChunkStore.from_device_arrays(
+            emb, jnp.ones((N,), dtype=bool))
+        q = np.asarray(jax.random.normal(jax.random.fold_in(key, 999),
+                                         (8, D), dtype=jnp.float32))
+        alt2 = {}
+        _bench_hybrid(alt2, g, store, q)
+        RESULTS.update(alt2)
+        log(f"hybrid row-space: {alt2}")
+    except Exception as exc:
+        log(f"hybrid FAILED: {exc!r}")
+        RESULTS["hybrid_error"] = repr(exc)[:300]
+    save()
     log("ALL DONE")
 
 
