@@ -159,6 +159,11 @@ class ShardedIndex:
 
         def local_search(queries, emb_shard, valid_shard, *mask_shard):
             # queries replicated; emb/valid(/mask) are this chip's rows.
+            # normalization rides inside the execution (host numpy + an
+            # extra upload otherwise).
+            queries = queries.astype(jnp.float32)
+            queries = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
             if mask_shard:
                 valid_shard = valid_shard & mask_shard[0]
             scores, idx = local_topk(queries, emb_shard, valid_shard)
@@ -206,7 +211,7 @@ class ShardedIndex:
         if fn is None:
             fn = self._build_search(k, with_mask)
             self._search_cache[key] = fn
-        q = jnp.asarray(topk_ops.l2_normalize(np.atleast_2d(queries)))
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         if with_mask:
             m = np.asarray(mask, dtype=bool)
             pad = self.valid.shape[0] - m.shape[0]
@@ -407,8 +412,15 @@ class ShardedQuantizedIndex:
             top_s, pos = jax.lax.top_k(flat_s, min(k_out, d_ * kk))
             return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
-        def local_search(q_f32, q_values, q_scales, v_shard, s_shard,
-                         valid_shard, *extra):
+        def local_search(q_raw, v_shard, s_shard, valid_shard, *extra):
+            # normalize + quantize INSIDE the execution: replicated
+            # per-shard compute is trivial, and the host-side version
+            # cost one numpy pass + two extra uploads per call
+            from lattice_tpu.ops.quant import quantize_rows_device
+            q_f32 = q_raw.astype(jnp.float32)
+            q_f32 = q_f32 / jnp.maximum(
+                jnp.linalg.norm(q_f32, axis=-1, keepdims=True), 1e-12)
+            q_values, q_scales = quantize_rows_device(q_f32)
             extra = list(extra)
             fp_shard = extra.pop(0) if has_fp else None
             if extra:
@@ -427,8 +439,7 @@ class ShardedQuantizedIndex:
                                                 DCN_AXIS, k)
             return scores, global_idx
 
-        in_specs = (P(), P(), P(), P(row_axes, None), P(row_axes),
-                    P(row_axes))
+        in_specs = (P(), P(row_axes, None), P(row_axes), P(row_axes))
         if has_fp:
             in_specs = in_specs + (P(row_axes, None),)
         if with_mask:
@@ -450,7 +461,6 @@ class ShardedQuantizedIndex:
         the candidates against its own dequantized rows before the merge,
         so scores come back f32-ordered (rescore=False keeps the raw
         single-stage quantized scan)."""
-        from lattice_tpu.ops.quant import quantize_rows
         with_mask = mask is not None
         # the compiled closure bakes in the Pallas force/interpret flags,
         # so they must be part of the cache key (toggling them after a
@@ -461,11 +471,8 @@ class ShardedQuantizedIndex:
         if fn is None:
             fn = self._build_search(k, with_mask, rescore)
             self._search_cache[key] = fn
-        q = topk_ops.l2_normalize(np.atleast_2d(queries))
-        q_values, q_scales = quantize_rows(q)
-        args = [jnp.asarray(q, dtype=jnp.float32),
-                jnp.asarray(q_values), jnp.asarray(q_scales),
-                self.values, self.scales, self.valid]
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        args = [jnp.asarray(q), self.values, self.scales, self.valid]
         if self.full_precision is not None:
             args.append(self.full_precision)
         if with_mask:
