@@ -24,19 +24,19 @@ from lattice_tpu.query.engine import QueryEngine
 # Pinned against the checked-in corpus. If you EDIT the fixture, re-run
 # the pipeline and update these deliberately.
 EXPECTED = {
-    "files": 55,
-    "nodes": 543,
-    "calls": 589,
+    "files": 59,
+    "nodes": 584,
+    "calls": 624,
     "extends": 29,
-    "imports": 132,
-    "defines": 488,
-    "defines_method": 259,
-    "functions": 137,
-    "classes": 65,
-    "methods": 259,
-    "interfaces": 19,
+    "imports": 142,
+    "defines": 525,
+    "defines_method": 284,
+    "functions": 141,
+    "classes": 70,
+    "methods": 284,
+    "interfaces": 22,
     "type_aliases": 8,
-    "chunks": 504,
+    "chunks": 543,
 }
 
 
@@ -140,6 +140,11 @@ class TestCrossModuleCalls:
         # importer -> service method
         ("app.importers.csv_import.TaskImporter.import_row",
          "app.services.task_service.TaskService.create_task"),
+        # scheduled job -> report function (module-level)
+        ("app.scheduling.digests.DigestRunner.send_weekly",
+         "app.services.report_service.weekly_digest"),
+        ("app.scheduling.digests.install_digest_jobs",
+         "app.scheduling.scheduler.Scheduler.register"),
     ])
     def test_call_edge(self, golden, caller, callee):
         store = golden.graph_builder.store
@@ -213,6 +218,17 @@ class TestFrontendExtraction:
                    "web.src.hooks.useTasks.useTasksByStatus",
                    "web.src.hooks.useAuth.useAuth"):
             assert store.id_of(qn) is not None, qn
+
+    def test_form_state_class_and_interfaces(self, golden):
+        store = golden.graph_builder.store
+        form = store.id_of("web.src.forms.taskForm.FormState")
+        assert form is not None
+        methods = {store.node(m).name
+                   for m in store.methods_of_class(form)}
+        assert {"setValue", "errors", "isValid", "toValues"} <= methods
+        spec = store.id_of("web.src.forms.taskForm.FieldSpec")
+        assert spec is not None
+        assert store.node(spec).entity_type.value == "interface"
 
 
 class TestGoldenQueries:
