@@ -325,6 +325,13 @@ def main() -> None:
     import functools
 
     import jax
+
+    # BENCH_CPU=1: smoke-test the full bench flow on the host CPU (the
+    # site hook pins JAX_PLATFORMS to the TPU plugin, so the env var
+    # alone cannot) — used to validate bench changes without queueing a
+    # relay grant behind real measurement runs.
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # Optional xprof capture: BENCH_TRACE_DIR=/tmp/xprof python bench.py
@@ -543,6 +550,12 @@ def main() -> None:
             alt["graph_error"] = repr(exc)[:200]
 
     # ---- config 2: encoder throughput at the real model config
+    # (free the serving corpus + its quantized views first: ~7 GB of HBM
+    # pressure measurably throttled the encoder — 380 vs 611 chunks/s in
+    # bench_r3a vs the standalone measurement)
+    import gc
+    del store, emb_dev, valid_dev
+    gc.collect()
     from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
     enc_model = UniXcoderModel(UniXcoderConfig())
     ids = np.ones((ENCODE_BATCH, ENCODE_LEN), dtype=np.int32)
