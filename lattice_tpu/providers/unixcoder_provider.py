@@ -41,6 +41,14 @@ class UniXcoderEmbedder:
                  max_length: int = MAX_LENGTH, batch_size: int = 128,
                  finetune_dir: str | None = None):
         self.model = _get_model(weights_dir, finetune_dir)
+        # LATTICE_BF16_SERVE=1: cast matrix params to bf16 for serving
+        # (+4% chunks/s on v5e, R3 batch 3; mean self-cosine vs f32
+        # 0.985 at the real config — opt-in because near-tie orderings
+        # can shift)
+        import os as _os
+        if (_os.environ.get("LATTICE_BF16_SERVE") == "1"
+                and "+bf16serve" not in self.model.weights_fingerprint):
+            self.model.enable_bf16_inference()
         self.tokenizer = CodeTokenizer(
             vocab_size=self.model.config.vocab_size,
             vocab_dir=weights_dir)
