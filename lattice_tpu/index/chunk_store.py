@@ -743,14 +743,17 @@ class ChunkStore:
 
         auto order:
         1. sharded  — LATTICE_SHARDED=1 and >1 device attached
-        2. ivf      — TPU, corpus >= IVF_AUTO_MIN_ROWS, k <= 64, IVF built
-                      (or buildable) with measured recall >= IVF_MIN_RECALL,
+        2. pq       — LATTICE_PQ=1 (8x-capacity serving mode): uint8-code
+                      ADC scan, gated on its build-time measured recall
+        3. int4     — LATTICE_INT4=1 (4x-capacity serving mode) on TPU:
+                      packed-nibble scan at ~int8 speed + exact rescore
+                      (forced capacity modes preempt IVF: its build OOMs
+                      exactly in the regime they exist for)
+        4. ivf      — TPU, corpus >= IVF_AUTO_MIN_ROWS, k <= 64, the
+                      build's f32 view + temps fit HBM, IVF built (or
+                      buildable) with measured recall >= IVF_MIN_RECALL,
                       and any filter matches enough rows that probing
                       can't starve (fraction + absolute floors)
-        3. pq       — LATTICE_PQ=1 (8x-capacity serving mode): uint8-code
-                      ADC scan, gated on its build-time measured recall
-        4. int4     — LATTICE_INT4=1 (4x-capacity serving mode) on TPU:
-                      packed-nibble scan at ~int8 speed + exact rescore
         5. quantized — the flat-tier serving DEFAULT on TPU (also forced
                       by LATTICE_INT8=1): int8 first stage + exact bf16
                       rescore beats the bf16 binned scan on BOTH axes
@@ -771,10 +774,27 @@ class ChunkStore:
                 and len(jax.devices()) > 1):
             return "sharded"
         on_tpu = self._device_is_tpu()
+        # Forced capacity modes preempt the IVF auto-consideration: the
+        # operator asked for them precisely because the corpus is at the
+        # memory limit, where an IVF build (f32 k-means view + temps,
+        # ~4.5x corpus bytes) OOMs — measured at 4M x 768 on 16 GB
+        # (R3 batch 4: 18.26 GB requested).
+        if os.environ.get("LATTICE_PQ") == "1":
+            if self._pq is None or self._pq_dirty:
+                self.build_pq()           # one-time; self-measures recall
+            if self._pq_ready():
+                return "pq"
+        if on_tpu and os.environ.get("LATTICE_INT4") == "1":
+            return "int4"
         ivf_pays = (batch <= IVF_SMALL_BATCH
                     or self._size >= IVF_FLAT_CROSSOVER_ROWS)
+        # the k-means build materializes an f32 view of the corpus plus
+        # ~1.5 corpus-bytes of temps; refuse when that can't fit
+        ivf_build_bytes = self._cap * self.dim * 4 * 1.5
+        ivf_fits = (self._cap * self.dim * 2          # resident bf16
+                    + ivf_build_bytes) < 0.85 * CHIP_HBM_GB * (1024 ** 3)
         if (on_tpu and k_eff <= 64 and self._size >= IVF_AUTO_MIN_ROWS
-                and ivf_pays
+                and ivf_pays and ivf_fits
                 and self._filter_selectivity_ok(filters, k_eff)):
             if self._ivf is None or self._ivf_dirty:
                 self.build_ivf()          # one-time; self-measures recall
@@ -783,13 +803,6 @@ class ChunkStore:
                     self._ivf.release_buckets()
             if self._ivf_ready():
                 return "ivf"
-        if os.environ.get("LATTICE_PQ") == "1":
-            if self._pq is None or self._pq_dirty:
-                self.build_pq()           # one-time; self-measures recall
-            if self._pq_ready():
-                return "pq"
-        if on_tpu and os.environ.get("LATTICE_INT4") == "1":
-            return "int4"
         if on_tpu and os.environ.get("LATTICE_INT8") == "1":
             return "quantized"       # forced even where no tile fits
         tile = pallas_ops.pick_tile(self._cap, batch, k=max(k_eff, 16))

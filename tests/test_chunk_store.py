@@ -463,6 +463,40 @@ class TestDispatchDecisionTable:
         monkeypatch.setenv("LATTICE_INT8", "0")
         assert s._plan_search(4, 10, None, "auto") == "pallas"
 
+    def test_forced_int4_preempts_ivf(self, monkeypatch):
+        """R3 batch 4: at 4M rows the auto plan built IVF before checking
+        the forced capacity mode — the f32 k-means view + temps OOMed the
+        chip (18.26 GB on 16). Forced modes must come first."""
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=256)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
+        monkeypatch.setattr(cs, "IVF_FLAT_CROSSOVER_ROWS", 128)
+        monkeypatch.setenv("LATTICE_INT4", "1")
+        called = {"n": 0}
+        monkeypatch.setattr(
+            s, "build_ivf",
+            lambda *a, **k: called.__setitem__("n", called["n"] + 1))
+        assert s._plan_search(256, 10, None, "auto") == "int4"
+        assert called["n"] == 0  # IVF build never attempted
+
+    def test_ivf_refused_when_build_wont_fit(self, monkeypatch):
+        from lattice_tpu.index import chunk_store as cs
+        s = self._store(n=256)
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu", lambda self: True)
+        monkeypatch.setattr(cs, "IVF_AUTO_MIN_ROWS", 128)
+        monkeypatch.setattr(cs, "IVF_FLAT_CROSSOVER_ROWS", 128)
+        # shrink the chip below the k-means build footprint
+        monkeypatch.setattr(
+            cs, "CHIP_HBM_GB", s._cap * s.dim * 5 / (1024 ** 3))
+        called = {"n": 0}
+        monkeypatch.setattr(
+            s, "build_ivf",
+            lambda *a, **k: called.__setitem__("n", called["n"] + 1))
+        plan = s._plan_search(256, 10, None, "auto")
+        assert plan != "ivf"
+        assert called["n"] == 0
+
     def test_tpu_large_corpus_serves_ivf(self, monkeypatch):
         from lattice_tpu.index import chunk_store as cs
         s = self._store(n=256)
