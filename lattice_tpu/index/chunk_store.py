@@ -788,11 +788,12 @@ class ChunkStore:
             return "int4"
         ivf_pays = (batch <= IVF_SMALL_BATCH
                     or self._size >= IVF_FLAT_CROSSOVER_ROWS)
-        # the k-means build materializes an f32 view of the corpus plus
-        # ~1.5 corpus-bytes of temps; refuse when that can't fit
-        ivf_build_bytes = self._cap * self.dim * 4 * 1.5
-        ivf_fits = (self._cap * self.dim * 2          # resident bf16
-                    + ivf_build_bytes) < 0.85 * CHIP_HBM_GB * (1024 ** 3)
+        # the built index needs the padded bucket copies (max_load 2.0 =
+        # up to 2x corpus bf16 bytes) on top of the resident matrix, plus
+        # ~1x slack for build temps; refuse when that can't fit (k-means
+        # itself now runs on the resident bf16 — no f32 view)
+        ivf_bytes = self._cap * self.dim * 2 * (1 + 2 + 1)
+        ivf_fits = ivf_bytes < 0.85 * CHIP_HBM_GB * (1024 ** 3)
         if (on_tpu and k_eff <= 64 and self._size >= IVF_AUTO_MIN_ROWS
                 and ivf_pays and ivf_fits
                 and self._filter_selectivity_ok(filters, k_eff)):

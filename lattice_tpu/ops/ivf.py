@@ -72,8 +72,11 @@ def farthest_first_init(
         masked = jnp.where(valid, best_sim, jnp.inf)
         far = jnp.argmin(masked).astype(jnp.int32)
         point = data[far]
-        centroids = centroids.at[i].set(point)
-        sim = data @ point
+        centroids = centroids.at[i].set(point.astype(jnp.float32))
+        sim = jax.lax.dot_general(
+            data, point[None, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
         best_sim = jnp.maximum(best_sim, sim)
         return (centroids, best_sim), None
 
@@ -100,7 +103,7 @@ def _assign_stats(data_blocks, valid_blocks, centroids, n_clusters):
         sums, counts = carry
         block, v = inputs
         scores = jax.lax.dot_general(
-            block, centroids,
+            block, centroids.astype(block.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [block, C]
         assign = jnp.argmax(scores, axis=-1).astype(jnp.int32)
@@ -120,7 +123,7 @@ def _assign_stats(data_blocks, valid_blocks, centroids, n_clusters):
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
 def kmeans_fit(
-    data: jax.Array,       # [N, d] f32, rows L2-normalized, N % block == 0
+    data: jax.Array,       # [N, d] f32/bf16, L2-normalized rows
     valid: jax.Array,      # [N] bool
     init_idx: jax.Array,   # [C] i32 initial centroid rows
     n_clusters: int,
@@ -192,7 +195,7 @@ def assign_topc(
 
     def block_step(_, blk):
         scores = jax.lax.dot_general(
-            blk, centroids,
+            blk, centroids.astype(blk.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         s, i = jax.lax.top_k(scores, c_top)
@@ -513,11 +516,13 @@ class IVFIndex:
         init = rng.choice(live_rows, size=n_clusters, replace=False) \
             if len(live_rows) >= n_clusters else \
             rng.integers(0, n, size=n_clusters)
-        data_f32 = emb_dev.astype(jnp.float32)
+        # k-means runs on the RESIDENT matrix dtype (bf16): the f32 view
+        # cost an extra 2x-corpus transient (12 GB at 4M x 768 - R3) and
+        # the assignment matmuls accumulate f32 either way
         centroids, _ = kmeans_fit(
-            data_f32, jnp.asarray(valid),
+            emb_dev, jnp.asarray(valid),
             jnp.asarray(init.astype(np.int32)), n_clusters, iters)
-        sims, ids = assign_topc(data_f32, centroids, n_clusters)
+        sims, ids = assign_topc(emb_dev, centroids, n_clusters)
         bucket_ids = _capped_layout(np.asarray(sims), np.asarray(ids),
                                     valid, n_clusters, max_load)
         cap = bucket_ids.shape[1]
