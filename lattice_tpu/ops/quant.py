@@ -35,15 +35,38 @@ def quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return values, scales[:, 0]
 
 
-@jax.jit
-def quantize_rows_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Device-side row quantization (no host round-trip at corpus scale)."""
+# Rows per quantization block: XLA materializes a full-corpus int32
+# intermediate for the round/clip/convert chain when quantizing in one
+# shot (12 GB at 4M x 768 — OOMed a 16 GB chip, R3 batch 5); a lax.map
+# over row blocks bounds the temp to block-size.
+QUANT_BLOCK = 1 << 17
+
+
+def _blocked_rows(x: jax.Array, fn):
+    """Apply a per-row-block quantizer via lax.map when the corpus is
+    large and divides evenly; single shot otherwise."""
+    n = x.shape[0]
+    if n > QUANT_BLOCK and n % QUANT_BLOCK == 0:
+        nb = n // QUANT_BLOCK
+        blocks = x.reshape(nb, QUANT_BLOCK, x.shape[1])
+        values, scales = jax.lax.map(fn, blocks)
+        return (values.reshape(n, -1), scales.reshape(n))
+    return fn(x)
+
+
+def _quant8_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     x = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scales = amax / 127.0
     safe = jnp.maximum(scales, 1e-12)
     values = jnp.clip(jnp.round(x / safe), -127, 127).astype(jnp.int8)
     return values, scales[:, 0]
+
+
+@jax.jit
+def quantize_rows_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side row quantization (no host round-trip at corpus scale)."""
+    return _blocked_rows(x, _quant8_block)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -284,8 +307,7 @@ def quantize_rows_int4(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return packed, scales[:, 0]
 
 
-@jax.jit
-def quantize_rows_int4_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _quant4_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     x = x.astype(jnp.float32)
     d = x.shape[-1]
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
@@ -296,6 +318,11 @@ def quantize_rows_int4_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     hi = v[:, d // 2:]
     packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
     return packed, scales[:, 0]
+
+
+@jax.jit
+def quantize_rows_int4_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return _blocked_rows(x, _quant4_block)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
