@@ -53,17 +53,9 @@ class RankColumns:
                        ) -> tuple[np.ndarray, ...]:
         """Vectorized node->rows expansion; each aligned per-node value
         array comes back repeated per row."""
-        node_ids = np.asarray(node_ids, dtype=np.int64)
-        starts = self.node_row_indptr[node_ids]
-        degs = self.node_row_indptr[node_ids + 1] - starts
-        total = int(degs.sum())
-        if total == 0:
-            return (np.empty(0, np.int32),
-                    *(np.empty(0, v.dtype) for v in value_arrays))
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(degs) - degs, degs)
-        rows = self.node_row_indices[np.repeat(starts, degs) + offs]
-        return (rows, *(np.repeat(v, degs) for v in value_arrays))
+        from lattice_tpu.ops.graph_kernels import csr_expand
+        return csr_expand(self.node_row_indptr, self.node_row_indices,
+                          node_ids, *value_arrays)
 
 logger = logging.getLogger(__name__)
 
@@ -411,9 +403,7 @@ class ChunkStore:
                 n = len(payload.get("content") or "")
                 quality[row] = 1.0 if 80 <= n <= 4000 else (0.5 if n else 0.0)
             # degree centrality as a ROW column (static per generation)
-            es = graph._edges[EdgeType.CALLS]
-            deg_nodes = (np.diff(es.indptr)
-                         + np.diff(es.rev_indptr)).astype(np.int32)
+            deg_nodes = graph.degree_vector(EdgeType.CALLS)
             has = node_ids >= 0
             degree = np.zeros(self._cap, dtype=np.int32)
             degree[has] = deg_nodes[node_ids[has]]

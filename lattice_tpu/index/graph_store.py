@@ -147,9 +147,11 @@ class GraphStore:
         (`graph/queries.py:229-323`) for the restore/bulk-build case where
         names are known fresh; duplicate qualified names raise.
         """
+        seen: set[str] = set()
         for qn in qualified_names:
-            if qn in self._ids:
-                raise GraphError(f"bulk add of existing node: {qn}")
+            if qn in self._ids or qn in seen:
+                raise GraphError(f"bulk add of duplicate node: {qn}")
+            seen.add(qn)
         start = len(self._qns)
         n = len(qualified_names)
         ids = np.arange(start, start + n, dtype=np.int64)
@@ -317,15 +319,10 @@ class GraphStore:
         out_ids: list[np.ndarray] = []
         out_depths: list[np.ndarray] = []
         for hop in range(1, hops + 1):
-            starts = indptr[frontier]
-            degs = (indptr[frontier + 1] - starts).astype(np.int64)
-            total = int(degs.sum())
-            if total == 0:
+            from lattice_tpu.ops.graph_kernels import csr_expand
+            (nbrs,) = csr_expand(indptr, indices, frontier)
+            if nbrs.size == 0:
                 break
-            base = np.repeat(starts, degs)
-            offs = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(degs) - degs, degs)
-            nbrs = indices[base + offs]
             nbrs = nbrs[dist[nbrs] < 0]
             if nbrs.size == 0:
                 break
@@ -413,11 +410,16 @@ class GraphStore:
         from lattice_tpu.ops import graph_kernels as gk
         return gk.geometric_bucket(self.n_nodes())
 
+    def degree_vector(self, edge_type: EdgeType) -> np.ndarray:
+        """[n_nodes] i32 total (in+out) degree — the centrality signal of
+        `GET_ENTITY_CENTRALITY` (`queries.py:314-329`)."""
+        self._ensure_final()
+        es = self._edges[edge_type]
+        return (np.diff(es.indptr) + np.diff(es.rev_indptr)).astype(np.int32)
+
     def device_degree(self, edge_type: EdgeType):
-        """[n_padded] i32 total (in+out) degree, HBM-resident and cached
-        per finalize generation — the centrality signal of
-        `GET_ENTITY_CENTRALITY` (`queries.py:314-329`) as a device column
-        for the fused hybrid rank (`ops/ranking.fused_rank_rows`)."""
+        """[n_padded] degree_vector, HBM-resident and cached per finalize
+        generation (a device column for the fused hybrid rank)."""
         import jax.numpy as jnp
 
         self._ensure_final()
@@ -426,11 +428,8 @@ class GraphStore:
             cache = self._device_edges = {}
         ent = cache.get(("degree", edge_type))
         if ent is None:
-            es = self._edges[edge_type]
             deg = np.zeros(self._n_padded(), dtype=np.int32)
-            n = self.n_nodes()
-            deg[:n] = (np.diff(es.indptr) + np.diff(es.rev_indptr)).astype(
-                np.int32)
+            deg[:self.n_nodes()] = self.degree_vector(edge_type)
             ent = jnp.asarray(deg)
             cache[("degree", edge_type)] = ent
         return ent
@@ -441,13 +440,15 @@ class GraphStore:
         """{node_id: depth} for nodes within `hops`, excluding the seeds.
 
         Semantics of FIND_TRANSITIVE_CALLERS/CALLEES (`queries.py:2-50`)
-        with depth ordering. Dispatches to the scatter-max frontier kernel
-        (`ops/graph_kernels.bfs_distances`) for large graphs; the host CSR
-        walk serves small ones and doubles as the kernel's oracle in tests.
-        `limit` caps the result to the `limit` shallowest reached nodes
-        (the Cypher `ORDER BY depth LIMIT n` tail; `models.py:5-8` caps at
-        50) — on the device path this bounds the readback to O(limit)
-        instead of O(N).
+        with depth ordering. Serves through the vectorized host CSR walk
+        (the measured-best path at every scale for single traversals —
+        see DEVICE_BFS_THRESHOLD's note); `device=True` explicitly opts
+        into the dense scatter-max frontier kernel
+        (`ops/graph_kernels.bfs_distances`), which only pays off batched
+        over many queries or huge reaches. `limit` caps the result to the
+        `limit` shallowest reached nodes (the Cypher `ORDER BY depth
+        LIMIT n` tail; `models.py:5-8` caps at 50) — on the device path
+        this also bounds the readback to O(limit) instead of O(N).
         """
         self._ensure_final()
         if self._want_sharded():

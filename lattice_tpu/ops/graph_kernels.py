@@ -39,6 +39,28 @@ def geometric_bucket(n: int, floor: int = 1024) -> int:
     return cap
 
 
+def csr_expand(indptr: np.ndarray, indices: np.ndarray, ids: np.ndarray,
+               *values: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Vectorized CSR adjacency expansion on the host.
+
+    Gathers `indices[indptr[i]:indptr[i+1]]` for every i in `ids` with
+    three NumPy primitives (repeat/arange/fancy-index) — no Python loop
+    over rows. Aligned per-id `values` come back repeated per expanded
+    entry. Shared by the host BFS frontier walk and the node->row join
+    (`ChunkStore.RankColumns`)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    starts = indptr[ids]
+    degs = (indptr[ids + 1] - starts).astype(np.int64)
+    total = int(degs.sum())
+    if total == 0:
+        return (np.empty(0, indices.dtype),
+                *(np.empty(0, v.dtype) for v in values))
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(degs) - degs, degs)
+    out = indices[np.repeat(starts, degs) + offs]
+    return (out, *(np.repeat(v, degs) for v in values))
+
+
 def pad_edges(src: np.ndarray, dst: np.ndarray, bucket: int = 1024,
               geometric: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Pad the edge list with (0,0) self-loops so jit retraces only at

@@ -44,14 +44,20 @@ QUANT_BLOCK = 1 << 17
 
 def _blocked_rows(x: jax.Array, fn):
     """Apply a per-row-block quantizer via lax.map when the corpus is
-    large and divides evenly; single shot otherwise."""
+    large; a non-multiple row count quantizes its tail separately (rows
+    are independent), so every size stays bounded."""
     n = x.shape[0]
-    if n > QUANT_BLOCK and n % QUANT_BLOCK == 0:
-        nb = n // QUANT_BLOCK
-        blocks = x.reshape(nb, QUANT_BLOCK, x.shape[1])
-        values, scales = jax.lax.map(fn, blocks)
-        return (values.reshape(n, -1), scales.reshape(n))
-    return fn(x)
+    if n <= QUANT_BLOCK:
+        return fn(x)
+    n_main = (n // QUANT_BLOCK) * QUANT_BLOCK
+    blocks = x[:n_main].reshape(-1, QUANT_BLOCK, x.shape[1])
+    values, scales = jax.lax.map(fn, blocks)
+    values, scales = values.reshape(n_main, -1), scales.reshape(n_main)
+    if n_main < n:
+        tail_v, tail_s = fn(x[n_main:])
+        values = jnp.concatenate([values, tail_v])
+        scales = jnp.concatenate([scales, tail_s])
+    return values, scales
 
 
 def _quant8_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -363,7 +363,8 @@ class ShardedQuantizedIndex:
         k1 = min(max(widen * k, floor), rows_per_shard)
         # the binned kernels select through a 64-slot register file; cap
         # the Pallas first stage there (per-shard width; the global
-        # candidate pool is still D shards x k1)
+        # candidate pool is still D shards x k1). The Pallas stage must
+        # still cover k_local — when k > 64 the XLA first stage serves.
         k1p = min(k1, 64)
         # Per-shard kernel: the fused Pallas scan on real TPU (XLA int8
         # dots upcast there — measured ~100x slower); XLA elsewhere.
@@ -373,7 +374,8 @@ class ShardedQuantizedIndex:
         stage_k = (k1p if rescore else k_local)
         tile = pick(rows_per_shard, 8, k=max(stage_k, 16))
         use_pallas = ((self._force_pallas or _on_tpu())
-                      and tile is not None and stage_k <= 64)
+                      and tile is not None and stage_k <= 64
+                      and k1p >= k_local)
         interp = self._pallas_interpret
         kk = (k1p if use_pallas else k1) if rescore else k_local
         has_fp = self.full_precision is not None
@@ -385,8 +387,11 @@ class ShardedQuantizedIndex:
                 s1, c1 = s1[:, :kk], c1[:, :kk]
             else:
                 s1, c1 = xla_topk(qv, qs, v_shard, s_shard, valid_shard, kk)
-            if not rescore or kk <= k_local:
+            if not rescore:
                 return s1[:, :k_local], c1[:, :k_local]
+            # rescore even when kk == k_local: the Pallas first stage
+            # scores through bin maxima, and with full-precision rows the
+            # exact dot changes ordering the quantized rows cannot express
             if fp_shard is not None:
                 # exact bf16 rescore (speed configuration): recovers the
                 # true ordering the quantized rows cannot express

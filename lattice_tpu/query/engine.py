@@ -361,10 +361,16 @@ class QueryEngine:
 
         cols = store.device_rank_columns(graph)
         hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
-        if seeds and graph.n_edges(EdgeType.CALLS):
-            f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops)
-            b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
-                                         reverse=True)
+        if seeds:
+            # seeds always carry their depth-0 primary credit, even in a
+            # graph with no CALLS edges (hierarchy/import-only corpora)
+            if graph.n_edges(EdgeType.CALLS):
+                f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops)
+                b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
+                                             reverse=True)
+            else:
+                f_ids = b_ids = np.empty(0, np.int64)
+                f_d = b_d = np.empty(0, np.int32)
             n_ids = np.concatenate([
                 np.asarray(seeds, np.int64), f_ids, b_ids])
             n_depths = np.concatenate([

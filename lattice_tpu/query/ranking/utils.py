@@ -23,9 +23,13 @@ def ranked_results_to_search_results(
             "source": (result.source.value
                        if hasattr(result.source, "value")
                        else str(result.source)),
-            "score": result.score,
-            # back-compat with this CLI's original --json shape
+            "score": round(result.score, 4),
+            # the original --json shape's keys ride along with the
+            # reference layout so existing consumers keep working
             "name": result.qualified_name or result.name,
+            "type": result.entity_type,
+            "file": result.file_path,
+            "line": result.start_line,
             "file_path": result.file_path,
             "entity_type": result.entity_type,
             "entity_name": result.name,
