@@ -209,6 +209,7 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
     from lattice_tpu.ops import topk as topk_ops
     from lattice_tpu.ops.ranking import (FuseWeights,
                                          fused_rank_rows_sparse,
+                                         hybrid_rank_device,
                                          pack_weights)
     from lattice_tpu.query.query_planner import QueryPlanner
 
@@ -239,11 +240,11 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
         ids = np.concatenate([ids, np.full(pad, -1)]).astype(np.int32)
         depths = np.concatenate([depths, np.zeros(pad, np.int32)])
         rel = np.concatenate([rel, np.zeros(pad, np.float32)])
-        vec = topk_ops.batched_matmul_scores(qvec[None, :], emb)[0]
-        vec = jnp.where(valid, vec, -1e30)
-        scores, rows = fused_rank_rows_sparse(
+        # ONE device execution: cosine + scatter + fuse + selection
+        scores, rows = hybrid_rank_device(
+            qvec, emb, valid,
             jnp.asarray(ids), jnp.asarray(depths), jnp.asarray(rel),
-            degree, vec, match, quality, weights, 50)
+            degree, match, quality, weights, 50)
         np.asarray(rows)
         del plan
 

@@ -134,6 +134,38 @@ def fused_rank_rows(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def hybrid_rank_device(
+    query: jax.Array,           # [d] f32 (unnormalized ok)
+    embeddings: jax.Array,      # [N, d] bf16/f32 corpus rows
+    valid: jax.Array,           # [N] bool
+    reach_rows: jax.Array,      # [R] i32 (-1 pad)
+    reach_depths: jax.Array,    # [R] i32
+    reach_rel: jax.Array,       # [R] f32
+    row_degree: jax.Array,      # [N] i32
+    entity_match: jax.Array,    # [N] f32
+    quality: jax.Array,         # [N] f32
+    weights: jax.Array,         # [8] f32
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """The full hybrid query device side in ONE execution: normalize ->
+    corpus cosine (MXU) -> sparse reach scatter -> fuse -> selection.
+    Each separate eager op costs a ~2 ms dispatch through the axon relay
+    (and a sequential caller pays a full ~25 ms round trip per
+    execution), so the vector pass and the fuse must not be separate
+    calls."""
+    q = query.astype(jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    scores = jax.lax.dot_general(
+        q[None, :], embeddings,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)[0]
+    vec = jnp.where(valid, scores, NEG_INF)
+    return fused_rank_rows_sparse(reach_rows, reach_depths, reach_rel,
+                                  row_degree, vec, entity_match, quality,
+                                  weights, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def fused_rank_rows_sparse(
     reach_rows: jax.Array,      # [R] i32 ROW ids the BFS reached (-1 pad)
     reach_depths: jax.Array,    # [R] i32 hop depths per row

@@ -331,7 +331,7 @@ class QueryEngine:
         from lattice_tpu.ops import graph_kernels as gk
         from lattice_tpu.ops import topk as topk_ops
         from lattice_tpu.ops.ranking import (FuseWeights,
-                                             fused_rank_rows_sparse,
+                                             hybrid_rank_device,
                                              pack_weights)
         from lattice_tpu.query.ranking.models import RankedResult
         from lattice_tpu.query.ranking.scorer import (
@@ -395,11 +395,10 @@ class QueryEngine:
                                    np.zeros(pad, np.int32)]).astype(np.int32)
         r_rel = np.concatenate([r_rel, np.zeros(pad, np.float32)])
 
-        qvec = topk_ops.l2_normalize(
-            self.vector_searcher.embedder.embed(query_text)[None, :])
+        qvec = np.asarray(
+            self.vector_searcher.embedder.embed(query_text),
+            dtype=np.float32)
         emb, valid = store.device_arrays
-        vec = topk_ops.batched_matmul_scores(jnp.asarray(qvec), emb)[0]
-        vec = jnp.where(valid, vec, -1e30)
 
         match_rows: list[int] = []
         inverted = store._inverted["graph_node_id"]
@@ -412,9 +411,11 @@ class QueryEngine:
 
         weights = jnp.asarray(pack_weights(FuseWeights(
             *_weights_tuple(self.ranker.config, plan))))
-        scores, rows = fused_rank_rows_sparse(
+        # one device execution: cosine pass + reach scatter + fuse + top-k
+        scores, rows = hybrid_rank_device(
+            jnp.asarray(qvec), emb, valid,
             jnp.asarray(r_rows), jnp.asarray(r_depths), jnp.asarray(r_rel),
-            cols.degree, vec, match, cols.quality, weights, limit)
+            cols.degree, match, cols.quality, weights, limit)
         scores, rows = np.asarray(scores), np.asarray(rows)
         elapsed_ms = (time.perf_counter() - t0) * 1000
 
