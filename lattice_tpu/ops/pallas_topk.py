@@ -727,6 +727,58 @@ def binned_topk_int8(
     return s1[:b_in], c1[:b_in]
 
 
+def _binned_kernel_int4_matmul(q_ref, qs_ref, e_ref, es_ref, valid_ref,
+                               out_keys_ref, *, tile: int, n_rows: int,
+                               inner: int, shift: int):
+    """Packed-int4 scan with the unpack folded into the MXU.
+
+    The original kernel sign-extends both nibble planes on the VPU (an
+    int32 widen + 4 bitops per element) — measured compute-bound at
+    ~7.8 us/tile while its DMA is only half of int8's (R2/R3 pipelined:
+    int4 62.8k qps vs int8 80k despite half the bytes). Identity used
+    here: with x the raw packed byte, ulo = x & 0xF (in [0, 15]) and
+    hi = (x - ulo) / 16 exactly, so
+
+        q_lo.lo + q_hi.hi = q_lo.ulo - 8*sum(q_lo)
+                            + (q_hi.x - q_hi.ulo) / 16
+
+    i.e. ONE int8 AND plus three half-width int8 matmuls on raw bytes —
+    and the two dots against `ulo` fuse into a single [2B, dh] matmul.
+    All integer math is exact (x - ulo is a multiple of 16, so the >> 4
+    is exact division even for negatives)."""
+    j = pl.program_id(0)
+    q = q_ref[:]                                      # [B, d] i8
+    row_base = j * tile
+    dims = (((1,), (1,)), ((), ()))
+    b = q.shape[0]
+    dh = q.shape[1] // 2
+    q_lo = q[:, :dh]
+    q_hi = q[:, dh:]
+    q_cat = jnp.concatenate([q_lo, q_hi], axis=0)     # [2B, dh] i8
+    sum_qlo = jnp.sum(q_lo.astype(jnp.int32), axis=1, keepdims=True)
+    maxes = None
+    for h in range(tile // inner):
+        x = e_ref[pl.ds(h * inner, inner), :]         # [inner, dh] i8 raw
+        ulo = x & 0xF                                 # i8, values 0..15
+        m_cat = jax.lax.dot_general(q_cat, ulo, dimension_numbers=dims,
+                                    preferred_element_type=jnp.int32)
+        m1 = m_cat[:b]                                # q_lo . ulo
+        m3 = m_cat[b:]                                # q_hi . ulo
+        m2 = jax.lax.dot_general(q_hi, x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.int32)
+        acc = m1 - 8 * sum_qlo + ((m2 - m3) >> 4)
+        es_half = es_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        scores = acc.astype(jnp.float32) * qs_ref[:] * es_half
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
+        scores = jnp.where(alive, scores, NEG_INF)
+        keys = _pack_keys_fast(scores, cols, shift)
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
+
+
 def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
                         out_keys_ref, *, tile: int, n_rows: int, inner: int,
                         shift: int):
@@ -745,7 +797,7 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     maxes = None
     for h in range(tile // inner):
         x = e_ref[pl.ds(h * inner, inner), :].astype(jnp.int32)
-        lo = (((x & 0xF) ^ 8) - 8).astype(jnp.int8)   # dims [0, d/2)
+        lo = ((x & 0xF) - 8).astype(jnp.int8)         # biased low nibble
         hi = (x >> 4).astype(jnp.int8)                # dims [d/2, d)
         dh = x.shape[1]
         acc = jax.lax.dot_general(q[:, :dh], lo, dimension_numbers=dims,
@@ -769,7 +821,8 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile", "inner", "interpret"))
+                   static_argnames=("k", "tile", "inner", "interpret",
+                                    "unpack"))
 def binned_topk_int4(
     q_values: jax.Array,     # [B, d] i8 (queries stay int8 — asymmetric)
     q_scales: jax.Array,     # [B] f32
@@ -780,11 +833,15 @@ def binned_topk_int4(
     tile: int = DEFAULT_TILE,
     inner: int | None = None,
     interpret: bool = False,
+    unpack: str = "matmul",
 ) -> tuple[jax.Array, jax.Array]:
     """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
 
     Returns widened (scores [B,k1], ids [B,k1]) with k1 = max(k, 16);
-    rescore happens in the caller (Int4View)."""
+    rescore happens in the caller (Int4View). `unpack` picks the nibble
+    strategy: "matmul" folds the sign-extension into the MXU identity
+    (default — see `_binned_kernel_int4_matmul`), "vpu" keeps the
+    original per-plane VPU unpack."""
     n, dh = e_packed.shape
     d = dh * 2
     assert q_values.shape[1] == d, (q_values.shape, d)
@@ -798,7 +855,9 @@ def binned_topk_int4(
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
     valid_i8 = _as_valid_col(valid, n)
-    kernel = functools.partial(_binned_kernel_int4, tile=tile, n_rows=n,
+    body = (_binned_kernel_int4_matmul if unpack == "matmul"
+            else _binned_kernel_int4)
+    kernel = functools.partial(body, tile=tile, n_rows=n,
                                inner=_pick_inner(tile, inner),
                                shift=_tile_shift(tile))
     keys_all = pl.pallas_call(

@@ -309,7 +309,10 @@ def quantize_rows_int4(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.clip(np.rint(x / safe), -7, 7).astype(np.int32)
     lo = v[:, : d // 2]
     hi = v[:, d // 2:]
-    packed = ((hi << 4) | (lo & 0xF)).astype(np.int8)
+    # biased low nibble (lo+8 in [1, 15]): makes lo = (x & 0xF) - 8 a
+    # LINEAR function of the raw byte, which the Pallas matmul-unpack
+    # kernel exploits (pallas_topk._binned_kernel_int4_matmul)
+    packed = ((hi << 4) | (lo + 8)).astype(np.int8)
     return packed, scales[:, 0]
 
 
@@ -322,7 +325,7 @@ def _quant4_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     v = jnp.clip(jnp.round(x / safe), -7, 7).astype(jnp.int32)
     lo = v[:, : d // 2]
     hi = v[:, d // 2:]
-    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    packed = ((hi << 4) | (lo + 8)).astype(jnp.int8)  # biased low nibble
     return packed, scales[:, 0]
 
 
@@ -334,14 +337,14 @@ def quantize_rows_int4_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """[N, d/2] packed -> [N, d] int8 (lo block then hi block)."""
     x = packed.astype(jnp.int32)
-    lo = ((x & 0xF) ^ 8) - 8          # sign-extend the low nibble
+    lo = (x & 0xF) - 8                # biased low nibble
     hi = x >> 4                       # arithmetic shift sign-extends
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 def unpack_int4_oracle(packed: np.ndarray) -> np.ndarray:
     x = np.asarray(packed, dtype=np.int32)
-    lo = ((x & 0xF) ^ 8) - 8
+    lo = (x & 0xF) - 8
     hi = x >> 4
     return np.concatenate([lo, hi], axis=-1).astype(np.int8)
 
