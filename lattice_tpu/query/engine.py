@@ -439,7 +439,20 @@ class QueryEngine:
                 score=float(score),
                 content=payload.get("content") or "",
             ))
-        graph_context = self._graph_phase(plan)
+        # the context comes from the SAME reach the fuse ranked on (no
+        # second traversal pass — the reasoning engine's per-intent suite
+        # would redo the BFS work this path already did); BFS discovery
+        # order is depth order, so the head of each direction is the
+        # Cypher-capped result set
+        cap = 50
+        to_node = self.graph_engine._to_node
+        graph_context = GraphContext(
+            primary_entities=[to_node(s, 0, "primary") for s in seeds],
+            callees=[to_node(int(v), int(d), "callee")
+                     for v, d in zip(f_ids[:cap], f_d[:cap])],
+            callers=[to_node(int(v), int(d), "caller")
+                     for v, d in zip(b_ids[:cap], b_d[:cap])],
+        ) if seeds else GraphContext()
         return QueryResult(
             query=query_text, answer="", results=results, query_plan=plan,
             graph_context=graph_context,
