@@ -833,15 +833,18 @@ def binned_topk_int4(
     tile: int = DEFAULT_TILE,
     inner: int | None = None,
     interpret: bool = False,
-    unpack: str = "matmul",
+    unpack: str = "vpu",
 ) -> tuple[jax.Array, jax.Array]:
     """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
 
     Returns widened (scores [B,k1], ids [B,k1]) with k1 = max(k, 16);
     rescore happens in the caller (Int4View). `unpack` picks the nibble
-    strategy: "matmul" folds the sign-extension into the MXU identity
-    (default — see `_binned_kernel_int4_matmul`), "vpu" keeps the
-    original per-plane VPU unpack."""
+    strategy: "vpu" (default) sign-extends the planes on the VPU;
+    "matmul" folds the extension into a third MXU dot via the
+    biased-nibble identity (`_binned_kernel_int4_matmul`) — measured
+    A/B on v5e at 1M x 768 B=256: 6.22 vs 6.75 ms/call (R3_TPU_RESULTS6,
+    winners identical), i.e. the extra half-width matmul costs more than
+    the VPU unpack it removes, so the kernel is NOT unpack-bound."""
     n, dh = e_packed.shape
     d = dh * 2
     assert q_values.shape[1] == d, (q_values.shape, d)
