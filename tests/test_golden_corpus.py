@@ -24,19 +24,19 @@ from lattice_tpu.query.engine import QueryEngine
 # Pinned against the checked-in corpus. If you EDIT the fixture, re-run
 # the pipeline and update these deliberately.
 EXPECTED = {
-    "files": 59,
-    "nodes": 584,
-    "calls": 624,
+    "files": 64,
+    "nodes": 644,
+    "calls": 652,
     "extends": 29,
-    "imports": 142,
-    "defines": 525,
-    "defines_method": 284,
-    "functions": 141,
-    "classes": 70,
-    "methods": 284,
-    "interfaces": 22,
-    "type_aliases": 8,
-    "chunks": 543,
+    "imports": 145,
+    "defines": 580,
+    "defines_method": 315,
+    "functions": 155,
+    "classes": 77,
+    "methods": 315,
+    "interfaces": 23,
+    "type_aliases": 10,
+    "chunks": 600,
 }
 
 
