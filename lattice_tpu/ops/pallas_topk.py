@@ -150,8 +150,14 @@ def pick_tile(capacity: int, batch: int, k: int = 10) -> int | None:
     Large k (the int8 rescore first stage asks for rescore_factor*k)
     inflates the selection buffers; shrink the tile to stay inside the
     ~16 MB VMEM scoped limit (measured OOM: tile 2048, B=256, k=40).
+    Very large batches inflate them too — the [B, tile] score + key
+    slabs cost ~8*B*tile bytes, so B=1024 with tile 2048 asks for
+    20.45 MB of scoped VMEM (measured OOM, R3 batch 7; B=512 at 2048
+    serves 58.6k qps — batch amortizes the corpus read).
     """
-    if batch >= 128 and k <= 16:
+    if batch >= 1024:
+        preferred = (1024, 512)   # B=512 @ 2048 measured fine (11 MB)
+    elif batch >= 128 and k <= 16:
         preferred = (2048, 1024, 512)
     else:
         preferred = (1024, 512, 2048)
