@@ -435,6 +435,19 @@ def main() -> None:
             8 * BATCH * 4 / (time.perf_counter() - t0p), 1)
     except Exception as exc:
         alt["pipelined_error"] = repr(exc)[:120]
+    # larger single-call batch amortizes the corpus read (R3 batch 7:
+    # B=512 @ tile 2048 measured +45% over B=256)
+    try:
+        q512 = jnp.concatenate([q_f32, q_f32])
+        np.asarray(store.search_device(q512, K)[1])
+        t0b = time.perf_counter()
+        for _ in range(4):
+            out = store.search_device(q512, K)
+        np.asarray(out[1])
+        alt["b512_qps"] = round(
+            2 * BATCH * 4 / (time.perf_counter() - t0b), 1)
+    except Exception as exc:
+        alt["b512_error"] = repr(exc)[:120]
     for name in ("pallas", "refined", "quantized", "int4", "flat"):
         if name in ("pallas", "refined") and plan == "flat":
             continue  # no valid tile / not on TPU
