@@ -155,16 +155,24 @@ def pick_tile(capacity: int, batch: int, k: int = 10) -> int | None:
     20.45 MB of scoped VMEM (measured OOM, R3 batch 7; B=512 at 2048
     serves 58.6k qps — batch amortizes the corpus read).
     """
-    if batch >= 1024:
-        preferred = (1024, 512)   # B=512 @ 2048 measured fine (11 MB)
-    elif batch >= 128 and k <= 16:
+    if batch >= 128 and k <= 16:
         preferred = (2048, 1024, 512)
     else:
         preferred = (1024, 512, 2048)
     for tile in preferred:
-        if capacity % tile == 0:
+        if capacity % tile == 0 and _slabs_fit(batch, tile):
             return tile
     return None
+
+
+# Scoped-VMEM budget for the [B, tile] score+key slabs (~8 bytes/cell);
+# the 16 MB limit minus kernel overhead. Measured anchors: B=512 @ 2048
+# = 11 MB total fits; B=1024 @ 2048 = 20.45 MB OOMs (R3 batch 7).
+_SLAB_BUDGET = 12 * (1 << 20)
+
+
+def _slabs_fit(batch: int, inner: int) -> bool:
+    return 8 * max(batch, 32) * inner <= _SLAB_BUDGET
 
 
 def pick_tile_packed(capacity: int, batch: int, k: int = 10) -> int | None:
@@ -174,7 +182,9 @@ def pick_tile_packed(capacity: int, batch: int, k: int = 10) -> int | None:
     sub-tiles to [B, 2048] slabs either way). bf16/int8 still OOM scoped
     VMEM at 4096 — they keep `pick_tile`."""
     for tile in (4096, 2048, 1024, 512):
-        if capacity % tile == 0:
+        # compute sub-tiles to <= 2048-wide slabs (`inner`); the VMEM
+        # budget keys on that, not the DMA tile
+        if capacity % tile == 0 and _slabs_fit(batch, min(tile, 2048)):
             return tile
     return None
 

@@ -329,7 +329,6 @@ class QueryEngine:
 
         from lattice_tpu.core.types import EdgeType, ResultSource
         from lattice_tpu.ops import graph_kernels as gk
-        from lattice_tpu.ops import topk as topk_ops
         from lattice_tpu.ops.ranking import (FuseWeights,
                                              hybrid_rank_device,
                                              pack_weights)

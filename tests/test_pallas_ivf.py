@@ -324,6 +324,29 @@ class TestBinnedTopK:
         # near-duplicate run dominates; all 10 must survive the int4 scan
         assert set(rows) <= set(np.asarray(c1)[0].tolist())
 
+    def test_int4_unpack_variants_bitwise_identical(self):
+        """The MXU biased-nibble identity (unpack='matmul') must produce
+        the SAME packed keys as the VPU unpack — exact integer math, so
+        scores and candidate ids agree bitwise (interpret mode; measured
+        identical on chip, R3_TPU_RESULTS6)."""
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        rng = np.random.default_rng(21)
+        emb = topk_ops.l2_normalize(rng.normal(size=(1024, 64)))
+        q = topk_ops.l2_normalize(rng.normal(size=(4, 64)))
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = jnp.asarray(np.ones(1024, bool))
+        out = {}
+        for unpack in ("vpu", "matmul"):
+            out[unpack] = binned_topk_int4(
+                jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+                jnp.asarray(es), valid, 10, tile=256, interpret=True,
+                unpack=unpack)
+        np.testing.assert_array_equal(np.asarray(out["vpu"][1]),
+                                      np.asarray(out["matmul"][1]))
+        np.testing.assert_array_equal(np.asarray(out["vpu"][0]),
+                                      np.asarray(out["matmul"][0]))
+
     def test_int4_kernel_matches_xla_fallback(self):
         # identical integer math in the Pallas kernel and the XLA unpack
         # path: winner scores for shared ids must agree exactly

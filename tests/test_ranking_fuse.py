@@ -162,8 +162,6 @@ class TestHybridRankDevice:
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    atol=1e-5)
-        # a reached-but-invalid row still ranks on its graph side only
-        assert 99 in np.asarray(r1).tolist() or True  # no crash contract
 
 
 class TestResultSerialization:
