@@ -184,8 +184,12 @@ def _bench_graph(alt: dict) -> "GraphStore | None":
     except Exception as exc:
         alt["graph_device_error"] = repr(exc)[:120]
 
-    # hierarchy closure (EXTENDS both directions, `queries.py:88-128`)
-    ext_seeds = rng.integers(0, n, size=8).tolist()
+    # hierarchy closure (EXTENDS both directions, `queries.py:88-128`) —
+    # seeded from rows that actually HAVE hierarchy edges (random node
+    # ids mostly miss the sparse EXTENDS forest and measure nothing)
+    ext_src, _ = g.edges(EdgeType.EXTENDS)
+    ext_seeds = [int(s) for s in
+                 ext_src[rng.integers(0, len(ext_src), size=8)]]
     t0 = time.perf_counter()
     up = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit)
     down = g.k_hop(ext_seeds, EdgeType.EXTENDS, hops=5, limit=limit,
