@@ -340,6 +340,83 @@ class ChunkStore:
         rows = self._filter_rows(filters)
         return self.remove(sorted(rows))
 
+    # Auto-compaction threshold: once tombstoned holes exceed this
+    # fraction of a non-trivial capacity, every scan is paying double for
+    # dead rows — rewrite the matrix densely (SURVEY §7 hard part (d):
+    # append segments + periodic compaction).
+    COMPACT_HOLE_FRACTION = 0.5
+    COMPACT_MIN_CAPACITY = 4096
+
+    def maybe_compact(self) -> dict[int, int] | None:
+        """Compact when the hole fraction crosses the threshold."""
+        holes = self._cap - self._size
+        if (self._cap >= self.COMPACT_MIN_CAPACITY
+                and holes > self.COMPACT_HOLE_FRACTION * self._cap):
+            return self.compact()
+        return None
+
+    def compact(self) -> dict[int, int]:
+        """Rewrite live rows contiguously; returns {old_row: new_row}.
+
+        Long-lived watch-mode stores accumulate freelist holes (every
+        scan still streams and masks them); compaction gathers the live
+        rows into a fresh dense matrix on device (one gather, no host
+        round-trip), rebuilds the payload/inverted state, and invalidates
+        every derived view. Row ids CHANGE — callers holding them (e.g.
+        a persisted manifest) must remap via the returned mapping; the
+        graph join is unaffected (it keys on qualified names).
+        """
+        live = np.flatnonzero(self._valid_host)
+        n_live = len(live)
+        mapping = {int(old): new for new, old in enumerate(live)}
+        new_cap = 8
+        while new_cap < max(n_live, 1):
+            new_cap *= 2
+        emb_new = jnp.zeros((new_cap, self.dim), dtype=self.dtype)
+        if n_live:
+            emb_new = emb_new.at[:n_live].set(
+                jnp.take(self._emb, jnp.asarray(live, dtype=jnp.int32),
+                         axis=0))
+        valid_new = np.zeros(new_cap, dtype=bool)
+        valid_new[:n_live] = True
+        payloads_new: list[dict[str, Any] | None] = [None] * new_cap
+        inverted_new: dict[str, dict[Any, set[int]]] = {
+            f: {} for f in INDEXED_FIELDS}
+        for new, old in enumerate(live):
+            p = self._payloads[old]
+            payloads_new[new] = p
+            if p:
+                for f in INDEXED_FIELDS:
+                    if p.get(f) is not None:
+                        inverted_new[f].setdefault(p[f], set()).add(new)
+        self._emb = emb_new
+        self._valid = jnp.asarray(valid_new)
+        self._valid_host = valid_new
+        self._payloads = payloads_new
+        self._inverted = inverted_new
+        self._cap = new_cap
+        self._free = []
+        self._next = n_live
+        self._size = n_live
+        # every derived view indexed by row id is now stale
+        self._ivf = None
+        self._ivf_dirty = True
+        self._ivf_mutations = 0
+        self._quant = None
+        self._quant_dirty = True
+        self._int4 = None
+        self._int4_dirty = True
+        self._pq = None
+        self._pq_dirty = True
+        self._pq_mutations = 0
+        self._sharded = None
+        self._sharded_dirty = True
+        self._shardedq = None
+        self._shardedq_dirty = True
+        self._rank_cols = None
+        self._rank_cols_dirty = True
+        return mapping
+
     def delete_file(self, file_path: str) -> int:
         return self.delete_by_filter({"file_path": file_path})
 

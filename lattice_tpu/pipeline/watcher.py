@@ -191,6 +191,14 @@ class FileWatcher:
                 await self._handle_changed(event)
             else:
                 await self._handle_deleted(event)
+        if events:
+            # long-lived watch sessions accumulate freelist holes; past
+            # the threshold, rewrite the matrices densely (SURVEY §7 (d);
+            # row ids remap internally, the graph joins by name)
+            for store in (self.indexer.code, self.indexer.summaries):
+                if store.maybe_compact() is not None:
+                    logger.info("compacted %s to %d live rows",
+                                "store", len(store))
 
     # ---- loop -----------------------------------------------------------
 

