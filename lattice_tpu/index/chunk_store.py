@@ -399,6 +399,15 @@ class ChunkStore:
         self._next = n_live
         self._size = n_live
         # every derived view indexed by row id is now stale
+        self._reset_views()
+        return mapping
+
+    def delete_file(self, file_path: str) -> int:
+        return self.delete_by_filter({"file_path": file_path})
+
+    def _reset_views(self) -> None:
+        """Drop every derived serving view (IVF/quant/sharded/rank
+        columns); the next search rebuilds lazily."""
         self._ivf = None
         self._ivf_dirty = True
         self._ivf_mutations = 0
@@ -415,10 +424,6 @@ class ChunkStore:
         self._shardedq_dirty = True
         self._rank_cols = None
         self._rank_cols_dirty = True
-        return mapping
-
-    def delete_file(self, file_path: str) -> int:
-        return self.delete_by_filter({"file_path": file_path})
 
     def clear(self) -> None:
         self._valid = jnp.zeros((self._cap,), dtype=bool)
@@ -428,22 +433,7 @@ class ChunkStore:
         self._size = 0
         self._next = 0
         self._inverted = {f: {} for f in INDEXED_FIELDS}
-        self._ivf = None
-        self._ivf_dirty = True
-        self._ivf_mutations = 0
-        self._quant = None
-        self._quant_dirty = True
-        self._int4 = None
-        self._int4_dirty = True
-        self._pq = None
-        self._pq_dirty = True
-        self._pq_mutations = 0
-        self._sharded = None
-        self._sharded_dirty = True
-        self._shardedq = None
-        self._shardedq_dirty = True
-        self._rank_cols = None
-        self._rank_cols_dirty = True
+        self._reset_views()
 
     def device_rank_columns(self, graph) -> "RankColumns":
         """Resident per-row ranking columns + the node->rows join map.

@@ -318,8 +318,8 @@ class GraphStore:
         frontier = seeds
         out_ids: list[np.ndarray] = []
         out_depths: list[np.ndarray] = []
+        from lattice_tpu.ops.graph_kernels import csr_expand
         for hop in range(1, hops + 1):
-            from lattice_tpu.ops.graph_kernels import csr_expand
             (nbrs,) = csr_expand(indptr, indices, frontier)
             if nbrs.size == 0:
                 break

@@ -144,6 +144,16 @@ def _select_topk_insertion(scores, row_base, best_s_ref, best_i_ref, k):
     best_i_ref[:] = final_i
 
 
+# Scoped-VMEM budget for the [B, tile] score+key slabs (~8 bytes/cell);
+# the 16 MB limit minus kernel overhead. Measured anchors: B=512 @ 2048
+# = 11 MB total fits; B=1024 @ 2048 = 20.45 MB OOMs (R3 batch 7).
+_SLAB_BUDGET = 12 * (1 << 20)
+
+
+def _slabs_fit(batch: int, inner: int) -> bool:
+    return 8 * max(batch, 32) * inner <= _SLAB_BUDGET
+
+
 def pick_tile(capacity: int, batch: int, k: int = 10) -> int | None:
     """Largest measured-good tile that divides the store capacity.
 
@@ -164,15 +174,6 @@ def pick_tile(capacity: int, batch: int, k: int = 10) -> int | None:
             return tile
     return None
 
-
-# Scoped-VMEM budget for the [B, tile] score+key slabs (~8 bytes/cell);
-# the 16 MB limit minus kernel overhead. Measured anchors: B=512 @ 2048
-# = 11 MB total fits; B=1024 @ 2048 = 20.45 MB OOMs (R3 batch 7).
-_SLAB_BUDGET = 12 * (1 << 20)
-
-
-def _slabs_fit(batch: int, inner: int) -> bool:
-    return 8 * max(batch, 32) * inner <= _SLAB_BUDGET
 
 
 def pick_tile_packed(capacity: int, batch: int, k: int = 10) -> int | None:
@@ -442,7 +443,6 @@ def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
     col % 128 bin identity across sub-tiles."""
     j = pl.program_id(0)
     q = q_ref[:]                                  # [B, d]
-    row_base = j * tile
     maxes = None
     for h in range(tile // inner):
         e_half = e_ref[pl.ds(h * inner, inner), :]    # [inner, d]
@@ -469,7 +469,6 @@ def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
                         shift: int):
     j = pl.program_id(0)
     q = q_ref[:]
-    row_base = j * tile
     maxes = None
     for h in range(tile // inner):
         acc = jax.lax.dot_general(
@@ -764,7 +763,6 @@ def _binned_kernel_int4_matmul(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     is exact division even for negatives)."""
     j = pl.program_id(0)
     q = q_ref[:]                                      # [B, d] i8
-    row_base = j * tile
     dims = (((1,), (1,)), ((), ()))
     b = q.shape[0]
     dh = q.shape[1] // 2
@@ -808,7 +806,6 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     asked of Mosaic."""
     j = pl.program_id(0)
     q = q_ref[:]                                      # [B, d] i8
-    row_base = j * tile
     dims = (((1,), (1,)), ((), ()))
     maxes = None
     for h in range(tile // inner):

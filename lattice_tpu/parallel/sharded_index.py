@@ -161,9 +161,8 @@ class ShardedIndex:
             # queries replicated; emb/valid(/mask) are this chip's rows.
             # normalization rides inside the execution (host numpy + an
             # extra upload otherwise).
-            queries = queries.astype(jnp.float32)
-            queries = queries / jnp.maximum(
-                jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+            from lattice_tpu.ops.quant import _l2n
+            queries = _l2n(queries)
             if mask_shard:
                 valid_shard = valid_shard & mask_shard[0]
             scores, idx = local_topk(queries, emb_shard, valid_shard)
@@ -421,10 +420,8 @@ class ShardedQuantizedIndex:
             # normalize + quantize INSIDE the execution: replicated
             # per-shard compute is trivial, and the host-side version
             # cost one numpy pass + two extra uploads per call
-            from lattice_tpu.ops.quant import quantize_rows_device
-            q_f32 = q_raw.astype(jnp.float32)
-            q_f32 = q_f32 / jnp.maximum(
-                jnp.linalg.norm(q_f32, axis=-1, keepdims=True), 1e-12)
+            from lattice_tpu.ops.quant import _l2n, quantize_rows_device
+            q_f32 = _l2n(q_raw)
             q_values, q_scales = quantize_rows_device(q_f32)
             extra = list(extra)
             fp_shard = extra.pop(0) if has_fp else None

@@ -195,10 +195,11 @@ class FileWatcher:
             # long-lived watch sessions accumulate freelist holes; past
             # the threshold, rewrite the matrices densely (SURVEY §7 (d);
             # row ids remap internally, the graph joins by name)
-            for store in (self.indexer.code, self.indexer.summaries):
+            for name, store in (("code", self.indexer.code),
+                                ("summaries", self.indexer.summaries)):
                 if store.maybe_compact() is not None:
-                    logger.info("compacted %s to %d live rows",
-                                "store", len(store))
+                    logger.info("compacted %s store to %d live rows",
+                                name, len(store))
 
     # ---- loop -----------------------------------------------------------
 
