@@ -9,6 +9,8 @@ import asyncio
 import json
 import shutil
 
+import numpy as np
+
 import pytest
 
 from lattice_tpu.config.settings import Settings
@@ -91,7 +93,24 @@ class TestWatcher:
         assert ctx.indexer.code.scroll(
             {"file_path": "app/api/routes.py"}) == []
 
-    def test_directory_rename_end_to_end(self, indexed_ws):
+    def test_delete_triggers_compaction(self, indexed_ws, monkeypatch):
+        """Past the hole threshold the watcher compacts the stores and
+        search still serves the survivors."""
+        workspace, ctx = indexed_ws
+        watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
+                              ctx.parser, project_name="ws")
+        watcher.prime(ctx.parsed)
+        store = ctx.indexer.code
+        monkeypatch.setattr(type(store), "COMPACT_MIN_CAPACITY", 8)
+        monkeypatch.setattr(type(store), "COMPACT_HOLE_FRACTION", 0.05)
+        cap_before = store.capacity
+        (workspace / "app" / "api" / "routes.py").unlink()
+        events = watcher.poll_once()
+        asyncio.run(watcher.process_events(events))
+        assert store.capacity <= cap_before
+        assert not store._free  # compacted: no holes left
+        hits = store.search(np.ones(store.dim, np.float32), k=3)[0]
+        assert hits and all(h[2] for h in hits)
         """A subtree move must delete every old path's nodes/vectors and
         re-index them under the new module names (the reference's watcher
         missed these — SURVEY §2.2 relative-vs-absolute delete bug)."""
