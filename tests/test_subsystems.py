@@ -111,6 +111,8 @@ class TestWatcher:
         assert not store._free  # compacted: no holes left
         hits = store.search(np.ones(store.dim, np.float32), k=3)[0]
         assert hits and all(h[2] for h in hits)
+
+    def test_directory_rename_end_to_end(self, indexed_ws):
         """A subtree move must delete every old path's nodes/vectors and
         re-index them under the new module names (the reference's watcher
         missed these — SURVEY §2.2 relative-vs-absolute delete bug)."""
