@@ -67,8 +67,15 @@ def contrastive_loss(params, module: UniXcoderEncoder, batch: dict,
 class ContrastiveTrainer:
     def __init__(self, config: UniXcoderConfig | None = None,
                  mesh: Mesh | None = None,
-                 learning_rate: float = 2e-5, seed: int = 0):
-        self.config = config or UniXcoderConfig()
+                 learning_rate: float = 2e-5, seed: int = 0,
+                 remat: bool = True):
+        # training defaults to per-layer rematerialization: the backward
+        # pass recomputes each layer's activations instead of holding all
+        # 12 [B, L, H] (+attention-prob) tensors — the FLOPs-for-HBM
+        # trade that unlocks large in-batch-negative pools. Param tree is
+        # unchanged, so checkpoints stay compatible either way.
+        self.config = dataclasses.replace(config or UniXcoderConfig(),
+                                          remat=remat)
         self.module = UniXcoderEncoder(self.config)
         self.mesh = mesh
         self.optimizer = make_optimizer(learning_rate)

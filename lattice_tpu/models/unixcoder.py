@@ -53,6 +53,12 @@ class UniXcoderConfig:
     # the [B, H, L, L] HBM round-trip (the dominant non-matmul traffic);
     # the softmax itself still reduces through f32 inside the fusion.
     scores_dtype: str = "float32"
+    # rematerialize each encoder layer on the backward pass (training
+    # only): activations cost O(sqrt-ish) HBM instead of all 12 layers
+    # of [B, L, H] (+[B, H, L, L] attention probs) — the standard
+    # FLOPs-for-memory trade that unlocks large contrastive batches.
+    # Inference ignores it (no backward pass, nothing to save).
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -172,8 +178,9 @@ class UniXcoderEncoder(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="embeddings_norm")(word + pos)
         hidden = hidden.astype(cfg.compute_dtype)
+        layer_cls = nn.remat(EncoderLayer) if cfg.remat else EncoderLayer
         for i in range(cfg.num_layers):
-            hidden = EncoderLayer(cfg, name=f"layer_{i}")(hidden, attention_mask)
+            hidden = layer_cls(cfg, name=f"layer_{i}")(hidden, attention_mask)
         # Mask-weighted mean-pool (reference `unixcoder_provider.py:137-155`).
         mask_f = attention_mask.astype(jnp.float32)[:, :, None]
         hidden_f = hidden.astype(jnp.float32)
