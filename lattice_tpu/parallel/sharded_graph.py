@@ -24,7 +24,6 @@ oracle in tests.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
