@@ -59,6 +59,9 @@ class UniXcoderConfig:
     # FLOPs-for-memory trade that unlocks large contrastive batches.
     # Inference ignores it (no backward pass, nothing to save).
     remat: bool = False
+    # serve Q/K/V through one [H, 3H] matmul (fused params derived from
+    # the standard tree via `fuse_qkv_params`; checkpoints stay 3-matmul)
+    fused_qkv: bool = False
 
     @property
     def compute_dtype(self):
@@ -88,9 +91,19 @@ class SelfAttention(nn.Module):
         dense = lambda name: nn.Dense(  # noqa: E731
             cfg.hidden_size, dtype=cfg.compute_dtype,
             param_dtype=jnp.float32, name=name)
-        q = dense("query")(hidden)
-        k = dense("key")(hidden)
-        v = dense("value")(hidden)
+        if cfg.fused_qkv:
+            # one [H, 3H] projection instead of three [H, H] matmuls:
+            # wider N amortizes weight DMA / launch overhead on the MXU.
+            # Params are separate fused names — `fuse_qkv_params` derives
+            # them from a standard tree, so checkpoints stay in the
+            # 3-matmul layout.
+            qkv = nn.Dense(3 * cfg.hidden_size, dtype=cfg.compute_dtype,
+                           param_dtype=jnp.float32, name="qkv")(hidden)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense("query")(hidden)
+            k = dense("key")(hidden)
+            v = dense("value")(hidden)
 
         def split(x):
             return x.reshape(x.shape[0], x.shape[1], cfg.num_heads, head_dim)
@@ -242,6 +255,22 @@ class UniXcoderModel:
                 return b
         return self.LENGTH_BUCKETS[-1]
 
+    def enable_fused_qkv(self) -> None:
+        """Serve attention projections through one [H, 3H] matmul.
+
+        Derives fused params from the standard tree (`fuse_qkv_params`)
+        and swaps the module; numerics are identical up to matmul
+        accumulation order. Call before `enable_bf16_inference` if both
+        are wanted. Checkpoint loading/saving stays in the 3-matmul
+        layout — call this after any weight load."""
+        if self.config.fused_qkv:
+            return
+        self.config = dataclasses.replace(self.config, fused_qkv=True)
+        self.module = UniXcoderEncoder(self.config)
+        self.params = fuse_qkv_params(self.params, self.config.num_layers)
+        self._forward = jax.jit(self._forward_impl)
+        self.weights_fingerprint += "+qkvfused"
+
     def enable_bf16_inference(self) -> None:
         """Cast matrix params to bf16 in place for serving.
 
@@ -330,6 +359,26 @@ class UniXcoderModel:
         except KeyError as exc:
             logger.warning("weight mapping failed (%s); using random init", exc)
             return False
+
+
+def fuse_qkv_params(params: dict, num_layers: int) -> dict:
+    """Standard param tree -> fused-QKV layout ([H,3H] kernel per layer;
+    concat order matches the `jnp.split(qkv, 3)` in SelfAttention)."""
+    out = dict(params)
+    for i in range(num_layers):
+        layer = dict(out[f"layer_{i}"])
+        attn = dict(layer["attention"])
+        qkv_kernel = jnp.concatenate(
+            [attn["query"]["kernel"], attn["key"]["kernel"],
+             attn["value"]["kernel"]], axis=1)
+        qkv_bias = jnp.concatenate(
+            [attn["query"]["bias"], attn["key"]["bias"],
+             attn["value"]["bias"]])
+        fused_attn = {"qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
+                      "output": attn["output"]}
+        layer["attention"] = fused_attn
+        out[f"layer_{i}"] = layer
+    return out
 
 
 def _load_flat_npz(path: Path, params: dict) -> dict:

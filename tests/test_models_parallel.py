@@ -328,6 +328,26 @@ class TestGraftEntry:
         graft.dryrun_multichip(8)
 
 
+class TestFusedQKV:
+    def test_fused_matches_standard(self):
+        from lattice_tpu.models.unixcoder import (UniXcoderConfig,
+                                                  UniXcoderModel)
+        cfg = UniXcoderConfig(
+            vocab_size=1024, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position_embeddings=130)
+        m1 = UniXcoderModel(cfg, seed=3)
+        m2 = UniXcoderModel(cfg, seed=3)
+        m2.enable_fused_qkv()
+        rng = np.random.default_rng(1)
+        ids = rng.integers(5, 1000, (3, 32)).astype(np.int32)
+        mask = np.ones_like(ids)
+        mask[:, 28:] = 0
+        np.testing.assert_allclose(m1.encode(ids, mask),
+                                   m2.encode(ids, mask), atol=2e-4)
+        assert "+qkvfused" in m2.weights_fingerprint
+        m2.enable_fused_qkv()  # idempotent
+
+
 class TestWeightLoading:
     def test_maps_synthetic_hf_checkpoint(self, tmp_path):
         """Fabricate a roberta.* torch state dict for the tiny config and
