@@ -60,7 +60,10 @@ class UniXcoderConfig:
     # Inference ignores it (no backward pass, nothing to save).
     remat: bool = False
     # serve Q/K/V through one [H, 3H] matmul (fused params derived from
-    # the standard tree via `fuse_qkv_params`; checkpoints stay 3-matmul)
+    # the standard tree via `fuse_qkv_params`; checkpoints stay 3-matmul).
+    # Measured SLOWER on v5e (533 vs 604 chunks/s at B=128/L=512,
+    # R3_TPU_RESULTS10 — XLA already runs the three shared-LHS matmuls
+    # near this stack's efficiency floor), kept for A/B evidence.
     fused_qkv: bool = False
 
     @property
