@@ -154,3 +154,33 @@ class TestPipelineFaultTolerance:
         # per-file tolerance means embed failures do NOT kill the run
         ctx = asyncio.run(orchestrator.run())
         assert any("embed" in e for e in ctx.errors)
+
+
+class TestParserFuzz:
+    """Deterministic byte-salad fuzz: parse_content must never raise —
+    the probe-corpus contract (bad.py / garbage bytes / unterminated
+    strings degrade to empty or partial results, .claude/skills/verify)."""
+
+    def test_random_bytes_never_raise(self):
+        import numpy as np
+
+        from lattice_tpu.core.types import Language
+        from lattice_tpu.parsing.parser import CodeParser
+
+        rng = np.random.default_rng(1234)
+        parser = CodeParser()
+        snippets = []
+        for _ in range(30):
+            raw = bytes(rng.integers(0, 256, rng.integers(1, 400)).tolist())
+            snippets.append(raw.decode("utf-8", errors="replace"))
+        # structured-but-broken shapes too
+        snippets += [
+            "def f(:\n  pass", "class { x = ", "const a = \"unterminated",
+            "import \x00\x01", "(((((((((((", "/* never closed",
+            "`template ${", "def g():\n\treturn (", "interface X {",
+        ]
+        for lang in (Language.PYTHON, Language.JAVASCRIPT,
+                     Language.TYPESCRIPT):
+            for i, text in enumerate(snippets):
+                parsed = parser.parse_content(text, lang, f"fuzz_{i}.x")
+                assert parsed is not None  # degraded, never raised
