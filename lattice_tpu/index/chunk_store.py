@@ -57,6 +57,15 @@ class RankColumns:
         return csr_expand(self.node_row_indptr, self.node_row_indices,
                           node_ids, *value_arrays)
 
+def _index_payload(inverted: dict, row: int, payload: dict) -> None:
+    """Add one payload's indexed fields to an inverted-index dict (the
+    single definition shared by add / from_device_arrays / compact)."""
+    for f in INDEXED_FIELDS:
+        v = payload.get(f)
+        if v is not None:
+            inverted[f].setdefault(v, set()).add(row)
+
+
 logger = logging.getLogger(__name__)
 
 # ---- auto-dispatch thresholds (VERDICT r1 #1: the best kernels must BE the
@@ -164,10 +173,7 @@ class ChunkStore:
             store._payloads = [dict(p) if store._valid_host[i] else None
                                for i, p in enumerate(payloads)]
             for r in live:
-                p = store._payloads[r]
-                for f in INDEXED_FIELDS:
-                    if p.get(f) is not None:
-                        store._inverted[f].setdefault(p[f], set()).add(int(r))
+                _index_payload(store._inverted, int(r), store._payloads[r])
         store._size = int(len(live))
         store._next = int(n)
         return store
@@ -223,9 +229,7 @@ class ChunkStore:
         for row, payload in zip(rows, payloads):
             self._valid_host[row] = True
             self._payloads[row] = dict(payload)
-            for f in INDEXED_FIELDS:
-                if f in payload and payload[f] is not None:
-                    self._inverted[f].setdefault(payload[f], set()).add(row)
+            _index_payload(self._inverted, row, payload)
         self._size += n
         self._mutate_views(rows, jnp.asarray(normed))
         return rows
@@ -348,10 +352,11 @@ class ChunkStore:
     COMPACT_MIN_CAPACITY = 4096
 
     def maybe_compact(self) -> dict[int, int] | None:
-        """Compact when the hole fraction crosses the threshold."""
-        holes = self._cap - self._size
+        """Compact when TOMBSTONED holes (freelist rows — not the
+        never-used tail of a geometric growth step, which would thrash
+        compact/regrow at power-of-two boundaries) cross the threshold."""
         if (self._cap >= self.COMPACT_MIN_CAPACITY
-                and holes > self.COMPACT_HOLE_FRACTION * self._cap):
+                and len(self._free) > self.COMPACT_HOLE_FRACTION * self._cap):
             return self.compact()
         return None
 
@@ -386,9 +391,7 @@ class ChunkStore:
             p = self._payloads[old]
             payloads_new[new] = p
             if p:
-                for f in INDEXED_FIELDS:
-                    if p.get(f) is not None:
-                        inverted_new[f].setdefault(p[f], set()).add(new)
+                _index_payload(inverted_new, new, p)
         self._emb = emb_new
         self._valid = jnp.asarray(valid_new)
         self._valid_host = valid_new
@@ -924,21 +927,25 @@ class ChunkStore:
         valid = self._valid if mask is None else (self._valid & mask)
         if plan == "refined":
             tile = pallas_ops.pick_tile(self._cap, len(q), k=max(k_eff, 16))
-            scores, idx = pallas_ops.refined_topk(
-                jnp.asarray(q), self._emb, valid, k_eff,
-                tile=tile or pallas_ops.DEFAULT_TILE)
-        elif plan == "pallas":
+            if tile is None:  # VMEM budget refused every tile (huge B/k)
+                plan = "flat"
+            else:
+                scores, idx = pallas_ops.refined_topk(
+                    jnp.asarray(q), self._emb, valid, k_eff, tile=tile)
+        if plan == "pallas":
             # binned-max scan (loop-free selection + approx_max_k finish +
             # exact rescore): measured 37.4k qps vs refined's 29.1k at
             # 1M x 768 B=256, recall 0.9973 vs 0.9996 (strided-bin
             # collisions cost ~0.2pp; `method="refined"` forces the
             # slower exact-at-storage scan when that matters)
             tile = pallas_ops.pick_tile(self._cap, len(q), k=k_eff)
-            vcol = self._valid_col() if mask is None else valid
-            scores, idx = pallas_ops.binned_topk(
-                jnp.asarray(q), self._emb, vcol, k_eff,
-                tile=tile or pallas_ops.DEFAULT_TILE)
-        else:
+            if tile is None:
+                plan = "flat"
+            else:
+                vcol = self._valid_col() if mask is None else valid
+                scores, idx = pallas_ops.binned_topk(
+                    jnp.asarray(q), self._emb, vcol, k_eff, tile=tile)
+        if plan == "flat":
             scores, idx = topk_ops.flat_topk(
                 jnp.asarray(q), self._emb, valid, k_eff)
         return self._assemble_hits(len(q), np.asarray(scores),
@@ -982,9 +989,12 @@ class ChunkStore:
         if plan == "pallas":
             tile = pallas_ops.pick_tile(self._cap, int(raw.shape[0]),
                                         k=k_eff)
-            return pallas_ops.binned_topk(
-                raw, self._emb, vcol, k_eff,
-                tile=tile or pallas_ops.DEFAULT_TILE, normalize=True)
+            if tile is not None:
+                return pallas_ops.binned_topk(
+                    raw, self._emb, vcol, k_eff, tile=tile,
+                    normalize=True)
+            # VMEM budget refused every tile: serve the XLA flat scan
+            # rather than launder the refusal into an oversized kernel
         queries = _normalize_queries(raw)
         if plan == "ivf":
             if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
@@ -996,9 +1006,9 @@ class ChunkStore:
         if plan == "refined":
             tile = pallas_ops.pick_tile(self._cap, int(queries.shape[0]),
                                         k=max(k_eff, 16))
-            return pallas_ops.refined_topk(
-                queries, self._emb, valid, k_eff,
-                tile=tile or pallas_ops.DEFAULT_TILE)
+            if tile is not None:
+                return pallas_ops.refined_topk(
+                    queries, self._emb, valid, k_eff, tile=tile)
         return topk_ops.flat_topk(queries, self._emb, valid, k_eff)
 
     def _sharded_search_rescored(self, q: np.ndarray, k_eff: int,

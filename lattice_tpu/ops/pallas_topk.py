@@ -441,7 +441,6 @@ def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
     R2_TPU_RESULTS4). Sub-tile bin maxima merge with an elementwise max:
     sub-tile h's cols are offset by h*inner, and inner % 128 == 0 keeps
     col % 128 bin identity across sub-tiles."""
-    j = pl.program_id(0)
     q = q_ref[:]                                  # [B, d]
     maxes = None
     for h in range(tile // inner):
@@ -467,7 +466,6 @@ def _binned_kernel(q_ref, e_ref, valid_ref, out_keys_ref,
 def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
                         out_keys_ref, *, tile: int, n_rows: int, inner: int,
                         shift: int):
-    j = pl.program_id(0)
     q = q_ref[:]
     maxes = None
     for h in range(tile // inner):
@@ -761,7 +759,6 @@ def _binned_kernel_int4_matmul(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     and the two dots against `ulo` fuse into a single [2B, dh] matmul.
     All integer math is exact (x - ulo is a multiple of 16, so the >> 4
     is exact division even for negatives)."""
-    j = pl.program_id(0)
     q = q_ref[:]                                      # [B, d] i8
     dims = (((1,), (1,)), ((), ()))
     b = q.shape[0]
@@ -804,7 +801,6 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     runs TWO half-width int8 matmuls against the matching query halves —
     sum of partial dots == full dot, and no lane concat/relayout is ever
     asked of Mosaic."""
-    j = pl.program_id(0)
     q = q_ref[:]                                      # [B, d] i8
     dims = (((1,), (1,)), ((), ()))
     maxes = None

@@ -438,20 +438,32 @@ class QueryEngine:
                 score=float(score),
                 content=payload.get("content") or "",
             ))
-        # the context comes from the SAME reach the fuse ranked on (no
-        # second traversal pass — the reasoning engine's per-intent suite
-        # would redo the BFS work this path already did); BFS discovery
-        # order is depth order, so the head of each direction is the
-        # Cypher-capped result set
-        cap = 50
-        to_node = self.graph_engine._to_node
-        graph_context = GraphContext(
-            primary_entities=[to_node(s, 0, "primary") for s in seeds],
-            callees=[to_node(int(v), int(d), "callee")
-                     for v, d in zip(f_ids[:cap], f_d[:cap])],
-            callers=[to_node(int(v), int(d), "caller")
-                     for v, d in zip(b_ids[:cap], b_d[:cap])],
-        ) if seeds else GraphContext()
+        # CALLS-centric intents get their context from the SAME reach the
+        # fuse ranked on (no second traversal; BFS discovery order is
+        # depth order, so the head of each direction is the Cypher-capped
+        # result set). Intents whose context lives on OTHER edge types
+        # (hierarchy/methods/imports/file structure) still run the
+        # reasoning engine — this path never walked those edges.
+        from lattice_tpu.query.query_planner import QueryIntent
+        calls_intents = {
+            QueryIntent.FIND_USAGE, QueryIntent.FIND_CALLEES,
+            QueryIntent.FIND_CALL_CHAIN, QueryIntent.FIND_SIMILAR,
+            QueryIntent.FIND_EXAMPLES, QueryIntent.GENERAL_SEARCH,
+        }
+        if not seeds:
+            graph_context = GraphContext()
+        elif plan.intent in calls_intents:
+            cap = 50
+            to_node = self.graph_engine._to_node
+            graph_context = GraphContext(
+                primary_entities=[to_node(s, 0, "primary") for s in seeds],
+                callees=[to_node(int(v), int(d), "callee")
+                         for v, d in zip(f_ids[:cap], f_d[:cap])],
+                callers=[to_node(int(v), int(d), "caller")
+                         for v, d in zip(b_ids[:cap], b_d[:cap])],
+            )
+        else:
+            graph_context = self._graph_phase(plan)
         return QueryResult(
             query=query_text, answer="", results=results, query_plan=plan,
             graph_context=graph_context,

@@ -161,9 +161,11 @@ class TestCompaction:
     def test_maybe_compact_threshold(self):
         s, _ = self._churned_store()
         s.COMPACT_MIN_CAPACITY = 8
-        assert s.capacity - len(s) > 0.5 * s.capacity or True
-        # holes: cap 64/live 32 -> 50% exactly; drop more to cross it
+        # tombstones: 32 freelist rows of cap 64 = 50% exactly (not
+        # above threshold); drop more to cross it
+        assert s.maybe_compact() is None
         s.remove(list(range(1, 64, 2))[:8])
+        assert len(s._free) > 0.5 * s.capacity
         assert s.maybe_compact() is not None
         assert s.maybe_compact() is None  # dense store: no-op
 
