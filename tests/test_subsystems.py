@@ -102,7 +102,7 @@ class TestWatcher:
         watcher.prime(ctx.parsed)
         store = ctx.indexer.code
         monkeypatch.setattr(type(store), "COMPACT_MIN_CAPACITY", 8)
-        monkeypatch.setattr(type(store), "COMPACT_HOLE_FRACTION", 0.01)
+        monkeypatch.setattr(type(store), "COMPACT_HOLE_FRACTION", 0.001)
         cap_before = store.capacity
         (workspace / "app" / "api" / "routes.py").unlink()
         events = watcher.poll_once()
