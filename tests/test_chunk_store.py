@@ -615,6 +615,26 @@ class TestDispatchDecisionTable:
         assert s._plan_search(4, 100, None, "auto") == "flat"
 
 
+class TestTileRefusalFallback:
+    def test_forced_pallas_with_huge_batch_serves_flat(self, monkeypatch):
+        """When the VMEM slab budget refuses every tile, forced
+        pallas/refined methods must fall back to the XLA flat scan, not
+        launder the refusal into an oversized kernel (R3 review)."""
+        from lattice_tpu.ops import pallas_topk as pk
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=1024)
+        vecs = _vecs(1024, 16)
+        s.add(vecs, [{"file_path": "a.py", "content_hash": "h"}] * 1024)
+        monkeypatch.setattr(pk, "_SLAB_BUDGET", 1)  # refuse everything
+        assert pk.pick_tile(1024, 8) is None
+        for method in ("pallas", "refined"):
+            hits = s.search(_vecs(2, 16, seed=3), k=4, method=method)
+            assert len(hits[0]) == 4  # flat fallback served correctly
+            import jax.numpy as jnp
+            _, idx = s.search_device(jnp.asarray(_vecs(2, 16, seed=3)),
+                                     4, method=method)
+            assert idx.shape == (2, 4)
+
+
 class TestIVFFilters:
     def test_ivf_filtered_matches_flat(self):
         n, d = 256, 32
