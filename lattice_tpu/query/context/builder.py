@@ -10,6 +10,7 @@ sentence (`:279-302`), reasoning notes (`:304-337`).
 
 from __future__ import annotations
 
+from lattice_tpu.core.types import EdgeType
 from lattice_tpu.index.chunk_store import ChunkStore
 from lattice_tpu.query.context.models import (
     MAX_SNIPPET_CHARS,
@@ -23,9 +24,31 @@ from lattice_tpu.query.ranking.models import RankedResult
 
 class ContextBuilder:
     def __init__(self, code_store: ChunkStore | None = None,
-                 summary_store: ChunkStore | None = None):
+                 summary_store: ChunkStore | None = None,
+                 graph_store=None):
         self.code_store = code_store
         self.summary_store = summary_store
+        self.graph_store = graph_store
+
+    def _entity_neighbors(self, node_id: int) -> tuple[list[str], list[str]]:
+        """Depth-1 CALLS callers/callees for ONE primary entity.
+
+        Reference `:141-151` attaches caller/callee one-liners to each
+        primary's EntityContext; fetching them per entity (one CSR row
+        slice each way) keeps multi-entity plans from claiming the union
+        of every primary's callers.
+        """
+        if self.graph_store is None:
+            return [], []
+        try:
+            (callees,) = self.graph_store.neighbors([node_id], EdgeType.CALLS)
+            (callers,) = self.graph_store.neighbors([node_id], EdgeType.CALLS,
+                                                    reverse=True)
+        except Exception:
+            return [], []
+        name = self.graph_store.node
+        return ([name(n).qualified_name for n in callers[:8]],
+                [name(n).qualified_name for n in callees[:8]])
 
     def _snippet_for(self, qualified_name: str) -> tuple[str, str | None, str | None]:
         """Fetch chunk content by graph_node_id (reference `:111-134`).
@@ -50,8 +73,12 @@ class ContextBuilder:
     ) -> EnrichedContext:
         ctx = EnrichedContext()
         # Per-entity contexts for primaries (reference `:60-109`).
-        callers_by_depth = [n for n in graph_context.callers if n.depth == 1]
-        callees_by_depth = [n for n in graph_context.callees if n.depth == 1]
+        # Global depth-1 lists are only the fallback when no graph store is
+        # wired; with one, each primary gets its OWN depth-1 neighbors.
+        callers_by_depth = [n.qualified_name for n in graph_context.callers
+                            if n.depth == 1][:8]
+        callees_by_depth = [n.qualified_name for n in graph_context.callees
+                            if n.depth == 1][:8]
         for node in graph_context.primary_entities[:5]:
             snippet, docstring, signature = self._snippet_for(node.qualified_name)
             if not snippet:
@@ -59,6 +86,11 @@ class ContextBuilder:
                             if r.qualified_name == node.qualified_name
                             and r.content), "")
                 snippet = hit[:MAX_SNIPPET_CHARS]
+            callers, callees = self._entity_neighbors(node.node_id)
+            if not callers and self.graph_store is None:
+                callers = callers_by_depth
+            if not callees and self.graph_store is None:
+                callees = callees_by_depth
             ctx.entity_contexts.append(EntityContext(
                 qualified_name=node.qualified_name,
                 name=node.name,
@@ -69,8 +101,8 @@ class ContextBuilder:
                 code_snippet=snippet,
                 docstring=docstring,
                 signature=signature,
-                callers=[c.qualified_name for c in callers_by_depth][:8],
-                callees=[c.qualified_name for c in callees_by_depth][:8],
+                callers=callers,
+                callees=callees,
                 related=[m.qualified_name for m in graph_context.methods][:8],
             ))
         # Call-chain strings (reference `:187-199`).

@@ -78,7 +78,8 @@ class QueryEngine:
         self.graph_engine = GraphReasoningEngine(graph_store)
         self.vector_searcher = VectorSearcher(indexer)
         self.ranker = HybridRanker()
-        self.context_builder = ContextBuilder(indexer.code, indexer.summaries)
+        self.context_builder = ContextBuilder(indexer.code, indexer.summaries,
+                                              graph_store=graph_store)
         self.responder = ResponseGenerator(llm_provider)
 
     # ---- phases --------------------------------------------------------

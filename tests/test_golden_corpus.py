@@ -253,6 +253,33 @@ class TestGoldenQueries:
         names = " ".join(r.qualified_name for r in result.results)
         assert "notification" in names.lower()
 
+    def test_per_entity_caller_lists_are_entity_specific(self, golden):
+        """Each primary's EntityContext carries its OWN depth-1 callers
+        (reference `context/builder.py:141-151`), not the union across
+        every primary in the plan."""
+        from lattice_tpu.query.context.builder import ContextBuilder
+        from lattice_tpu.query.graph_reasoning.engine import GraphReasoningEngine
+        from lattice_tpu.query.query_planner import QueryPlanner
+
+        store = golden.graph_builder.store
+        gre = GraphReasoningEngine(store)
+        email = store.id_of("app.utils.validators.validate_email")
+        prio = store.id_of("app.utils.validators.validate_priority")
+        gctx = gre.implementation_context([email, prio])
+        plan = QueryPlanner().plan_heuristic(
+            "how are validate_email and validate_priority implemented?")
+        builder = ContextBuilder(golden.indexer.code, golden.indexer.summaries,
+                                 graph_store=store)
+        ctx = builder.build_enriched_context(plan, gctx, [])
+        by_qn = {e.qualified_name: e for e in ctx.entity_contexts}
+        email_callers = set(by_qn["app.utils.validators.validate_email"].callers)
+        prio_callers = set(by_qn["app.utils.validators.validate_priority"].callers)
+        assert "app.services.user_service.UserService.register_user" in email_callers
+        assert "app.services.task_service.TaskService.create_task" in prio_callers
+        # distinct entities -> distinct caller lists (not the union)
+        assert email_callers != prio_callers
+        assert "app.services.task_service.TaskService.create_task" not in email_callers
+
 
 class TestGoldenWatchMode:
     def test_file_change_reindexes_and_counts_move(self, golden):

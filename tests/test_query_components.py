@@ -188,6 +188,44 @@ class TestContextFormatting:
         assert format_context_for_llm(EnrichedContext()) == ""
 
 
+class TestIntentPrompts:
+    """Per-intent synthesis prompts (reference `engine.py:407-507`)."""
+
+    def test_every_intent_extends_base(self):
+        from lattice_tpu.query.responder import SYSTEM_PROMPT, system_prompt_for
+        for intent in QueryIntent:
+            prompt = system_prompt_for(intent)
+            assert prompt.startswith(SYSTEM_PROMPT), intent
+
+    def test_intents_get_distinct_specialized_prompts(self):
+        from lattice_tpu.query.responder import INTENT_PROMPTS, system_prompt_for
+        # The reference specializes 7 intents; this taxonomy keys 16 of 17
+        # (FIND_METHODS folds the hierarchy guidance's method focus).
+        assert len(INTENT_PROMPTS) >= 14
+        prompts = {system_prompt_for(i) for i in INTENT_PROMPTS}
+        assert len(prompts) == len(INTENT_PROMPTS)  # all distinct
+        assert "callers" in system_prompt_for(QueryIntent.FIND_USAGE)
+        assert "inheritance" in system_prompt_for(QueryIntent.FIND_HIERARCHY)
+        assert "debug" in system_prompt_for(QueryIntent.DEBUG_HELP).lower()
+
+    def test_llm_path_receives_intent_keyed_prompt(self):
+        from lattice_tpu.query.responder import ResponseGenerator
+
+        captured = {}
+
+        class FakeLLM:
+            async def complete(self, messages):
+                captured["system"] = messages[0]["content"]
+                return "ok"
+
+        gen = ResponseGenerator(FakeLLM())
+        plan = QueryPlanner().plan_heuristic("who calls parse_file?")
+        assert plan.intent == QueryIntent.FIND_USAGE
+        answer = asyncio.run(gen.generate(plan, EnrichedContext(), []))
+        assert answer == "ok"
+        assert "Intent focus — callers" in captured["system"]
+
+
 class TestResponderOffline:
     def test_extractive_answer_contains_sources(self):
         from lattice_tpu.query.responder import ResponseGenerator
