@@ -107,6 +107,43 @@ def _normalize_queries(q: jax.Array) -> jax.Array:
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
 
 
+def _fused_delta_apply(kept: dict, donated: dict, idx: jax.Array,
+                       normed: jax.Array) -> tuple[dict, dict]:
+    """ONE-execution delta upsert: scatter new rows into the embedding
+    matrix + validity mask and re-quantize/scatter the live int8/int4
+    shadows, all in a single XLA execution.
+
+    Eagerly this was ~9 dispatches (emb, valid, then per shadow:
+    quantize + values + scales + scales-col scatters), each paying the
+    relay's ~1-3 ms fixed dispatch cost AND a full-buffer copy (eager
+    scatters can't donate) — 73.7 ms for 256 rows at 1M x 768
+    (BENCH_r03). The `donated` dict (the view shadows, store-internal so
+    nothing else can hold their buffers) updates in place; `kept` holds
+    the publicly exposed emb/valid (`device_arrays`), which must not be
+    donated out from under callers.
+    """
+    from lattice_tpu.ops import quant as quant_ops
+    out_k = {
+        "emb": kept["emb"].at[idx].set(normed.astype(kept["emb"].dtype)),
+        "valid": kept["valid"].at[idx].set(True),
+    }
+    out_d = {}
+    if "q_values" in donated:
+        v, s = quant_ops.quantize_rows_device(normed)
+        out_d["q_values"] = donated["q_values"].at[idx].set(v)
+        out_d["q_scales"] = donated["q_scales"].at[idx].set(s)
+        out_d["q_col"] = donated["q_col"].at[idx, 0].set(s)
+    if "i4_values" in donated:
+        v4, s4 = quant_ops.quantize_rows_int4_device(normed)
+        out_d["i4_values"] = donated["i4_values"].at[idx].set(v4)
+        out_d["i4_scales"] = donated["i4_scales"].at[idx].set(s4)
+        out_d["i4_col"] = donated["i4_col"].at[idx, 0].set(s4)
+    return out_k, out_d
+
+
+_fused_delta = jax.jit(_fused_delta_apply, donate_argnums=(1,))
+
+
 class ChunkStore:
     def __init__(self, dim: int, dtype: str = "bfloat16",
                  initial_capacity: int = 1024, device_put: bool = True):
@@ -222,26 +259,55 @@ class ChunkStore:
                 self._next += 1
         if self._next > self._cap:
             self._grow(self._next)
-        normed = topk_ops.l2_normalize(vectors).astype(self.dtype)
+        normed = topk_ops.l2_normalize(vectors)
         idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
-        self._emb = self._emb.at[idx].set(jnp.asarray(normed))
-        self._valid = self._valid.at[idx].set(True)
+        normed_dev = jnp.asarray(normed.astype(np.float32))
+        top = max(rows)
+        kept = {"emb": self._emb, "valid": self._valid}
+        donated: dict[str, jax.Array] = {}
+        fuse_q = (self._quant is not None and not self._quant_dirty
+                  and top < self._quant.n)
+        if fuse_q:
+            donated.update(q_values=self._quant.values,
+                           q_scales=self._quant.scales,
+                           q_col=self._quant._scales_col)
+        fuse_i4 = (self._int4 is not None and not self._int4_dirty
+                   and top < self._int4.n)
+        if fuse_i4:
+            donated.update(i4_values=self._int4.values,
+                           i4_scales=self._int4.scales,
+                           i4_col=self._int4._scales_col)
+        out_k, out_d = _fused_delta(kept, donated, idx, normed_dev)
+        self._emb, self._valid = out_k["emb"], out_k["valid"]
+        if fuse_q:
+            self._quant.values = out_d["q_values"]
+            self._quant.scales = out_d["q_scales"]
+            self._quant._scales_col = pallas_ops.relayout_col(out_d["q_col"])
+        if fuse_i4:
+            self._int4.values = out_d["i4_values"]
+            self._int4.scales = out_d["i4_scales"]
+            self._int4._scales_col = pallas_ops.relayout_col(out_d["i4_col"])
         for row, payload in zip(rows, payloads):
             self._valid_host[row] = True
             self._payloads[row] = dict(payload)
             _index_payload(self._inverted, row, payload)
         self._size += n
-        self._mutate_views(rows, jnp.asarray(normed))
+        self._mutate_views(rows, normed_dev, quant_done=fuse_q,
+                           int4_done=fuse_i4)
         return rows
 
     def _mutate_views(self, rows: list[int],
-                      normed_dev: jax.Array | None) -> None:
+                      normed_dev: jax.Array | None,
+                      quant_done: bool = False,
+                      int4_done: bool = False) -> None:
         """O(delta) maintenance of the IVF/int8 serving views.
 
         `normed_dev` is the new normalized rows for inserts, None for
         removals. Centroids don't move on incremental IVF upserts, so
         after >20% of the corpus has churned the partition is marked dirty
-        and the next search rebuilds (re-measuring recall)."""
+        and the next search rebuilds (re-measuring recall). `quant_done` /
+        `int4_done` mean `add` already folded that shadow's update into
+        the fused one-execution scatter."""
         n = len(rows)
         if (self._ivf is not None and not self._ivf_dirty
                 and getattr(self._ivf, "hollow", False)):
@@ -265,18 +331,20 @@ class ChunkStore:
                 self._ivf_dirty = True
         else:
             self._ivf_dirty = True
-        if (normed_dev is not None and self._quant is not None
-                and not self._quant_dirty and max(rows) < self._quant.n):
-            self._quant.update_rows(normed_dev,
-                                    jnp.asarray(np.asarray(rows, np.int32)))
-        elif normed_dev is not None:
-            self._quant_dirty = True
-        if (normed_dev is not None and self._int4 is not None
-                and not self._int4_dirty and max(rows) < self._int4.n):
-            self._int4.update_rows(normed_dev,
-                                   jnp.asarray(np.asarray(rows, np.int32)))
-        elif normed_dev is not None:
-            self._int4_dirty = True
+        if not quant_done:
+            if (normed_dev is not None and self._quant is not None
+                    and not self._quant_dirty and max(rows) < self._quant.n):
+                self._quant.update_rows(normed_dev,
+                                        jnp.asarray(np.asarray(rows, np.int32)))
+            elif normed_dev is not None:
+                self._quant_dirty = True
+        if not int4_done:
+            if (normed_dev is not None and self._int4 is not None
+                    and not self._int4_dirty and max(rows) < self._int4.n):
+                self._int4.update_rows(normed_dev,
+                                       jnp.asarray(np.asarray(rows, np.int32)))
+            elif normed_dev is not None:
+                self._int4_dirty = True
         # removals leave int8/int4 values stale but masked by `valid`
         for attr, dirty_attr in (("_sharded", "_sharded_dirty"),
                                  ("_shardedq", "_shardedq_dirty")):
@@ -595,7 +663,10 @@ class ChunkStore:
         self._pq = PQIndex.build(self._emb, self._valid_host.copy(),
                                  m=m, ksub=ksub)
         if measure:
-            self._pq.measure_recall(self._emb, self._valid_host)
+            # The store's serving path (`_search_pq_device`) widens + exact-
+            # rescores against the resident bf16 rows, so the dispatch gate
+            # must measure the RESCORED recall — the number serving delivers.
+            self._pq.measure_recall(self._emb, self._valid_host, rescore=True)
         self._pq_dirty = False
         self._pq_mutations = 0
         return self._pq

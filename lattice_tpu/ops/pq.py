@@ -1,14 +1,22 @@
-"""Product quantization: the >4M-chunk capacity tier at 1M-bf16 memory.
+"""Product quantization: the >=8x-compression capacity tier.
+
+POSITION IN THE LADDER (settled by r2/r3 chip measurements): bf16 flat
+(1x) -> int8 (2x capacity at parity qps) -> int4 (4x: 11-19k qps /
+recall 0.994+ at 4M x 768, ops/quant.py) -> PQ dsub=4 (8x). int4
+SUPERSEDED PQ's original dsub=2 tier — identical 384 B/row at ~20x the
+throughput and better recall (PQ ADC measured ~700 qps / 0.81 at 1M) —
+so PQ's serving regime is ONLY the >4M-per-chip corpus that int4 cannot
+fit, dispatched via LATTICE_PQ=1 / method="pq" and gated on build-time
+self-measured recall like IVF.
 
 BASELINE "recall@10 at equal memory" (reference serves every corpus size
 through one Qdrant collection, `src/lattice/embeddings/client.py:93-113`):
 bf16 rows cap out around 1M x 768 per 16 GB chip and the int8 shadow
 (ops/quant.py) doubles that; past ~4M chunks the corpus must compress
-below 2 bytes/dim. PQ stores each row as m uint8 codes — one per
+below 1 byte per 2 dims. PQ stores each row as m uint8 codes — one per
 dsub-dim subvector, each against its own ksub-entry codebook — so 768
-dims at the default dsub=2 cost 384 B/row, 4x under bf16: a 4M-row
-corpus fits exactly the HBM footprint of 1M bf16 rows (VERDICT r1 #6
-contract); dsub=4 gives the 8x tier when a rescore stage backs the scan.
+dims at the default dsub=4 cost 192 B/row, 8x under bf16: an 8M-row
+corpus fits the HBM footprint of 1M bf16 rows (VERDICT r1 #6 contract).
 
 Scoring is asymmetric (ADC): score(q, n) = sum_j <q_j, cb[j, code[n,j]]>,
 which is EXACTLY the dot product of q with the reconstructed row. It is
@@ -53,15 +61,15 @@ DEFAULT_BLOCK = 4096
 DEFAULT_TRAIN_ROWS = 65_536
 
 
-def choose_m(d: int, target_dsub: int = 2) -> int:
+def choose_m(d: int, target_dsub: int = 4) -> int:
     """Largest m with d % m == 0 and d/m >= target_dsub.
 
-    Default dsub=2: 256 codewords over a 2-dim subvector leave ~1/11 of
-    the per-dim scale as quantization noise — low enough that ADC-only
-    ordering holds top-10 on clustered corpora — while still compressing
-    4x vs bf16 (exactly the 4M-rows-at-1M-bf16-footprint contract).
-    Pass a smaller m (dsub=4 -> 8x) when capacity matters more than the
-    last recall points and a rescore stage backs the scan.
+    Default dsub=4 is the 8x-vs-bf16 tier — PQ's only serving regime
+    since the int4 view (ops/quant.py) took the 4x slot at ~20x PQ's
+    throughput and higher recall (r2/r3 chip measurements: int4 11-19k
+    qps / 0.994+ at 4M vs PQ ADC ~700 qps / 0.81 at 1M). dsub=2 (4x)
+    remains available by passing target_dsub=2 but is strictly dominated;
+    a rescore stage should back any PQ scan.
     """
     for dsub in range(target_dsub, d + 1):
         if d % dsub == 0:

@@ -28,9 +28,9 @@ def _clustered(n, d, n_clusters, spread=0.3, seed=0):
 
 
 def test_choose_m():
-    assert pq_ops.choose_m(768) == 384          # default dsub=2
-    assert pq_ops.choose_m(768, target_dsub=4) == 192
-    assert pq_ops.choose_m(64) == 32
+    assert pq_ops.choose_m(768) == 192          # default dsub=4 (8x tier)
+    assert pq_ops.choose_m(768, target_dsub=2) == 384   # dominated by int4
+    assert pq_ops.choose_m(64) == 16
     assert pq_ops.choose_m(768, target_dsub=8) == 96
     assert pq_ops.choose_m(7) == 1              # prime dim degrades sanely
 
@@ -100,12 +100,12 @@ def test_recall_on_clustered_corpus():
     round's TPU experiment; this pins the CPU-sized regression)."""
     n, d = 8192, 64
     x = _clustered(n, d, 32, spread=0.25, seed=6)
-    idx = pq_ops.PQIndex.build(x, np.ones(n, bool))   # default dsub=2
+    idx = pq_ops.PQIndex.build(x, np.ones(n, bool))   # default dsub=4 (8x)
     r_adc = idx.measure_recall(x, np.ones(n, bool), n_sample=64)
-    assert r_adc >= 0.8, r_adc           # ADC-only floor on a crowded corpus
+    assert r_adc >= 0.6, r_adc           # ADC-only floor at 8x compression
     r = idx.measure_recall(x, np.ones(n, bool), n_sample=64, rescore=True)
     assert r >= 0.95, r                  # the contract number, via rescore
-    assert idx.memory_bytes() < x.nbytes / 4  # >= 4x under f32 (2x vs bf16)
+    assert idx.memory_bytes() < x.nbytes / 8  # >= 8x under f32 (4x vs bf16)
 
 
 def test_filters_fold_into_mask():
