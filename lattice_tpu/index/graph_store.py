@@ -292,28 +292,48 @@ class GraphStore:
             arr = self._alive_np = np.asarray(self._alive, dtype=bool)
         return arr
 
-    def _host_bfs(self, seed_ids: list[int], edge_type: EdgeType,
-                  hops: int, reverse: bool = False
-                  ) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized CSR frontier expansion on the host.
+    def _bfs_scratch_for(self, n: int):
+        """Per-store epoch-marked visited scratch for the C++ BFS."""
+        from lattice_tpu.utils import native
+        scratch = getattr(self, "_bfs_scratch", None)
+        if scratch is None or scratch.n != n:
+            scratch = self._bfs_scratch = native.BFSScratch(n)
+        return scratch
 
-        Returns (reached_ids, depths) EXCLUDING the seeds, in discovery
-        (depth) order. Each hop is three NumPy primitives over the
-        frontier's adjacency span (repeat/arange gather + unique), so the
-        cost is O(edges touched) with C constants — the right shape for
-        single traversals, where a dense device pass would re-scan all E
-        edges per hop through a serial scalar gather.
+    def _host_bfs(self, seed_ids: list[int], edge_type: EdgeType,
+                  hops: int, reverse: bool = False, limit: int = 0
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Bounded CSR frontier expansion on the host.
+
+        Returns (reached_ids, depths) EXCLUDING the seeds, depth-major
+        with ids ascending within a depth. Primary path is the C++ walk
+        (`native/lattice_native.cpp lattice_bfs_khop`): serving
+        traversals stop at `limit` results (the Cypher ORDER BY depth
+        LIMIT n tail), so per-query cost is dominated by per-hop
+        small-array overhead, which C++ removes — ~4 ms/query NumPy ->
+        microseconds at 1M nodes / 10M edges. The NumPy fallback is three
+        vectorized primitives per hop (repeat/arange gather + unique),
+        O(edges touched); both beat a dense device pass for single
+        traversals (CLAUDE.md r3 log). `limit<=0` traverses all `hops`.
         """
         self._ensure_final()
         es = self._edges[edge_type]
         indptr = es.rev_indptr if reverse else es.indptr
         indices = es.rev_dst if reverse else es.coo_dst
         n = self.n_nodes()
-        dist = np.full(n, -1, dtype=np.int32)
-        seeds = np.asarray([s for s in seed_ids if 0 <= s < n],
-                           dtype=np.int64)
-        if seeds.size == 0 or len(indices) == 0:
+        seeds32 = np.asarray([s for s in seed_ids if 0 <= s < n],
+                             dtype=np.int32)
+        if seeds32.size == 0 or len(indices) == 0:
             return (np.empty(0, np.int64), np.empty(0, np.int32))
+        from lattice_tpu.utils import native
+        nat = native.bfs_khop(
+            indptr, indices, self._alive_arr().view(np.uint8), seeds32,
+            hops, limit if limit else 0, self._bfs_scratch_for(n),
+            out_cap=(limit if limit and limit > 0 else n))
+        if nat is not None:
+            return nat[0].astype(np.int64, copy=False), nat[1]
+        dist = np.full(n, -1, dtype=np.int32)
+        seeds = seeds32.astype(np.int64)
         dist[seeds] = 0
         frontier = seeds
         out_ids: list[np.ndarray] = []
@@ -461,7 +481,8 @@ class GraphStore:
                                       limit)
         else:
             ids, depths = self._host_bfs(node_ids, edge_type, hops,
-                                         reverse=reverse)
+                                         reverse=reverse,
+                                         limit=limit or 0)
             if limit is not None and len(ids) > limit:
                 # discovery order is depth order; trim with id tiebreak
                 order = np.lexsort((ids, depths))[:limit]
@@ -523,6 +544,22 @@ class GraphStore:
             return []
         if (not device
                 or self.n_edges(edge_type) < self.DEVICE_BFS_THRESHOLD):
+            if not self._want_sharded():
+                es = self._edges[edge_type]
+                indptr = es.rev_indptr if reverse else es.indptr
+                indices = es.rev_dst if reverse else es.coo_dst
+                n = self.n_nodes()
+                clean = [[s for s in ss if 0 <= s < n] for ss in seed_sets]
+                if len(indices):
+                    from lattice_tpu.utils import native
+                    res = native.bfs_khop_batch(
+                        indptr, indices, self._alive_arr().view(np.uint8),
+                        clean, hops, limit or 0,
+                        out_cap=(limit if limit and limit > 0 else n))
+                    if res is not None:
+                        return [{int(v): int(d)
+                                 for v, d in zip(ids, depths)}
+                                for ids, depths in res]
             return [self.k_hop(s, edge_type, hops, reverse=reverse,
                                limit=limit) for s in seed_sets]
         n_pad = self._n_padded()

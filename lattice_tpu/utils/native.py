@@ -29,15 +29,16 @@ _load_failed = False
 def _build() -> bool:
     if not _SRC.is_file():
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-             "-o", str(_SO), str(_SRC)],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as exc:
-        logger.debug("native build failed: %s", exc)
-        return False
+    for extra in (["-fopenmp"], []):   # OpenMP for batch BFS; optional
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *extra,
+                 "-o", str(_SO), str(_SRC)],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError) as exc:
+            logger.debug("native build failed (%s): %s", extra, exc)
+    return False
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -49,7 +50,9 @@ def get_lib() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _SO.is_file() and not _build():
+        stale = (_SO.is_file() and _SRC.is_file()
+                 and _SRC.stat().st_mtime > _SO.stat().st_mtime)
+        if (not _SO.is_file() or stale) and not _build() and not _SO.is_file():
             _load_failed = True
             return None
         try:
@@ -69,6 +72,26 @@ def get_lib() -> ctypes.CDLL | None:
         lib.lattice_bpe_count.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
         lib.lattice_bpe_count.restype = ctypes.c_int64
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        try:
+            lib.lattice_bfs_khop.argtypes = [
+                _i64p, _i32p, _u8p, ctypes.c_int64,          # csr + alive + n
+                _i32p, ctypes.c_int64,                        # seeds
+                ctypes.c_int32, ctypes.c_int64,               # hops, limit
+                _i32p, ctypes.c_int32,                        # mark, epoch
+                _i32p, _i32p, ctypes.c_int64]                 # out ids/depths/cap
+            lib.lattice_bfs_khop.restype = ctypes.c_int64
+            lib.lattice_bfs_khop_batch.argtypes = [
+                _i64p, _i32p, _u8p, ctypes.c_int64,
+                _i32p, _i64p, ctypes.c_int64,                 # seeds, offsets, Q
+                ctypes.c_int32, ctypes.c_int64,
+                _i32p, _i32p, _i64p, ctypes.c_int64]          # ids/depths/counts/cap
+            lib.lattice_bfs_khop_batch.restype = ctypes.c_int64
+        except AttributeError:
+            # stale .so without the BFS entry points; callers fall back
+            logger.debug("native BFS symbols missing; host paths degrade")
         _lib = lib
         return _lib
 
@@ -92,6 +115,95 @@ def sha256_bytes(data: bytes) -> str | None:
     out = ctypes.create_string_buffer(65)
     lib.lattice_sha256_bytes(data, len(data), out)
     return out.value.decode("ascii")
+
+
+class BFSScratch:
+    """Reusable epoch-marked visited array for the C++ k-hop BFS.
+
+    The mark array is allocated once per graph size and never re-zeroed
+    between queries — each call bumps the epoch and the kernel treats any
+    other value as unvisited. GraphStore keeps one of these per finalize
+    generation.
+    """
+
+    def __init__(self, n: int):
+        import numpy as np
+        self.n = n
+        self.mark = np.full(n, -1, dtype=np.int32)
+        self.epoch = 0
+
+    def next_epoch(self) -> int:
+        self.epoch += 1
+        if self.epoch >= 2**31 - 1:      # wrap: re-clear and restart
+            self.mark.fill(-1)
+            self.epoch = 1
+        return self.epoch
+
+
+def bfs_khop(indptr, indices, alive_u8, seeds, hops: int, limit: int,
+             scratch: BFSScratch, out_cap: int):
+    """Bounded k-hop BFS via the C++ kernel; None -> caller falls back.
+
+    Returns (ids[i32], depths[i32]) of alive reached nodes excluding the
+    seeds, in (depth, id) lexicographic order, truncated to out_cap.
+    `limit<=0` means unbounded (traverse all `hops` levels).
+    """
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lattice_bfs_khop"):
+        return None
+    n = len(indptr) - 1
+    out_ids = np.empty(out_cap, dtype=np.int32)
+    out_depths = np.empty(out_cap, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    written = lib.lattice_bfs_khop(
+        indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+        alive_u8.ctypes.data_as(u8p), n,
+        seeds.ctypes.data_as(i32p), len(seeds),
+        hops, limit,
+        scratch.mark.ctypes.data_as(i32p), scratch.next_epoch(),
+        out_ids.ctypes.data_as(i32p), out_depths.ctypes.data_as(i32p),
+        out_cap)
+    return out_ids[:written], out_depths[:written]
+
+
+def bfs_khop_batch(indptr, indices, alive_u8, seed_sets, hops: int,
+                   limit: int, out_cap: int):
+    """Q independent bounded traversals; OpenMP-parallel across queries.
+
+    Returns a list of (ids, depths) pairs, or None when the native
+    library is unavailable.
+    """
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lattice_bfs_khop_batch"):
+        return None
+    n = len(indptr) - 1
+    q = len(seed_sets)
+    flat = np.concatenate([np.asarray(s, dtype=np.int32)
+                           for s in seed_sets]) if q else \
+        np.empty(0, dtype=np.int32)
+    if flat.size == 0:
+        flat = np.empty(0, dtype=np.int32)
+    offsets = np.zeros(q + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seed_sets], out=offsets[1:])
+    out_ids = np.empty((q, out_cap), dtype=np.int32)
+    out_depths = np.empty((q, out_cap), dtype=np.int32)
+    out_counts = np.empty(q, dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.lattice_bfs_khop_batch(
+        indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+        alive_u8.ctypes.data_as(u8p), n,
+        flat.ctypes.data_as(i32p), offsets.ctypes.data_as(i64p), q,
+        hops, limit,
+        out_ids.ctypes.data_as(i32p), out_depths.ctypes.data_as(i32p),
+        out_counts.ctypes.data_as(i64p), out_cap)
+    return [(out_ids[i, :out_counts[i]].copy(),
+             out_depths[i, :out_counts[i]].copy()) for i in range(q)]
 
 
 class BPECounter:

@@ -310,3 +310,125 @@ int64_t lattice_bpe_count(void* handle, const char* text, int64_t len) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Bounded k-hop BFS over CSR (graph serving host path).
+//
+// Replaces the per-traversal Cypher round-trip of the reference
+// (src/lattice/query/graph_reasoning/queries.py:2-50 ORDER BY depth
+// LIMIT n). The NumPy frontier walk (index/graph_store.py:_host_bfs)
+// costs ~4 ms/query at 1M nodes / 10M edges — dominated by small-array
+// NumPy call overhead, not memory traffic, because serving traversals
+// stop at limit=50 results. This C++ walk with an epoch-marked visited
+// array runs the same bounded traversal in microseconds and batches
+// across queries with OpenMP on multi-core hosts.
+//
+// Semantics mirror _host_bfs exactly: seeds (even dead ones) expand,
+// dead nodes relay but never surface, results are (depth, id)
+// lexicographic, and expansion stops at the first depth level where the
+// cumulative alive count reaches `limit`.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+
+namespace bfs {
+
+static int64_t khop_one(const int64_t* indptr, const int32_t* indices,
+                        const uint8_t* alive, int64_t n,
+                        const int32_t* seeds, int64_t n_seeds,
+                        int32_t hops, int64_t limit,
+                        int32_t* mark, int32_t epoch,
+                        std::vector<int32_t>& frontier,
+                        std::vector<int32_t>& next,
+                        int32_t* out_ids, int32_t* out_depths,
+                        int64_t out_cap) {
+  frontier.clear();
+  for (int64_t i = 0; i < n_seeds; i++) {
+    int32_t s = seeds[i];
+    if (s < 0 || s >= n) continue;
+    if (mark[s] != epoch) {
+      mark[s] = epoch;
+      frontier.push_back(s);
+    }
+  }
+  int64_t written = 0, alive_cnt = 0;
+  for (int32_t hop = 1; hop <= hops && !frontier.empty(); hop++) {
+    next.clear();
+    for (int32_t u : frontier) {
+      for (int64_t e = indptr[u]; e < indptr[u + 1]; e++) {
+        int32_t v = indices[e];
+        if (mark[v] != epoch) {
+          mark[v] = epoch;
+          next.push_back(v);
+        }
+      }
+    }
+    if (next.empty()) break;
+    std::sort(next.begin(), next.end());
+    for (int32_t v : next) {
+      if (alive[v]) {
+        alive_cnt++;
+        if (written < out_cap) {
+          out_ids[written] = v;
+          out_depths[written] = hop;
+          written++;
+        }
+      }
+    }
+    if (limit > 0 && alive_cnt >= limit) break;
+    frontier.swap(next);
+  }
+  return written;
+}
+
+}  // namespace bfs
+
+extern "C" {
+
+// Single traversal. `mark` is caller-owned scratch [n] (epoch-tagged so
+// it is never re-zeroed between queries); returns alive nodes written.
+int64_t lattice_bfs_khop(const int64_t* indptr, const int32_t* indices,
+                         const uint8_t* alive, int64_t n,
+                         const int32_t* seeds, int64_t n_seeds,
+                         int32_t hops, int64_t limit,
+                         int32_t* mark, int32_t epoch,
+                         int32_t* out_ids, int32_t* out_depths,
+                         int64_t out_cap) {
+  std::vector<int32_t> frontier, next;
+  return bfs::khop_one(indptr, indices, alive, n, seeds, n_seeds, hops,
+                       limit, mark, epoch, frontier, next, out_ids,
+                       out_depths, out_cap);
+}
+
+// Q independent traversals; seeds are flattened with prefix offsets
+// [Q+1]. Outputs are [Q, out_cap] row-major; out_counts[q] says how many
+// entries of row q are valid. OpenMP splits queries across cores when
+// compiled with -fopenmp (per-thread visited scratch).
+int64_t lattice_bfs_khop_batch(const int64_t* indptr, const int32_t* indices,
+                               const uint8_t* alive, int64_t n,
+                               const int32_t* seeds,
+                               const int64_t* seed_offsets, int64_t n_queries,
+                               int32_t hops, int64_t limit,
+                               int32_t* out_ids, int32_t* out_depths,
+                               int64_t* out_counts, int64_t out_cap) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<int32_t> mark((size_t)n, -1);
+    std::vector<int32_t> frontier, next;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+    for (int64_t q = 0; q < n_queries; q++) {
+      out_counts[q] = bfs::khop_one(
+          indptr, indices, alive, n, seeds + seed_offsets[q],
+          seed_offsets[q + 1] - seed_offsets[q], hops, limit, mark.data(),
+          (int32_t)q, frontier, next, out_ids + q * out_cap,
+          out_depths + q * out_cap, out_cap);
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

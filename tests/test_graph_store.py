@@ -347,3 +347,90 @@ class TestTracer:
         assert report["phase.x"]["total_ms"] >= 0
         tracer.reset()
         assert tracer.report() == {}
+
+
+class TestNativeBFS:
+    """C++ bounded k-hop (native/lattice_native.cpp lattice_bfs_khop*)
+    vs the NumPy fallback walk — the two must agree exactly, including
+    tombstone relay semantics and the (depth, id) limit trim.
+    Reference semantic: transitive caller/callee traversals with
+    ORDER BY depth LIMIT n (`query/graph_reasoning/queries.py:2-50`)."""
+
+    @pytest.fixture
+    def random_graph(self):
+        rng = np.random.default_rng(7)
+        n, e = 600, 4000
+        g = GraphStore()
+        g.add_nodes_bulk([f"r.n{i}" for i in range(n)],
+                         EntityType.FUNCTION)
+        g.add_edges_bulk(rng.integers(0, n, e).astype(np.int32),
+                         rng.integers(0, n, e).astype(np.int32),
+                         EdgeType.CALLS)
+        # tombstone a stripe WITHOUT dropping edges: dead nodes must
+        # relay frontiers but never surface in results
+        for i in range(0, n, 13):
+            g._alive[i] = False
+        g.finalize()
+        return g, rng
+
+    def test_native_library_has_bfs(self):
+        from lattice_tpu.utils import native
+        lib = native.get_lib()
+        if lib is None:
+            pytest.skip("native toolchain unavailable")
+        assert hasattr(lib, "lattice_bfs_khop")
+        assert hasattr(lib, "lattice_bfs_khop_batch")
+
+    def _force_numpy(self, monkeypatch):
+        from lattice_tpu.utils import native
+        monkeypatch.setattr(native, "bfs_khop", lambda *a, **k: None)
+        monkeypatch.setattr(native, "bfs_khop_batch",
+                            lambda *a, **k: None)
+
+    @pytest.mark.parametrize("limit", [None, 25, 3])
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_khop_parity_vs_numpy(self, random_graph, monkeypatch,
+                                  limit, reverse):
+        g, rng = random_graph
+        for hops in (1, 2, 4):
+            seeds = rng.integers(0, 600, 3).tolist()
+            native_out = g.k_hop(seeds, EdgeType.CALLS, hops,
+                                 reverse=reverse, limit=limit)
+            with monkeypatch.context() as m:
+                self._force_numpy(m)
+                numpy_out = g.k_hop(seeds, EdgeType.CALLS, hops,
+                                    reverse=reverse, limit=limit)
+            assert native_out == numpy_out
+
+    def test_dead_nodes_relay_but_never_surface(self, random_graph):
+        g, _ = random_graph
+        out = g.k_hop([1, 2, 3], EdgeType.CALLS, 4)
+        assert out and all(g._alive[v] for v in out)
+
+    def test_dead_seed_expands(self, call_graph):
+        g, ids = call_graph
+        g._alive[ids["a"]] = False
+        g._alive_np = None   # invalidate cached alive array
+        out = g.k_hop([ids["a"]], EdgeType.CALLS, 1)
+        assert ids["b"] in out and ids["c"] in out
+
+    def test_batch_parity_vs_numpy(self, random_graph, monkeypatch):
+        g, rng = random_graph
+        seed_sets = [rng.integers(0, 600, 2).tolist() for _ in range(12)]
+        seed_sets.append([])          # empty seed set row
+        seed_sets.append([9999, -1])  # out-of-range seeds dropped
+        native_out = g.k_hop_batch(seed_sets, EdgeType.CALLS, 3, limit=25)
+        with monkeypatch.context() as m:
+            self._force_numpy(m)
+            numpy_out = g.k_hop_batch(seed_sets, EdgeType.CALLS, 3,
+                                      limit=25)
+        assert native_out == numpy_out
+
+    def test_limit_is_depth_then_id_prefix(self, random_graph):
+        g, rng = random_graph
+        seeds = rng.integers(0, 600, 2).tolist()
+        full = g.k_hop(seeds, EdgeType.CALLS, 3)
+        trimmed = g.k_hop(seeds, EdgeType.CALLS, 3, limit=10)
+        want = dict(sorted(full.items(),
+                           key=lambda t: (t[1], t[0]))[:10])
+        assert trimmed == want
