@@ -213,8 +213,8 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
     from lattice_tpu.ops import topk as topk_ops
     from lattice_tpu.ops.ranking import (FuseWeights,
                                          fused_rank_rows_sparse,
-                                         hybrid_rank_device,
-                                         pack_weights)
+                                         hybrid_rank_device_packed,
+                                         pack_reach, pack_weights)
     from lattice_tpu.query.query_planner import QueryPlanner
 
     planner = QueryPlanner()
@@ -232,23 +232,24 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
     rng = np.random.default_rng(2)
     R_CAP = 1 << 16  # sparse-reach pad bucket (stable jit key)
 
+    rel_table = jnp.asarray(np.asarray([0.7, 0.7, 0.7, 0.0], np.float32))
+    no_match = jnp.asarray(np.full(64, -1, np.int32))
+
     def one_query(qvec, seed_id):
         plan = planner.plan_heuristic(f"who calls f{seed_id}?")  # host plan
         f_ids, f_d = graph._host_bfs([seed_id], EdgeType.CALLS, 5)
         b_ids, b_d = graph._host_bfs([seed_id], EdgeType.CALLS, 5,
                                      reverse=True)
-        ids = np.concatenate([[seed_id], f_ids, b_ids])[:R_CAP]
-        depths = np.concatenate([[0], f_d, b_d])[:R_CAP].astype(np.int32)
-        rel = np.full(len(ids), 0.7, np.float32)
-        pad = R_CAP - len(ids)
-        ids = np.concatenate([ids, np.full(pad, -1)]).astype(np.int32)
-        depths = np.concatenate([depths, np.zeros(pad, np.int32)])
-        rel = np.concatenate([rel, np.zeros(pad, np.float32)])
+        ids = np.concatenate([[seed_id], f_ids, b_ids])
+        depths = np.concatenate([[0], f_d, b_d]).astype(np.int32)
+        # reach rides packed: 4 B/entry instead of 12 (the upload through
+        # the relay dominated this path's p50 in r3)
+        packed = pack_reach(ids, depths, np.zeros(len(ids), np.uint8),
+                            R_CAP)
         # ONE device execution: cosine + scatter + fuse + selection
-        scores, rows = hybrid_rank_device(
-            qvec, emb, valid,
-            jnp.asarray(ids), jnp.asarray(depths), jnp.asarray(rel),
-            degree, match, quality, weights, 50)
+        scores, rows = hybrid_rank_device_packed(
+            qvec, emb, valid, jnp.asarray(packed), rel_table, no_match,
+            degree, quality, weights, 50)
         np.asarray(rows)
         del plan
 

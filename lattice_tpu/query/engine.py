@@ -331,8 +331,8 @@ class QueryEngine:
         from lattice_tpu.core.types import EdgeType, ResultSource
         from lattice_tpu.ops import graph_kernels as gk
         from lattice_tpu.ops.ranking import (FuseWeights,
-                                             hybrid_rank_device,
-                                             pack_weights)
+                                             hybrid_rank_device_packed,
+                                             pack_reach, pack_weights)
         from lattice_tpu.query.ranking.models import RankedResult
         from lattice_tpu.query.ranking.scorer import (
             _DEFAULT_RELEVANCE,
@@ -375,25 +375,26 @@ class QueryEngine:
                 np.asarray(seeds, np.int64), f_ids, b_ids])
             n_depths = np.concatenate([
                 np.zeros(len(seeds), np.int32), f_d, b_d])
-            n_rel = np.concatenate([
-                np.full(len(seeds), rel_primary, np.float32),
-                np.full(len(f_ids), rel_callee, np.float32),
-                np.full(len(b_ids), rel_caller, np.float32)])
+            # rel CLASS per node (0=primary, 1=callee, 2=caller); actual
+            # relevance values ride in a [4] table so the reach packs to
+            # one int32 per entry (pack_reach)
+            n_cls = np.concatenate([
+                np.zeros(len(seeds), np.uint8),
+                np.full(len(f_ids), 1, np.uint8),
+                np.full(len(b_ids), 2, np.uint8)])
         else:
             n_ids = np.empty(0, np.int64)
             n_depths = np.empty(0, np.int32)
-            n_rel = np.empty(0, np.float32)
+            n_cls = np.empty(0, np.uint8)
+        rel_table = np.asarray(
+            [rel_primary, rel_callee, rel_caller, 0.0], np.float32)
         reach_set = {int(v): int(d) for v, d in zip(n_ids, n_depths)}
         # node->row expansion through the resident reverse CSR, host-side
-        r_rows, r_depths, r_rel = cols.rows_for_nodes(n_ids, n_depths,
-                                                      n_rel)
+        r_rows, r_depths, r_cls = cols.rows_for_nodes(n_ids, n_depths,
+                                                      n_cls)
         # pad the sparse reach to a geometric bucket for a stable jit key
         r_cap = gk.geometric_bucket(max(len(r_rows), 1), floor=512)
-        pad = r_cap - len(r_rows)
-        r_rows = np.concatenate([r_rows, np.full(pad, -1, np.int32)])
-        r_depths = np.concatenate([r_depths,
-                                   np.zeros(pad, np.int32)]).astype(np.int32)
-        r_rel = np.concatenate([r_rel, np.zeros(pad, np.float32)])
+        packed = pack_reach(r_rows, r_depths, r_cls, r_cap)
 
         qvec = np.asarray(
             self.vector_searcher.embedder.embed(query_text),
@@ -404,18 +405,21 @@ class QueryEngine:
         inverted = store._inverted["graph_node_id"]
         for s in seeds:
             match_rows.extend(inverted.get(graph.node(s).qualified_name, ()))
-        match = jnp.zeros((store.capacity,), dtype=jnp.float32)
-        if match_rows:
-            match = match.at[jnp.asarray(
-                np.asarray(match_rows, np.int32))].set(1.0)
+        # small padded array; the scatter happens inside the fused
+        # execution instead of an extra eager device call per query
+        m_cap = gk.geometric_bucket(max(len(match_rows), 1), floor=64)
+        m_arr = np.full(m_cap, -1, np.int32)
+        m_n = min(len(match_rows), m_cap)
+        m_arr[:m_n] = match_rows[:m_n]
 
         weights = jnp.asarray(pack_weights(FuseWeights(
             *_weights_tuple(self.ranker.config, plan))))
         # one device execution: cosine pass + reach scatter + fuse + top-k
-        scores, rows = hybrid_rank_device(
+        scores, rows = hybrid_rank_device_packed(
             jnp.asarray(qvec), emb, valid,
-            jnp.asarray(r_rows), jnp.asarray(r_depths), jnp.asarray(r_rel),
-            cols.degree, match, cols.quality, weights, limit)
+            jnp.asarray(packed), jnp.asarray(rel_table),
+            jnp.asarray(m_arr),
+            cols.degree, cols.quality, weights, limit)
         scores, rows = np.asarray(scores), np.asarray(rows)
         elapsed_ms = (time.perf_counter() - t0) * 1000
 

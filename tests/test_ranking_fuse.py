@@ -164,6 +164,87 @@ class TestHybridRankDevice:
                                    atol=1e-5)
 
 
+class TestHybridRankDevicePacked:
+    """The 4 B/entry packed-reach path must equal the three-array path
+    entry for entry, including the in-execution entity-match scatter."""
+
+    def _setup(self, seed=9):
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops.ranking import FuseWeights, pack_weights
+        rng = np.random.default_rng(seed)
+        n, d = 300, 32
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        valid = np.ones(n, bool)
+        valid[[5, 120]] = False
+        q = rng.normal(size=(d,)).astype(np.float32) * 2.0
+        degree = rng.integers(0, 60, n).astype(np.int32)
+        quality = np.ones(n, np.float32)
+        w = jnp.asarray(pack_weights(FuseWeights()))
+        return rng, n, emb, valid, q, degree, quality, w
+
+    def test_matches_unpacked(self):
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops.ranking import (hybrid_rank_device,
+                                             hybrid_rank_device_packed,
+                                             pack_reach)
+        rng, n, emb, valid, q, degree, quality, w = self._setup()
+        rel_table = np.asarray([1.0, 0.9, 0.7, 0.0], np.float32)
+        rows = rng.choice(n, size=20, replace=False).astype(np.int32)
+        depths = rng.integers(0, 6, 20).astype(np.int32)
+        cls = rng.integers(0, 3, 20).astype(np.uint8)
+        match_rows = np.asarray([3, 17, -1, -1], np.int32)
+
+        packed = pack_reach(rows, depths, cls, 32)
+        s1, r1 = hybrid_rank_device_packed(
+            jnp.asarray(q), jnp.asarray(emb), jnp.asarray(valid),
+            jnp.asarray(packed), jnp.asarray(rel_table),
+            jnp.asarray(match_rows), jnp.asarray(degree),
+            jnp.asarray(quality), w, 10)
+
+        reach = np.full(32, -1, np.int32)
+        reach[:20] = rows
+        dep = np.zeros(32, np.int32)
+        dep[:20] = depths
+        rel = np.zeros(32, np.float32)
+        rel[:20] = rel_table[cls]
+        match = np.zeros(n, np.float32)
+        match[[3, 17]] = 1.0
+        s2, r2 = hybrid_rank_device(
+            jnp.asarray(q), jnp.asarray(emb), jnp.asarray(valid),
+            jnp.asarray(reach), jnp.asarray(dep), jnp.asarray(rel),
+            jnp.asarray(degree), jnp.asarray(match),
+            jnp.asarray(quality), w, 10)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-5)
+
+    def test_pack_reach_roundtrip_and_bounds(self):
+        from lattice_tpu.ops.ranking import (REACH_ROW_BITS,
+                                             REACH_ROW_MASK, pack_reach)
+        rows = np.asarray([0, REACH_ROW_MASK, 12345], np.int64)
+        depths = np.asarray([0, 15, 99], np.int64)   # 99 clamps to 15
+        cls = np.asarray([0, 3, 2], np.uint8)
+        p = pack_reach(rows, depths, cls, 8)
+        assert (p[3:] == -1).all()
+        got_rows = p[:3] & REACH_ROW_MASK
+        got_depth = (p[:3] >> REACH_ROW_BITS) & 15
+        got_cls = (p[:3] >> 29) & 3
+        np.testing.assert_array_equal(got_rows, rows)
+        np.testing.assert_array_equal(got_depth, [0, 15, 15])
+        np.testing.assert_array_equal(got_cls, cls)
+        with np.testing.assert_raises(ValueError):
+            pack_reach(np.asarray([1 << REACH_ROW_BITS]),
+                       np.zeros(1), np.zeros(1), 4)
+
+    def test_truncates_overflowing_reach(self):
+        from lattice_tpu.ops.ranking import pack_reach
+        p = pack_reach(np.arange(100), np.zeros(100), np.zeros(100), 16)
+        assert len(p) == 16 and (p >= 0).all()
+
+
 class TestResultSerialization:
     def test_reference_dict_shape(self):
         """Parity: `query/ranking/utils.py:6-30` transport layout."""
