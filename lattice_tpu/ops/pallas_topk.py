@@ -790,6 +790,57 @@ def _binned_kernel_int4_matmul(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     out_keys_ref[:] = maxes
 
 
+def _binned_kernel_int4_fma(q_ref, inv2_ref, e_ref, es_ref, neg_ref,
+                            out_keys_ref, *, tile: int, n_rows: int,
+                            inner: int, shift: int):
+    """Int4 scan with the selection chain cut from ~9 to ~6 VPU ops.
+
+    The measured 1M/B=256 floor (6.2 ms, R3_TPU_RESULTS6) is the
+    per-element pack-keys/bin-max pass over [B, inner], not the unpack or
+    the DMA. Three algebraic moves shrink it:
+
+      * the query scale qs is positive and constant per row, so it
+        cannot change within-row ordering — hoisted out of the kernel
+        entirely (the wrapper restores true stage scores on the [B, k1]
+        winners);
+      * the +2.0 positivity bias becomes per-row 2/qs, so the packed
+        float is (true_score + 2) / qs — still positive for every real
+        cosine (> -2), and float truncation resolution becomes
+        RELATIVE (~5e-4 at winning scores vs the absolute 1e-3 of the
+        +2.0 scheme);
+      * the validity mask folds into an additive per-column term
+        (0 valid / -1e9 invalid), replacing the compare+select pair.
+
+    Chain: astype f32 -> bias add -> fma(es) -> bitcast -> and -> or.
+    """
+    q = q_ref[:]                                      # [B, d] i8
+    dims = (((1,), (1,)), ((), ()))
+    inv2 = inv2_ref[:]                                # [B, 1] f32: 2/qs
+    maxes = None
+    for h in range(tile // inner):
+        x = e_ref[pl.ds(h * inner, inner), :].astype(jnp.int32)
+        lo = ((x & 0xF) - 8).astype(jnp.int8)         # biased low nibble
+        hi = (x >> 4).astype(jnp.int8)                # dims [d/2, d)
+        dh = x.shape[1]
+        acc = jax.lax.dot_general(q[:, :dh], lo, dimension_numbers=dims,
+                                  preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(q[:, dh:], hi,
+                                        dimension_numbers=dims,
+                                        preferred_element_type=jnp.int32)
+        b = acc.shape[0]
+        es_half = es_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        neg_half = neg_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        bias = inv2 + neg_half                        # [B, inner]
+        scores = acc.astype(jnp.float32) * es_half + bias
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        keys = (bits & ~((1 << shift) - 1)) | cols
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
+
+
 def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
                         out_keys_ref, *, tile: int, n_rows: int, inner: int,
                         shift: int):
@@ -831,7 +882,7 @@ def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "inner", "interpret",
-                                    "unpack"))
+                                    "unpack", "selection"))
 def binned_topk_int4(
     q_values: jax.Array,     # [B, d] i8 (queries stay int8 — asymmetric)
     q_scales: jax.Array,     # [B] f32
@@ -843,6 +894,7 @@ def binned_topk_int4(
     inner: int | None = None,
     interpret: bool = False,
     unpack: str = "vpu",
+    selection: str = "fma",
 ) -> tuple[jax.Array, jax.Array]:
     """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
 
@@ -853,7 +905,10 @@ def binned_topk_int4(
     biased-nibble identity (`_binned_kernel_int4_matmul`) — measured
     A/B on v5e at 1M x 768 B=256: 6.22 vs 6.75 ms/call (R3_TPU_RESULTS6,
     winners identical), i.e. the extra half-width matmul costs more than
-    the VPU unpack it removes, so the kernel is NOT unpack-bound."""
+    the VPU unpack it removes, so the kernel is NOT unpack-bound.
+    `selection` picks the pack-keys chain: "fma" (default) hoists the
+    per-row query scale and folds bias+mask into one fma+add
+    (`_binned_kernel_int4_fma`); "mul" keeps the original chain."""
     n, dh = e_packed.shape
     d = dh * 2
     assert q_values.shape[1] == d, (q_values.shape, d)
@@ -867,8 +922,19 @@ def binned_topk_int4(
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
     valid_i8 = _as_valid_col(valid, n)
-    body = (_binned_kernel_int4_matmul if unpack == "matmul"
-            else _binned_kernel_int4)
+    use_fma = selection == "fma" and unpack == "vpu"
+    if use_fma:
+        body = _binned_kernel_int4_fma
+        # hoisted-scale form: per-row bias 2/qs (padded rows -> 1.0) and
+        # the validity mask as an additive column (0 / -1e9)
+        qs_safe = jnp.where(q_scales > 0, q_scales, 1.0)
+        q_col = (2.0 / qs_safe).reshape(b, 1).astype(jnp.float32)
+        mask_col = jnp.where(valid_i8 != 0, 0.0, -1e9).astype(jnp.float32)
+    else:
+        body = (_binned_kernel_int4_matmul if unpack == "matmul"
+                else _binned_kernel_int4)
+        q_col = q_scales.reshape(b, 1)
+        mask_col = valid_i8
     kernel = functools.partial(body, tile=tile, n_rows=n,
                                inner=_pick_inner(tile, inner),
                                shift=_tile_shift(tile))
@@ -894,10 +960,15 @@ def binned_topk_int4(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_values, q_scales.reshape(b, 1), e_packed,
-      _as_scales_col(e_scales, n), valid_i8)
+    )(q_values, q_col, e_packed,
+      _as_scales_col(e_scales, n), mask_col)
     k1 = min(max(k, 16), n_tiles * BINS)
     s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
+    if use_fma:
+        # keys packed (true + 2)/qs; _unpack_score subtracted 2.0, so the
+        # true stage score is (u + 2) * qs - 2 per row
+        qs_b = qs_safe.reshape(b, 1)
+        s1 = jnp.where(s1 > NEG_INF / 2, (s1 + 2.0) * qs_b - 2.0, NEG_INF)
     return s1[:b_in], c1[:b_in]
 
 

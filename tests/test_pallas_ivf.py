@@ -341,11 +341,73 @@ class TestBinnedTopK:
             out[unpack] = binned_topk_int4(
                 jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
                 jnp.asarray(es), valid, 10, tile=256, interpret=True,
-                unpack=unpack)
+                unpack=unpack, selection="mul")
         np.testing.assert_array_equal(np.asarray(out["vpu"][1]),
                                       np.asarray(out["matmul"][1]))
         np.testing.assert_array_equal(np.asarray(out["vpu"][0]),
                                       np.asarray(out["matmul"][0]))
+
+    def test_int4_fma_selection_matches_mul(self):
+        """The hoisted-scale fma chain (default) must agree with the
+        original mul chain: same integer dot, different (finer) score
+        truncation — winner sets match on separated data, stage scores
+        within the coarser chain's resolution, invalid rows never
+        surface, and true near-duplicates always survive."""
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        rng = np.random.default_rng(33)
+        rows = list(range(40, 50))
+        emb, q = self._planted(1024, 64, rows, seed=5)
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = np.ones(1024, bool)
+        valid[rng.integers(0, 1024, 100)] = False
+        for r in rows:
+            valid[r] = True
+        args = (jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+                jnp.asarray(es), jnp.asarray(valid))
+        s_f, i_f = binned_topk_int4(*args, 10, tile=256, interpret=True,
+                                    selection="fma")
+        s_m, i_m = binned_topk_int4(*args, 10, tile=256, interpret=True,
+                                    selection="mul")
+        i_f, i_m = np.asarray(i_f), np.asarray(i_m)
+        s_f, s_m = np.asarray(s_f), np.asarray(s_m)
+        assert set(rows) <= set(i_f[0].tolist())
+        assert not (set(i_f[0].tolist()) & set(np.flatnonzero(~valid)))
+        ref = {int(c): float(s) for c, s in zip(i_m[0], s_m[0])}
+        for c, s in zip(i_f[0], s_f[0]):
+            if int(c) in ref:
+                assert abs(ref[int(c)] - float(s)) < 2e-3
+
+    def test_int4_fma_all_negative_scores(self):
+        """Anti-correlated corpus: every true score is negative. The
+        hoisted (true+2)/qs packing must stay positive and keep exact
+        ordering (the naive hoist, acc*es alone, would bitcast negative
+        floats and reverse their order)."""
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        rng = np.random.default_rng(7)
+        base = topk_ops.l2_normalize(rng.normal(size=(1, 64)))
+        noise = rng.normal(size=(256, 64)) * 0.05
+        emb = topk_ops.l2_normalize(-np.abs(rng.normal()) * base + noise)
+        emb = topk_ops.l2_normalize(
+            np.where(emb @ base.T > 0, -emb, emb))   # all anti-aligned
+        q = base
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = jnp.asarray(np.ones(256, bool))
+        s_f, i_f = binned_topk_int4(
+            jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+            jnp.asarray(es), valid, 8, tile=128, interpret=True,
+            selection="fma")
+        assert (np.asarray(s_f)[0] < 0).all()
+        # oracle: dequantized int4 scores, exact
+        from lattice_tpu.ops.quant import unpack_int4
+        deq = np.asarray(unpack_int4(jnp.asarray(ep))).astype(np.float32)
+        deq = deq * np.asarray(es)[:, None]
+        qd = np.asarray(qv)[0].astype(np.float32) * float(np.asarray(qs)[0])
+        exact = deq @ qd
+        want = set(np.argsort(exact)[-8:].tolist())
+        got = set(np.asarray(i_f)[0].tolist())
+        assert len(want & got) >= 7   # packed truncation may swap 1 near-tie
 
     def test_int4_kernel_matches_xla_fallback(self):
         # identical integer math in the Pallas kernel and the XLA unpack
