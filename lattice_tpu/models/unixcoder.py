@@ -65,10 +65,26 @@ class UniXcoderConfig:
     # R3_TPU_RESULTS10 — XLA already runs the three shared-LHS matmuls
     # near this stack's efficiency floor), kept for A/B evidence.
     fused_qkv: bool = False
+    # ops/attention.paired_attention: head-PAIR Pallas kernel sized for
+    # head_dim 64 at L <= 512 — full-row softmax in VMEM (no [B,H,L,L]
+    # HBM tensor, no online-softmax machinery, no transpose feeding it).
+    # None = auto (off until measured on chip); LATTICE_PAIRED_ATTN=0/1
+    # overrides.
+    paired_attention: bool | None = None
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+
+def _paired_enabled(cfg: "UniXcoderConfig") -> bool:
+    import os
+    env = os.environ.get("LATTICE_PAIRED_ATTN")
+    if env is not None:
+        return env == "1"
+    if cfg.paired_attention is not None:
+        return cfg.paired_attention
+    return False
 
 
 def _flash_enabled(cfg: "UniXcoderConfig") -> bool:
@@ -107,6 +123,21 @@ class SelfAttention(nn.Module):
             q = dense("query")(hidden)
             k = dense("key")(hidden)
             v = dense("value")(hidden)
+
+        if (_paired_enabled(cfg) and head_dim == 64
+                and cfg.num_heads % 2 == 0 and hidden.shape[1] >= 8):
+            # head-pair kernel consumes the projections in their native
+            # [B, L, H*64] layout — no split/transpose at all
+            from lattice_tpu.ops.attention import paired_attention
+            ctx = paired_attention(
+                q.astype(cfg.compute_dtype), k.astype(cfg.compute_dtype),
+                v.astype(cfg.compute_dtype), mask,
+                float(1.0 / np.sqrt(head_dim)),
+                interpret=jax.default_backend() == "cpu")
+            out = nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype,
+                           param_dtype=jnp.float32, name="output")(
+                ctx.astype(cfg.compute_dtype))
+            return out
 
         def split(x):
             return x.reshape(x.shape[0], x.shape[1], cfg.num_heads, head_dim)
@@ -288,6 +319,44 @@ class UniXcoderModel:
                        else x),
             self.params)
         self.weights_fingerprint += "+bf16serve"
+
+    def pin_serving_layouts(self, batch: int, length: int) -> bool:
+        """AOT-compile the serving shape with AUTO layouts and re-place
+        the param tree in the executable's preferred formats.
+
+        The r3 xplane decode showed per-call param copies and an
+        in-program transpose of every FFN output kernel (f32[3072,768]
+        -> [768,3072] custom-call) — XLA relayouts arguments whose
+        stored layout differs from what the compiled program wants.
+        Compiling with `Format(Layout.AUTO)` lets XLA pick argument
+        layouts for the program, and `device_put`ting the params into
+        exactly those formats makes every subsequent call start from
+        relayout-free inputs. Serving uses one (batch, length) bucket at
+        a time; other shapes fall back to the regular jit cache.
+        Returns False (and changes nothing) if the layout API is
+        unavailable.
+        """
+        try:
+            from jax.experimental.layout import Format, Layout
+        except ImportError:                      # pragma: no cover
+            return False
+        ids = jnp.zeros((batch, length), jnp.int32)
+        msk = jnp.ones((batch, length), jnp.int32)
+        try:
+            fwd = jax.jit(self._forward_impl,
+                          in_shardings=Format(Layout.AUTO))
+            compiled = fwd.lower(self.params, ids, msk).compile()
+            arg_formats, _kw = compiled.input_formats
+            self.params = jax.device_put(self.params, arg_formats[0])
+        except Exception as exc:                 # noqa: BLE001
+            logger.warning("layout pinning unavailable: %s", exc)
+            return False
+        # a fresh default jit keys its compile cache on the (now
+        # XLA-preferred) argument layouts, so calls run relayout-free;
+        # the AUTO-constrained executable itself only accepts
+        # ShapeDtypeStructs and is discarded
+        self._forward = jax.jit(self._forward_impl)
+        return True
 
     def use_mesh(self, mesh) -> None:
         """Shard the encoder over a device mesh: batch rows over `data`

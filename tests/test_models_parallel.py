@@ -348,6 +348,78 @@ class TestFusedQKV:
         m2.enable_fused_qkv()  # idempotent
 
 
+class TestPairedAttention:
+    def test_kernel_matches_oracle(self):
+        from lattice_tpu.ops.attention import (attention_oracle,
+                                               paired_attention)
+        import jax.numpy as jnp
+        rng = np.random.default_rng(2)
+        B, L, w = 3, 64, 256     # 4 heads of 64
+        q = rng.normal(size=(B, L, w)).astype(np.float32)
+        k = rng.normal(size=(B, L, w)).astype(np.float32)
+        v = rng.normal(size=(B, L, w)).astype(np.float32)
+        mask = np.ones((B, L), np.int32)
+        mask[0, 40:] = 0
+        mask[2, 5:] = 0
+        out = np.asarray(paired_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), 0.125, interpret=True))
+        ref = attention_oracle(q, k, v, mask, 0.125)
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+        # padded keys must receive zero attention: perturbing them is a
+        # no-op on the output
+        k2, v2 = k.copy(), v.copy()
+        k2[0, 40:] += 100.0
+        v2[0, 40:] -= 50.0
+        out2 = np.asarray(paired_attention(
+            jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(mask), 0.125, interpret=True))
+        np.testing.assert_allclose(out2[0], out[0], atol=2e-4)
+
+    def test_model_parity_vs_vanilla_einsum(self):
+        """Switching the attention implementation must not change the
+        embedding (same params, head_dim-64 config)."""
+        cfg = UniXcoderConfig(
+            vocab_size=512, hidden_size=128, num_layers=2, num_heads=2,
+            intermediate_size=256, max_position_embeddings=66,
+            dtype="float32")
+        m1 = UniXcoderModel(cfg, seed=7)
+        m2 = UniXcoderModel(dataclasses_replace(cfg, paired_attention=True),
+                            seed=7)
+        rng = np.random.default_rng(3)
+        ids = rng.integers(5, 500, (2, 32)).astype(np.int32)
+        mask = np.ones_like(ids)
+        mask[:, 24:] = 0
+        np.testing.assert_allclose(m1.encode(ids, mask),
+                                   m2.encode(ids, mask), atol=2e-4)
+
+    def test_pin_serving_layouts_keeps_numerics(self):
+        cfg = UniXcoderConfig(
+            vocab_size=512, hidden_size=128, num_layers=2, num_heads=2,
+            intermediate_size=256, max_position_embeddings=66,
+            dtype="float32")
+        m = UniXcoderModel(cfg, seed=7)
+        ids = np.random.default_rng(0).integers(
+            5, 500, (2, 32)).astype(np.int32)
+        mask = np.ones_like(ids)
+        before = m.encode(ids, mask)
+        assert m.pin_serving_layouts(2, 32)
+        np.testing.assert_allclose(before, m.encode(ids, mask), atol=1e-6)
+
+    def test_non64_head_dim_falls_back(self):
+        # TINY has head_dim 8 — the paired kernel must not engage
+        m = UniXcoderModel(dataclasses_replace(TINY, paired_attention=True),
+                           seed=1)
+        ids = np.full((1, 16), 7, np.int32)
+        out = m.encode(ids, np.ones_like(ids))
+        assert out.shape[0] == 1 and np.isfinite(out).all()
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
 class TestWeightLoading:
     def test_maps_synthetic_hf_checkpoint(self, tmp_path):
         """Fabricate a roberta.* torch state dict for the tiny config and
