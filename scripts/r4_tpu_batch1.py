@@ -371,10 +371,11 @@ def phase_b():
 
     # bulk build-to-serve at 1M (bench key validation)
     import ml_dtypes
+    chunk = min(1 << 16, N1M)
     host_rows = np.asarray(
-        rng.normal(size=(1 << 16, DIM))).astype(ml_dtypes.bfloat16)
-    reps = N1M // host_rows.shape[0]
-    host_rows = np.tile(host_rows, (reps, 1))
+        rng.normal(size=(chunk, DIM))).astype(ml_dtypes.bfloat16)
+    reps = (N1M + chunk - 1) // chunk
+    host_rows = np.tile(host_rows, (reps, 1))[:N1M]
     t0 = time.perf_counter()
     dev_rows = jax.device_put(host_rows)
     store_b = ChunkStore.from_device_arrays(dev_rows,
