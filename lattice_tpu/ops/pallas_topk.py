@@ -925,6 +925,12 @@ def binned_topk_int4(
     use_fma = selection == "fma" and unpack == "vpu"
     if use_fma:
         body = _binned_kernel_int4_fma
+        # the fma chain carries one extra [B, inner] f32 slab (the
+        # broadcast bias); at inner=2048/B=256 that overflows the 16 MB
+        # scoped-VMEM stack by ~0.9 MB (measured r4 batch 1) — halve the
+        # compute sub-tile, the DMA tile is unchanged
+        if inner is None:
+            inner = min(tile, 1024)
         # hoisted-scale form: per-row bias 2/qs (padded rows -> 1.0) and
         # the validity mask as an additive column (0 / -1e9)
         qs_safe = jnp.where(q_scales > 0, q_scales, 1.0)

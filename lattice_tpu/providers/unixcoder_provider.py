@@ -55,6 +55,19 @@ class UniXcoderEmbedder:
         self.max_length = max_length
         self.batch_size = batch_size
         self._maybe_shard()
+        # AOT layout pinning at the bulk-encode shape: with the paired
+        # attention kernel it measured 771 vs 730 chunks/s on v5e
+        # (R4_TPU_RESULTS1). TPU-only (one extra AOT compile at init);
+        # LATTICE_PIN_LAYOUTS=0 opts out.
+        try:
+            import jax as _jax
+            on_tpu = _jax.default_backend().lower() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if (on_tpu and _os.environ.get("LATTICE_PIN_LAYOUTS", "1") == "1"
+                and getattr(self.model, "mesh", None) is None):
+            self.model.pin_serving_layouts(self.batch_size,
+                                           self.max_length)
         if not self.model.loaded_pretrained:
             logger.info(
                 "UniXcoder running with random-init weights (no checkpoint "

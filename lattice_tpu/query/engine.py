@@ -361,13 +361,31 @@ class QueryEngine:
 
         cols = store.device_rank_columns(graph)
         hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
+        # Evidence budget: the shallowest `budget` reached nodes per
+        # direction ride to the device; beyond it the depth decay
+        # (0.8^5 ~= 0.33) has flattened graph credit and the upload
+        # bytes dominate single-query latency through the relay
+        # (unbounded 5-hop reach at 1M/10M measured ~600k nodes ->
+        # ~100 ms/query of BFS sort + upload, R4_TPU_RESULTS1).
+        import os as _os
+        budget = int(_os.environ.get("LATTICE_REACH_BUDGET", 32768)) // 2
         if seeds:
             # seeds always carry their depth-0 primary credit, even in a
             # graph with no CALLS edges (hierarchy/import-only corpora)
             if graph.n_edges(EdgeType.CALLS):
-                f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops)
+                f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
+                                             limit=budget)
                 b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
-                                             reverse=True)
+                                             reverse=True, limit=budget)
+                # the NumPy fallback walk ignores `limit`; trim to the
+                # same shallowest-(depth, id) prefix the native walk
+                # returns so rankings are backend-independent
+                if len(f_ids) > budget:
+                    o = np.lexsort((f_ids, f_d))[:budget]
+                    f_ids, f_d = f_ids[o], f_d[o]
+                if len(b_ids) > budget:
+                    o = np.lexsort((b_ids, b_d))[:budget]
+                    b_ids, b_d = b_ids[o], b_d[o]
             else:
                 f_ids = b_ids = np.empty(0, np.int64)
                 f_d = b_d = np.empty(0, np.int32)

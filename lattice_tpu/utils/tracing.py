@@ -186,20 +186,31 @@ def categorize_device_trace(trace_dir: str, top: int = 25) -> dict:
                 op_ps[name] = op_ps.get(name, 0.0) + ev.duration_ps
             tot = sum(op_ps.values())
             label = f"{plane.name}//{line.name}"
-            if best is None or tot > best[0]:
-                best = (tot, label, op_ps)
+            # the sync "XLA Ops" line tiles the timeline without
+            # nesting; "Async XLA Ops" events are overlapping waits
+            # (a 3 KB param prefetch shows 16 ms of wait there) and
+            # must never win the busiest-line pick
+            sync_pref = (line.name.strip() == "XLA Ops")
+            if best is None or (sync_pref, tot) > (best[3], best[0]):
+                best = (tot, label, op_ps, sync_pref)
     if best is None:
         return {"error": "no device plane found"}
-    total, label, op_ps = best
+    total, label, op_ps = best[0], best[1], best[2]
     cats: dict[str, float] = {}
+    opkind = re.compile(r"=\s+\S+\s+([\w-]+)\(")
     for name, ps in op_ps.items():
-        low = name.lower()
+        # classify by the op KIND on the assignment's right-hand side —
+        # substring search over the whole HLO line mislabels fusions
+        # whose OPERANDS mention custom-calls
+        m = opkind.search(name)
+        kind = (m.group(1) if m else name.split(" ", 1)[0]).lower()
         for cat, needles in _OP_CATEGORIES:
-            if any(nd in low for nd in needles):
+            if any(nd.rstrip("(.") in kind for nd in needles):
                 cats[cat] = cats.get(cat, 0.0) + ps
                 break
         else:
-            cats["other"] = cats.get("other", 0.0) + ps
+            cats[kind[:24] or "other"] = cats.get(kind[:24] or "other",
+                                                  0.0) + ps
     ops = sorted(op_ps.items(), key=lambda kv: -kv[1])[:top]
     trunc = lambda s: re.sub(r"\s+", " ", s)[:220]  # noqa: E731
     return {
