@@ -267,6 +267,39 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["hybrid_query_ms"] = round(_p50(times), 2)
 
+    # batched hybrid: Q queries' evidence in ONE upload + ONE execution.
+    # The single-query number above is relay-cycle-bound (~36 ms per
+    # fresh-upload barrier regardless of bytes, R4_TPU_RESULTS3);
+    # batching amortizes the cycles to ~1/Q.
+    from lattice_tpu.ops.ranking import hybrid_rank_device_packed_batch
+    QB = 16
+    seeds_b = [int(rng.integers(0, graph.n_nodes())) for _ in range(QB)]
+    sets_f = graph.k_hop_batch([[s] for s in seeds_b], EdgeType.CALLS, 5,
+                               limit=R_CAP // 2)
+    sets_b = graph.k_hop_batch([[s] for s in seeds_b], EdgeType.CALLS, 5,
+                               limit=R_CAP // 2, reverse=True)
+    packed_b = np.stack([
+        pack_reach(
+            np.concatenate([[s], list(f), list(b)]),
+            np.concatenate([[0], list(f.values()),
+                            list(b.values())]).astype(np.int32),
+            np.zeros(1 + len(f) + len(b), np.uint8), R_CAP)
+        for s, f, b in zip(seeds_b, sets_f, sets_b)])
+    match_b = np.full((QB, 64), -1, np.int32)
+
+    def batch_query():
+        _, rows = hybrid_rank_device_packed_batch(
+            q_dev[:QB], emb, valid, jnp.asarray(packed_b), rel_table,
+            jnp.asarray(match_b), degree, quality, weights, 50)
+        np.asarray(rows)
+
+    batch_query()
+    t0 = time.perf_counter()
+    for _ in range(4):
+        batch_query()
+    alt["hybrid_batch16_amortized_ms"] = round(
+        (time.perf_counter() - t0) * 1000.0 / (4 * QB), 2)
+
     # the device fuse's own cost (graph evidence precomputed)
     f_ids, f_d = graph._host_bfs([7], EdgeType.CALLS, 5)
     ids = np.full(R_CAP, -1, np.int32)

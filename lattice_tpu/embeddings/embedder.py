@@ -48,20 +48,32 @@ class Embedder:
     def embed_with_progress(
         self, texts: Sequence[str],
         callback: Callable[[int, int], None] | None = None,
-    ) -> np.ndarray:
+    ):
         """Batched embedding with a progress callback.
 
-        Reference: `embeddings/embedder.py:48-70`.
+        Reference: `embeddings/embedder.py:48-70`. When the provider
+        exposes `embed_batch_device` (the Flax UniXcoder path), the
+        result is a DEVICE array that `ChunkStore.add` consumes without
+        a host round-trip — through a relay-attached chip the per-batch
+        pooled readback costs ~30% of encoder throughput
+        (R4_TPU_RESULTS2).
         """
-        out: list[np.ndarray] = []
+        device_fn = getattr(self.provider, "embed_batch_device", None)
+        out: list = []
         total = len(texts)
         for start in range(0, total, self.batch_size):
             batch = texts[start:start + self.batch_size]
-            out.append(self.embed_batch(batch))
+            if device_fn is not None:
+                out.append(device_fn(list(batch)))
+            else:
+                out.append(self.embed_batch(batch))
             if callback is not None:
                 callback(min(start + self.batch_size, total), total)
         if not out:
             return np.zeros((0, self.dimensions), dtype=np.float32)
+        if device_fn is not None:
+            import jax.numpy as jnp
+            return jnp.concatenate(out) if len(out) > 1 else out[0]
         return np.concatenate(out, axis=0)
 
     async def embed_async(self, text: str) -> np.ndarray:

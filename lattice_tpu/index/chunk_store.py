@@ -240,10 +240,22 @@ class ChunkStore:
 
     # ---- mutation ------------------------------------------------------
 
-    def add(self, vectors: np.ndarray,
+    def add(self, vectors: np.ndarray | jax.Array,
             payloads: Sequence[dict[str, Any]]) -> list[int]:
-        """Insert normalized rows; returns assigned row ids."""
-        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        """Insert normalized rows; returns assigned row ids.
+
+        `vectors` may be a DEVICE array (e.g. straight from
+        `UniXcoderModel.encode_device`) — normalization then runs on
+        device and the embeddings never round-trip the host, which
+        matters through a relay-attached chip (the per-batch pooled
+        readback costs ~30% of encoder throughput, R4_TPU_RESULTS2).
+        """
+        on_device = isinstance(vectors, jax.Array)
+        if on_device:
+            if vectors.ndim == 1:
+                vectors = vectors[None, :]
+        else:
+            vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         if vectors.shape[1] != self.dim:
             raise VectorStoreError(
                 f"dim mismatch: got {vectors.shape[1]}, store is {self.dim}")
@@ -259,9 +271,13 @@ class ChunkStore:
                 self._next += 1
         if self._next > self._cap:
             self._grow(self._next)
-        normed = topk_ops.l2_normalize(vectors)
         idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
-        normed_dev = jnp.asarray(normed.astype(np.float32))
+        if on_device:
+            from lattice_tpu.ops.quant import _l2n
+            normed_dev = _l2n(vectors.astype(jnp.float32))
+        else:
+            normed = topk_ops.l2_normalize(vectors)
+            normed_dev = jnp.asarray(normed.astype(np.float32))
         top = max(rows)
         kept = {"emb": self._emb, "valid": self._valid}
         donated: dict[str, jax.Array] = {}

@@ -383,10 +383,15 @@ class UniXcoderModel:
         mesh = getattr(self, "mesh", None)
         return int(mesh.shape["data"]) if mesh is not None else 1
 
-    def encode(self, input_ids: np.ndarray,
-               attention_mask: np.ndarray) -> np.ndarray:
-        """Pooled [B, H] embeddings; pads L up to a static bucket (and B up
-        to a multiple of the data axis when mesh-sharded)."""
+    def encode_device(self, input_ids: np.ndarray,
+                      attention_mask: np.ndarray) -> "jax.Array":
+        """Pooled [B, H] embeddings LEFT ON DEVICE; pads L up to a static
+        bucket (and B up to a multiple of the data axis when
+        mesh-sharded). The device-resident form exists because a
+        per-batch host readback of the pooled block costs ~30% of
+        encoder throughput through the relay (798 vs 1130 chunks/s,
+        R4_TPU_RESULTS2) — bulk ingestion hands this straight to
+        `ChunkStore.add`, which quantizes on device anyway."""
         ids = np.asarray(input_ids, dtype=np.int32)
         mask = np.asarray(attention_mask, dtype=np.int32)
         if ids.ndim == 1:
@@ -411,7 +416,13 @@ class UniXcoderModel:
             ids_dev = jax.device_put(ids_dev, self._data_sharding)
             mask_dev = jax.device_put(mask_dev, self._data_sharding)
         pooled = self._forward(self.params, ids_dev, mask_dev)
-        return np.asarray(pooled, dtype=np.float32)[:b_in]
+        return pooled[:b_in]
+
+    def encode(self, input_ids: np.ndarray,
+               attention_mask: np.ndarray) -> np.ndarray:
+        """Pooled [B, H] embeddings on host (`encode_device` + readback)."""
+        return np.asarray(self.encode_device(input_ids, attention_mask),
+                          dtype=np.float32)
 
     # ---- HF weight loading (optional, offline-gated) -------------------
 

@@ -894,7 +894,7 @@ def binned_topk_int4(
     inner: int | None = None,
     interpret: bool = False,
     unpack: str = "vpu",
-    selection: str = "fma",
+    selection: str = "mul",
 ) -> tuple[jax.Array, jax.Array]:
     """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
 
@@ -906,9 +906,15 @@ def binned_topk_int4(
     A/B on v5e at 1M x 768 B=256: 6.22 vs 6.75 ms/call (R3_TPU_RESULTS6,
     winners identical), i.e. the extra half-width matmul costs more than
     the VPU unpack it removes, so the kernel is NOT unpack-bound.
-    `selection` picks the pack-keys chain: "fma" (default) hoists the
-    per-row query scale and folds bias+mask into one fma+add
-    (`_binned_kernel_int4_fma`); "mul" keeps the original chain."""
+    `selection` picks the pack-keys chain: "mul" (default) is the
+    original; "fma" hoists the per-row query scale and folds bias+mask
+    into one fma+add (`_binned_kernel_int4_fma`) — measured a LOSS on
+    v5e (R4 batch 3): its extra bias slab pushes tile 4096 over the
+    scoped-VMEM stack at every inner (16.2M vs the 16.0M limit — the
+    scoped cost is tile-dominated, not slab-dominated), and at tile
+    2048 the kernel is DMA-issue-bound so the ~3-op shorter chain
+    measures 6.5-7.6 ms vs mul@4096's 5.5 (winner agreement 0.979).
+    Kept for A/B evidence; the 5.3-5.5 ms selection floor stands."""
     n, dh = e_packed.shape
     d = dh * 2
     assert q_values.shape[1] == d, (q_values.shape, d)
@@ -927,10 +933,11 @@ def binned_topk_int4(
         body = _binned_kernel_int4_fma
         # the fma chain carries one extra [B, inner] f32 slab (the
         # broadcast bias); at inner=2048/B=256 that overflows the 16 MB
-        # scoped-VMEM stack by ~0.9 MB (measured r4 batch 1) — halve the
-        # compute sub-tile, the DMA tile is unchanged
+        # scoped-VMEM stack by ~0.9 MB and inner=1024 still by ~0.4 MB
+        # (Mosaic's scoped accounting is not purely slab-proportional —
+        # r4 batches 1/2) — 512 compiles with margin
         if inner is None:
-            inner = min(tile, 1024)
+            inner = min(tile, 512)
         # hoisted-scale form: per-row bias 2/qs (padded rows -> 1.0) and
         # the validity mask as an additive column (0 / -1e9)
         qs_safe = jnp.where(q_scales > 0, q_scales, 1.0)

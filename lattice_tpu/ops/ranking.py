@@ -280,6 +280,61 @@ def hybrid_rank_device_packed(
     return _select_topk(fused, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def hybrid_rank_device_packed_batch(
+    queries: jax.Array,         # [Q, d] f32 (unnormalized ok)
+    embeddings: jax.Array,      # [N, d] bf16/f32 corpus rows
+    valid: jax.Array,           # [N] bool
+    packed_reach: jax.Array,    # [Q, R] i32 (pack_reach rows, -1 pad)
+    rel_table: jax.Array,       # [4] f32
+    match_rows: jax.Array,      # [Q, M] i32 (-1 pad)
+    row_degree: jax.Array,      # [N] i32
+    quality: jax.Array,         # [N] f32
+    weights: jax.Array,         # [8] f32
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Q hybrid queries in ONE execution: batched cosine on the MXU,
+    then a `lax.scan` over per-query reach scatter + fuse + selection.
+
+    The single-query path pays ~two synchronous relay cycles (~36 ms
+    each on axon: one for the fresh evidence upload, one for the
+    dependent execution — R4_TPU_RESULTS3 stage breakdown), independent
+    of evidence BYTES. Batching Q queries' evidence into one [Q, R]
+    upload + one execution amortizes those cycles to ~cycles/Q; the
+    scatter/fuse is ~1.5 ms per query of device time at 1M rows.
+    Returns ([Q, k] scores, [Q, k] rows)."""
+    q = queries.astype(jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    scores = jax.lax.dot_general(
+        q, embeddings, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)      # [Q, N]
+    vec_all = jnp.where(valid[None, :], scores, NEG_INF)
+    n = embeddings.shape[0]
+
+    def body(_, per_q):
+        vec, packed, m_rows = per_q
+        on = packed >= 0
+        rows = packed & REACH_ROW_MASK
+        depth_p = (packed >> REACH_ROW_BITS) & REACH_DEPTH_MAX
+        rel_p = rel_table[(packed >> 29) & 3]
+        safe = jnp.clip(rows, 0, n - 1)
+        depth = jnp.full((n,), UNREACHED, dtype=jnp.int32).at[safe].min(
+            jnp.where(on, depth_p, UNREACHED).astype(jnp.int32))
+        rel = jnp.zeros((n,), dtype=jnp.float32).at[safe].max(
+            jnp.where(on, rel_p, 0.0))
+        m_on = m_rows >= 0
+        m_safe = jnp.clip(m_rows, 0, n - 1)
+        match = jnp.zeros((n,), dtype=jnp.float32).at[m_safe].max(
+            jnp.where(m_on, 1.0, 0.0))
+        fused = _fuse_scores(depth, rel, vec, match, row_degree,
+                             quality, weights)
+        return None, _select_topk(fused, k)
+
+    _, (top_s, top_i) = jax.lax.scan(
+        body, None, (vec_all, packed_reach, match_rows))
+    return top_s, top_i
+
+
 def pack_weights(w: FuseWeights) -> np.ndarray:
     return np.asarray([
         w.graph_weight, w.vector_weight, w.centrality_weight,

@@ -110,6 +110,25 @@ class UniXcoderEmbedder:
             out.extend(pooled.astype(np.float32).tolist())
         return out
 
+    def embed_batch_device(self, texts: list[str]):
+        """[B, 768] pooled embeddings LEFT ON DEVICE.
+
+        Bulk-indexing fast path: the per-batch pooled readback costs
+        ~30% of encoder throughput through a relay-attached chip (798
+        vs 1130 chunks/s, R4_TPU_RESULTS2). `ChunkStore.add` accepts
+        the device array directly, so ingestion never materializes
+        embeddings on the host."""
+        import jax.numpy as jnp
+        parts = []
+        for start in range(0, len(texts), self.batch_size):
+            group = texts[start:start + self.batch_size]
+            ids, mask = self.tokenizer.encode_batch(group, self.max_length)
+            parts.append(self.model.encode_device(np.asarray(ids),
+                                                  np.asarray(mask)))
+        if not parts:
+            return jnp.zeros((0, EMBEDDING_DIM), jnp.float32)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
 
 class UniXcoderEmbeddingProvider(BaseEmbeddingProvider):
     """Async provider seam (reference `:229-282`)."""
@@ -129,3 +148,7 @@ class UniXcoderEmbeddingProvider(BaseEmbeddingProvider):
 
     async def _embed_batch(self, texts: list[str]) -> list[list[float]]:
         return self._impl.embed_batch(texts)
+
+    def embed_batch_device(self, texts: list[str]):
+        """Sync device-resident bulk path (see UniXcoderEmbedder)."""
+        return self._impl.embed_batch_device(texts)

@@ -211,6 +211,13 @@ def categorize_device_trace(trace_dir: str, top: int = 25) -> dict:
         else:
             cats[kind[:24] or "other"] = cats.get(kind[:24] or "other",
                                                   0.0) + ps
+    # merge the long tail (async slice-starts etc.) into "other"
+    floor = total * 0.002
+    tail = {c: ps for c, ps in cats.items()
+            if ps < floor and c not in ("other",)}
+    if tail:
+        cats = {c: ps for c, ps in cats.items() if c not in tail}
+        cats["other"] = cats.get("other", 0.0) + sum(tail.values())
     ops = sorted(op_ps.items(), key=lambda kv: -kv[1])[:top]
     trunc = lambda s: re.sub(r"\s+", " ", s)[:220]  # noqa: E731
     return {

@@ -762,3 +762,63 @@ class TestQuantIncremental:
         s.search_quantized(_vecs(1, 16), k=3)
         s.add(_vecs(8, 16, seed=5), [{"file_path": "b.py"}] * 8)  # grows cap
         assert s._quant_dirty
+
+
+class TestDeviceResidentAdd:
+    """`add` with a DEVICE array must equal the NumPy path bit for bit —
+    the bulk-ingestion fast path hands `encode_device` output straight
+    to the store (R4: the per-batch pooled readback cost ~30% of
+    encoder throughput through the relay)."""
+
+    def test_device_add_matches_host_add(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(6, 32)).astype(np.float32)
+        pays = [{"content": f"c{i}", "file_path": "f.py",
+                 "name": f"e{i}"} for i in range(6)]
+        s1 = ChunkStore(32)
+        s1.add(vecs, pays)
+        s2 = ChunkStore(32)
+        s2.add(jnp.asarray(vecs), pays)
+        e1, v1 = s1.device_arrays
+        e2, v2 = s2.device_arrays
+        np.testing.assert_allclose(
+            np.asarray(e1[:6], dtype=np.float32),
+            np.asarray(e2[:6], dtype=np.float32), atol=1e-6)
+        q = rng.normal(size=(1, 32)).astype(np.float32)
+        r1 = s1.search(q, k=3)[0]
+        r2 = s2.search(q, k=3)[0]
+        assert [p["name"] for _, _, p in r1] == \
+            [p["name"] for _, _, p in r2]
+
+    def test_device_add_dim_mismatch_raises(self):
+        import jax.numpy as jnp
+        from lattice_tpu.core.errors import VectorStoreError
+        s = ChunkStore(32)
+        with pytest.raises(VectorStoreError):
+            s.add(jnp.ones((2, 16)), [{}, {}])
+
+    def test_embedder_device_path_roundtrip(self):
+        """A provider exposing embed_batch_device makes
+        embed_with_progress return a device array the store accepts."""
+        import jax.numpy as jnp
+        from lattice_tpu.embeddings.embedder import Embedder
+
+        class DevProvider:
+            dimensions = 16
+
+            def embed_batch(self, texts):
+                raise AssertionError("device path must be used")
+
+            def embed_batch_device(self, texts):
+                base = np.asarray(
+                    [[hash(t) % 7 + 1.0] * 16 for t in texts],
+                    np.float32)
+                return jnp.asarray(base)
+
+        emb = Embedder(DevProvider(), batch_size=2)
+        out = emb.embed_with_progress(["a", "b", "c"])
+        assert hasattr(out, "devices") and out.shape == (3, 16)
+        s = ChunkStore(16)
+        rows = s.add(out, [{"content": t} for t in "abc"])
+        assert len(rows) == 3

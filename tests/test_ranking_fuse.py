@@ -244,6 +244,41 @@ class TestHybridRankDevicePacked:
         p = pack_reach(np.arange(100), np.zeros(100), np.zeros(100), 16)
         assert len(p) == 16 and (p >= 0).all()
 
+    def test_batch_matches_per_query(self):
+        """The one-execution Q-query scan must equal Q single packed
+        calls exactly (same scatter, fuse, and selection per row)."""
+        import jax.numpy as jnp
+
+        from lattice_tpu.ops.ranking import (
+            hybrid_rank_device_packed, hybrid_rank_device_packed_batch,
+            pack_reach)
+        rng, n, emb, valid, q, degree, quality, w = self._setup(11)
+        rel_table = np.asarray([1.0, 0.9, 0.7, 0.0], np.float32)
+        Q = 5
+        queries = rng.normal(size=(Q, 32)).astype(np.float32)
+        packed = np.stack([
+            pack_reach(rng.choice(n, size=12, replace=False),
+                       rng.integers(0, 6, 12), rng.integers(0, 3, 12), 16)
+            for _ in range(Q)])
+        match = np.full((Q, 4), -1, np.int32)
+        match[0, :2] = [3, 17]
+        match[2, 0] = 40
+        bs, bi = hybrid_rank_device_packed_batch(
+            jnp.asarray(queries), jnp.asarray(emb), jnp.asarray(valid),
+            jnp.asarray(packed), jnp.asarray(rel_table),
+            jnp.asarray(match), jnp.asarray(degree),
+            jnp.asarray(quality), w, 7)
+        for qi in range(Q):
+            s1, i1 = hybrid_rank_device_packed(
+                jnp.asarray(queries[qi]), jnp.asarray(emb),
+                jnp.asarray(valid), jnp.asarray(packed[qi]),
+                jnp.asarray(rel_table), jnp.asarray(match[qi]),
+                jnp.asarray(degree), jnp.asarray(quality), w, 7)
+            np.testing.assert_array_equal(np.asarray(bi)[qi],
+                                          np.asarray(i1))
+            np.testing.assert_allclose(np.asarray(bs)[qi],
+                                       np.asarray(s1), atol=1e-5)
+
 
 class TestResultSerialization:
     def test_reference_dict_shape(self):
