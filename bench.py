@@ -657,13 +657,23 @@ def main() -> None:
     enc_model.pin_serving_layouts(ENCODE_BATCH, ENCODE_LEN)
     ids = np.ones((ENCODE_BATCH, ENCODE_LEN), dtype=np.int32)
     mask = np.ones_like(ids)
-    enc_model.encode(ids, mask)  # compile
+    # compile + drain the relay queue before timing (a warmup without a
+    # readback leaves the grant drain on the first timed iteration)
+    np.asarray(enc_model.encode_device(ids, mask))
+    # headline = the ingestion path: device-resident outputs, ONE
+    # readback at the end (the provider hands pooled blocks straight to
+    # ChunkStore.add — per-call readbacks cost ~30%, R4_TPU_RESULTS2)
     t0 = time.perf_counter()
     enc_iters = 4
     for _ in range(enc_iters):
-        out = enc_model.encode(ids, mask)
-    float(out[0, 0])
+        out_dev = enc_model.encode_device(ids, mask)
+    float(out_dev[0, 0])
     encode_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
+    # host loop (per-call readback) kept as a secondary number
+    t0 = time.perf_counter()
+    for _ in range(enc_iters):
+        enc_model.encode(ids, mask)
+    encode_host_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
     # model FLOPs per token: QKVO + FFN matmuls + the two [L,L] attention
     # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4 wants MFU reported)
     h, ff, nl, length = 768, 3072, 12, ENCODE_LEN
@@ -710,6 +720,7 @@ def main() -> None:
             "delta_upsert_ms_256rows": round(delta_ms, 1),
             "ivf_fresh_after_delta": ivf_still_fresh,
             "encode_chunks_per_s": round(encode_cps, 1),
+            "encode_host_loop_cps": round(encode_host_cps, 1),
             **alt,
         },
     }))

@@ -279,6 +279,17 @@ class ShardedQuantizedIndex:
         self.values = jax.device_put(jnp.asarray(values), self._val_sharding)
         self.scales = jax.device_put(jnp.asarray(scales), self._row_sharding)
         self.valid = jax.device_put(jnp.asarray(valid), self._row_sharding)
+        # kernel-layout [N, 1] columns, PRE-SHAPED per shard: the r4
+        # sharded trace showed the in-jit [N] -> [N,1] relayouts cost
+        # 1.5 ms of a 4.6 ms per-call device budget (R4_TPU_RESULTS4
+        # trace_sharded: %copy.9 + %reshape.55) — the same lesson the
+        # flat tier learned in r2 (`pallas_topk.scales_col`)
+        self.scales_col = jax.device_put(
+            jnp.asarray(scales).reshape(-1, 1).astype(jnp.float32),
+            self._val_sharding)
+        self.valid_col = jax.device_put(
+            jnp.asarray(valid).astype(jnp.int8).reshape(-1, 1),
+            self._val_sharding)
         self.full_precision = (
             jax.device_put(jnp.asarray(embeddings, dtype=jnp.bfloat16),
                            self._val_sharding)
@@ -287,13 +298,16 @@ class ShardedQuantizedIndex:
         self._force_pallas = False
         self._pallas_interpret = False
         self._update_fn = jax.jit(
-            lambda v, s, val, idx, nv, ns: (
-                v.at[idx].set(nv), s.at[idx].set(ns), val.at[idx].set(True)),
+            lambda v, s, val, scol, vcol, idx, nv, ns: (
+                v.at[idx].set(nv), s.at[idx].set(ns), val.at[idx].set(True),
+                scol.at[idx, 0].set(ns), vcol.at[idx, 0].set(1)),
             out_shardings=(self._val_sharding, self._row_sharding,
-                           self._row_sharding))
+                           self._row_sharding, self._val_sharding,
+                           self._val_sharding))
         self._invalidate_fn = jax.jit(
-            lambda val, idx: val.at[idx].set(False),
-            out_shardings=self._row_sharding)
+            lambda val, vcol, idx: (val.at[idx].set(False),
+                                    vcol.at[idx, 0].set(0)),
+            out_shardings=(self._row_sharding, self._val_sharding))
         self._update_fp_fn = jax.jit(
             lambda fp, idx, v: fp.at[idx].set(v.astype(jnp.bfloat16)),
             out_shardings=self._val_sharding)
@@ -319,8 +333,10 @@ class ShardedQuantizedIndex:
         quant = (quantize_rows_device if self.bits == 8
                  else quantize_rows_int4_device)
         nv, ns = quant(jnp.asarray(vectors, jnp.float32))
-        self.values, self.scales, self.valid = self._update_fn(
-            self.values, self.scales, self.valid, jnp.asarray(rows), nv, ns)
+        (self.values, self.scales, self.valid, self.scales_col,
+         self.valid_col) = self._update_fn(
+            self.values, self.scales, self.valid, self.scales_col,
+            self.valid_col, jnp.asarray(rows), nv, ns)
         if self.full_precision is not None:
             self.full_precision = self._update_fp_fn(
                 self.full_precision, jnp.asarray(rows),
@@ -334,7 +350,8 @@ class ShardedQuantizedIndex:
             dtype=np.int32)
         if rows.size == 0:
             return
-        self.valid = self._invalidate_fn(self.valid, jnp.asarray(rows))
+        self.valid, self.valid_col = self._invalidate_fn(
+            self.valid, self.valid_col, jnp.asarray(rows))
 
     def _build_search(self, k: int, with_mask: bool = False,
                       rescore: bool = True):
@@ -379,13 +396,19 @@ class ShardedQuantizedIndex:
         kk = (k1p if use_pallas else k1) if rescore else k_local
         has_fp = self.full_precision is not None
 
-        def local_topk(qf, qv, qs, v_shard, s_shard, valid_shard, fp_shard):
+        def local_topk(qf, qv, qs, v_shard, scol_shard, vcol_shard,
+                       fp_shard):
+            # scol/vcol arrive PRE-SHAPED [rows, 1] in the kernel layout
+            # (in-jit relayout cost 1.5 ms/call of a 4.6 ms device
+            # budget, R4_TPU_RESULTS4 trace)
             if use_pallas:
-                s1, c1 = binned(qv, qs, v_shard, s_shard, valid_shard,
+                s1, c1 = binned(qv, qs, v_shard, scol_shard, vcol_shard,
                                 kk, tile=tile, interpret=interp)
                 s1, c1 = s1[:, :kk], c1[:, :kk]
             else:
-                s1, c1 = xla_topk(qv, qs, v_shard, s_shard, valid_shard, kk)
+                s1, c1 = xla_topk(qv, qs, v_shard,
+                                  scol_shard.reshape(-1),
+                                  vcol_shard.reshape(-1).astype(bool), kk)
             if not rescore:
                 return s1[:, :k_local], c1[:, :k_local]
             # rescore even when kk == k_local: the Pallas first stage
@@ -399,7 +422,7 @@ class ShardedQuantizedIndex:
                 rows = v_shard[c1]                   # [B, k1, d(/2)] gather
                 if bits == 4:
                     rows = unpack_int4(rows)
-                emb = rows.astype(jnp.float32) * s_shard[c1][..., None]
+                emb = rows.astype(jnp.float32) * scol_shard[c1]
             sc = jnp.einsum("bd,bkd->bk", qf, emb,
                             precision=jax.lax.Precision.HIGHEST)
             sc = jnp.where(s1 > NEG_INF / 2, sc, NEG_INF)
@@ -416,7 +439,7 @@ class ShardedQuantizedIndex:
             top_s, pos = jax.lax.top_k(flat_s, min(k_out, d_ * kk))
             return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
-        def local_search(q_raw, v_shard, s_shard, valid_shard, *extra):
+        def local_search(q_raw, v_shard, scol_shard, vcol_shard, *extra):
             # normalize + quantize INSIDE the execution: replicated
             # per-shard compute is trivial, and the host-side version
             # cost one numpy pass + two extra uploads per call
@@ -426,9 +449,10 @@ class ShardedQuantizedIndex:
             extra = list(extra)
             fp_shard = extra.pop(0) if has_fp else None
             if extra:
-                valid_shard = valid_shard & extra[0]
+                # payload-filter mask ANDs into the validity column
+                vcol_shard = vcol_shard * extra[0][:, None].astype(jnp.int8)
             scores, idx = local_topk(q_f32, q_values, q_scales, v_shard,
-                                     s_shard, valid_shard, fp_shard)
+                                     scol_shard, vcol_shard, fp_shard)
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
                 shard_id = (jax.lax.axis_index(DCN_AXIS)
@@ -464,6 +488,27 @@ class ShardedQuantizedIndex:
         so scores come back f32-ordered (rescore=False keeps the raw
         single-stage quantized scan)."""
         with_mask = mask is not None
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        m_dev = None
+        if with_mask:
+            m = np.asarray(mask, dtype=bool)
+            pad = self.valid.shape[0] - m.shape[0]
+            if pad:
+                m = np.concatenate([m, np.zeros(pad, dtype=bool)])
+            m_dev = jax.device_put(jnp.asarray(m), self._row_sharding)
+        scores, idx = self.search_device(jnp.asarray(q), k, mask=m_dev,
+                                         rescore=rescore)
+        return np.asarray(scores), np.asarray(idx)
+
+    def search_device(self, queries: "jax.Array", k: int,
+                      mask: "jax.Array | None" = None, rescore: bool = True
+                      ) -> tuple["jax.Array", "jax.Array"]:
+        """Device-resident variant: [B, d] queries already on device,
+        results left on device. Serving loops batch uploads/readbacks
+        around MANY of these calls — a per-call 256x768 f32 query upload
+        through the ~20 MB/s relay costs ~39 ms against ~12 ms of device
+        compute (R4_TPU_RESULTS4 trace vs wall)."""
+        with_mask = mask is not None
         # the compiled closure bakes in the Pallas force/interpret flags,
         # so they must be part of the cache key (toggling them after a
         # first search would otherwise serve the stale kernel)
@@ -473,18 +518,12 @@ class ShardedQuantizedIndex:
         if fn is None:
             fn = self._build_search(k, with_mask, rescore)
             self._search_cache[key] = fn
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        args = [jnp.asarray(q), self.values, self.scales, self.valid]
+        args = [queries, self.values, self.scales_col, self.valid_col]
         if self.full_precision is not None:
             args.append(self.full_precision)
         if with_mask:
-            m = np.asarray(mask, dtype=bool)
-            pad = self.valid.shape[0] - m.shape[0]
-            if pad:
-                m = np.concatenate([m, np.zeros(pad, dtype=bool)])
-            args.append(jax.device_put(jnp.asarray(m), self._row_sharding))
-        scores, idx = fn(*args)
-        return np.asarray(scores), np.asarray(idx)
+            args.append(mask)
+        return fn(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "axis_name"))
