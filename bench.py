@@ -267,10 +267,30 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
         times.append((time.perf_counter() - t0) * 1000.0)
     alt["hybrid_query_ms"] = round(_p50(times), 2)
 
+    # the relay's synchronous floor: ONE trivial execution + scalar
+    # readback. Measured 33.8 ms p50 on the axon tunnel
+    # (R4_TPU_RESULTS5: sum of 8 floats; upload cycles 16KB->35 ms,
+    # 512KB->45 ms — cycle-bound, not byte-bound). Every single-query
+    # latency key above sits on this floor; the amortized keys are the
+    # device's actual service time.
+    import jax
+    tiny = jax.jit(lambda v: jnp.sum(v))
+    x_tiny = jnp.zeros((8,), jnp.float32)
+    float(tiny(x_tiny))
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(tiny(x_tiny))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    alt["relay_sync_floor_ms"] = round(_p50(times), 2)
+
     # batched hybrid: Q queries' evidence in ONE upload + ONE execution.
-    # The single-query number above is relay-cycle-bound (~36 ms per
-    # fresh-upload barrier regardless of bytes, R4_TPU_RESULTS3);
-    # batching amortizes the cycles to ~1/Q.
+    # The single-query number above is relay-cycle-bound: a trivial
+    # exec+readback costs 33.8 ms p50 through the tunnel and the full
+    # decomposition is e2e 43.4 = 2.8 host (plan+BFS+pack) + 2.7
+    # evidence upload + 37.7 exec+readback (R4_TPU_RESULTS5) — ~7 ms of
+    # actual work on a ~34 ms floor. Batching amortizes the cycle to
+    # ~1/Q.
     from lattice_tpu.ops.ranking import hybrid_rank_device_packed_batch
     QB = 16
     seeds_b = [int(rng.integers(0, graph.n_nodes())) for _ in range(QB)]

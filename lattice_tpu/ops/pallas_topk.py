@@ -841,6 +841,50 @@ def _binned_kernel_int4_fma(q_ref, inv2_ref, e_ref, es_ref, neg_ref,
     out_keys_ref[:] = maxes
 
 
+def _binned_kernel_int4_hoistq(q_ref, inv2_ref, e_ref, es_ref, valid_ref,
+                               out_keys_ref, *, tile: int, n_rows: int,
+                               inner: int, shift: int):
+    """Hoisted-query-scale chain at the mul chain's VMEM footprint.
+
+    The fma chain's two losses are repaired separately here: keep its
+    hoisted qs + bias-inside-the-fma (astype/fma/where/bitcast/and/or =
+    6 VPU ops vs mul's 8) but keep mul's WHERE-mask — the additive
+    mask column is what forced fma to pre-materialize an extra
+    [B, inner] bias slab (`inv2 + neg_half`) and pushed tile 4096 over
+    scoped VMEM, stranding it in the DMA-issue-bound tile-2048 regime
+    (6.5-7.6 ms vs mul@4096's 5.3-5.5, R4 batch 3). Packed float is
+    (true + 2) / qs: positive for every real cosine and row-monotonic
+    (qs > 0 per query row); the wrapper restores true winner scores.
+    `_pack_keys_fast`'s +2.0 is NOT applied — the bias is already in.
+    """
+    q = q_ref[:]                                      # [B, d] i8
+    dims = (((1,), (1,)), ((), ()))
+    inv2 = inv2_ref[:]                                # [B, 1] f32: 2/qs
+    maxes = None
+    for h in range(tile // inner):
+        x = e_ref[pl.ds(h * inner, inner), :].astype(jnp.int32)
+        lo = ((x & 0xF) - 8).astype(jnp.int8)         # biased low nibble
+        hi = (x >> 4).astype(jnp.int8)                # dims [d/2, d)
+        dh = x.shape[1]
+        acc = jax.lax.dot_general(q[:, :dh], lo, dimension_numbers=dims,
+                                  preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(q[:, dh:], hi,
+                                        dimension_numbers=dims,
+                                        preferred_element_type=jnp.int32)
+        b = acc.shape[0]
+        es_half = es_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        scores = acc.astype(jnp.float32) * es_half + inv2
+        alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
+        scores = jnp.where(alive, scores, NEG_INF)
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        keys = (bits & ~((1 << shift) - 1)) | cols
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
+
+
 def _binned_kernel_int4(q_ref, qs_ref, e_ref, es_ref, valid_ref,
                         out_keys_ref, *, tile: int, n_rows: int, inner: int,
                         shift: int):
@@ -894,7 +938,7 @@ def binned_topk_int4(
     inner: int | None = None,
     interpret: bool = False,
     unpack: str = "vpu",
-    selection: str = "mul",
+    selection: str = "hoistq",
 ) -> tuple[jax.Array, jax.Array]:
     """Int4-corpus binned-max scan: 4x capacity vs bf16 at ~int8 speed.
 
@@ -906,15 +950,20 @@ def binned_topk_int4(
     A/B on v5e at 1M x 768 B=256: 6.22 vs 6.75 ms/call (R3_TPU_RESULTS6,
     winners identical), i.e. the extra half-width matmul costs more than
     the VPU unpack it removes, so the kernel is NOT unpack-bound.
-    `selection` picks the pack-keys chain: "mul" (default) is the
-    original; "fma" hoists the per-row query scale and folds bias+mask
-    into one fma+add (`_binned_kernel_int4_fma`) — measured a LOSS on
-    v5e (R4 batch 3): its extra bias slab pushes tile 4096 over the
-    scoped-VMEM stack at every inner (16.2M vs the 16.0M limit — the
-    scoped cost is tile-dominated, not slab-dominated), and at tile
-    2048 the kernel is DMA-issue-bound so the ~3-op shorter chain
-    measures 6.5-7.6 ms vs mul@4096's 5.5 (winner agreement 0.979).
-    Kept for A/B evidence; the 5.3-5.5 ms selection floor stands."""
+    `selection` picks the pack-keys chain:
+      * "hoistq" (default): fma's hoisted per-row query scale +
+        bias-inside-the-fma at mul's VMEM footprint (where-mask, no
+        [B, inner] bias slab) — measured v5e 1M x 768 B=256 k=16:
+        4.42 vs mul's 4.51 ms at tile 2048 (4.56 vs 4.68 at 4096);
+        4M: 12.51 vs 13.08 ms (R4_TPU_RESULTS6, winner agreement
+        0.987 = packed-truncation near-ties, exact parity pinned in
+        tests/test_pallas_ivf.py);
+      * "mul" is the original 8-op chain;
+      * "fma" is the additive-mask variant — measured a LOSS (R4
+        batch 3): its extra bias slab pushes tile 4096 over the
+        scoped-VMEM stack at every inner (16.2M vs the 16.0M limit),
+        and at tile 2048 the kernel is DMA-issue-bound (6.5-7.6 ms).
+        Kept for A/B evidence."""
     n, dh = e_packed.shape
     d = dh * 2
     assert q_values.shape[1] == d, (q_values.shape, d)
@@ -929,7 +978,15 @@ def binned_topk_int4(
     n_tiles = n // tile
     valid_i8 = _as_valid_col(valid, n)
     use_fma = selection == "fma" and unpack == "vpu"
-    if use_fma:
+    use_hoistq = selection == "hoistq" and unpack == "vpu"
+    if use_hoistq:
+        # hoisted scale + in-fma bias, mul's where-mask and VMEM shape:
+        # compiles at tile 4096 (the selection-bound regime) unlike fma
+        body = _binned_kernel_int4_hoistq
+        qs_safe = jnp.where(q_scales > 0, q_scales, 1.0)
+        q_col = (2.0 / qs_safe).reshape(b, 1).astype(jnp.float32)
+        mask_col = valid_i8
+    elif use_fma:
         body = _binned_kernel_int4_fma
         # the fma chain carries one extra [B, inner] f32 slab (the
         # broadcast bias); at inner=2048/B=256 that overflows the 16 MB
@@ -977,7 +1034,7 @@ def binned_topk_int4(
       _as_scales_col(e_scales, n), mask_col)
     k1 = min(max(k, 16), n_tiles * BINS)
     s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
-    if use_fma:
+    if use_fma or use_hoistq:
         # keys packed (true + 2)/qs; _unpack_score subtracted 2.0, so the
         # true stage score is (u + 2) * qs - 2 per row
         qs_b = qs_safe.reshape(b, 1)

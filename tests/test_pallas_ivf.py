@@ -378,6 +378,70 @@ class TestBinnedTopK:
             if int(c) in ref:
                 assert abs(ref[int(c)] - float(s)) < 2e-3
 
+    def test_int4_hoistq_selection_matches_mul(self):
+        """`selection="hoistq"` = fma's hoisted scale + in-fma bias at
+        mul's VMEM footprint (where-mask, no bias slab): winner sets and
+        restored stage scores must agree with mul within the packed
+        truncation, invalid rows never surface."""
+        from lattice_tpu.ops.quant import quantize_rows, quantize_rows_int4
+        rng = np.random.default_rng(33)
+        rows = list(range(40, 50))
+        emb, q = self._planted(1024, 64, rows, seed=5)
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = np.ones(1024, bool)
+        valid[rng.integers(0, 1024, 100)] = False
+        for r in rows:
+            valid[r] = True
+        args = (jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+                jnp.asarray(es), jnp.asarray(valid))
+        s_h, i_h = binned_topk_int4(*args, 10, tile=256, interpret=True,
+                                    selection="hoistq")
+        s_m, i_m = binned_topk_int4(*args, 10, tile=256, interpret=True,
+                                    selection="mul")
+        i_h, i_m = np.asarray(i_h), np.asarray(i_m)
+        s_h, s_m = np.asarray(s_h), np.asarray(s_m)
+        assert set(rows) <= set(i_h[0].tolist())
+        assert not (set(i_h[0].tolist()) & set(np.flatnonzero(~valid)))
+        ref = {int(c): float(s) for c, s in zip(i_m[0], s_m[0])}
+        for c, s in zip(i_h[0], s_h[0]):
+            if int(c) in ref:
+                assert abs(ref[int(c)] - float(s)) < 2e-3
+
+    def test_int4_hoistq_all_negative_scores(self):
+        """Anti-correlated corpus through the hoistq chain: the
+        (true + 2)/qs packing must stay positive-ordered even when every
+        true score is negative, and invalid handling must come from the
+        where-mask (not an additive column)."""
+        from lattice_tpu.ops.quant import (quantize_rows,
+                                           quantize_rows_int4, unpack_int4)
+        rng = np.random.default_rng(7)
+        base = topk_ops.l2_normalize(rng.normal(size=(1, 64)))
+        noise = rng.normal(size=(256, 64)) * 0.05
+        emb = topk_ops.l2_normalize(-np.abs(rng.normal()) * base + noise)
+        emb = topk_ops.l2_normalize(
+            np.where(emb @ base.T > 0, -emb, emb))   # all anti-aligned
+        q = base
+        ep, es = quantize_rows_int4(emb)
+        qv, qs = quantize_rows(q)
+        valid = np.ones(256, bool)
+        valid[rng.integers(0, 256, 30)] = False
+        s_h, i_h = binned_topk_int4(
+            jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ep),
+            jnp.asarray(es), jnp.asarray(valid), 8, tile=128,
+            interpret=True, selection="hoistq")
+        s_h, i_h = np.asarray(s_h), np.asarray(i_h)
+        assert (s_h[0] < 0).all()
+        assert not (set(i_h[0].tolist()) & set(np.flatnonzero(~valid)))
+        deq = np.asarray(unpack_int4(jnp.asarray(ep))).astype(np.float32)
+        deq = deq * np.asarray(es)[:, None]
+        qd = np.asarray(qv)[0].astype(np.float32) * float(np.asarray(qs)[0])
+        exact = deq @ qd
+        exact[~valid] = -np.inf
+        want = set(np.argsort(exact)[-8:].tolist())
+        got = set(i_h[0].tolist())
+        assert len(want & got) >= 7   # packed truncation may swap 1 near-tie
+
     def test_int4_fma_all_negative_scores(self):
         """Anti-correlated corpus: every true score is negative. The
         hoisted (true+2)/qs packing must stay positive and keep exact
