@@ -283,13 +283,20 @@ class ShardedQuantizedIndex:
         # sharded trace showed the in-jit [N] -> [N,1] relayouts cost
         # 1.5 ms of a 4.6 ms per-call device budget (R4_TPU_RESULTS4
         # trace_sharded: %copy.9 + %reshape.55) — the same lesson the
-        # flat tier learned in r2 (`pallas_topk.scales_col`)
+        # flat tier learned in r2 (`pallas_topk.scales_col`). The
+        # layout must ALSO be forced row-major: a plain device_put under
+        # a NamedSharding materializes {0,1:T(1,128)} for [N,1], and
+        # XLA then re-copies 5 MB to the custom-call's row-major demand
+        # EVERY search (%copy.11 3.4 ms + %copy.12 1.1 ms of a ~7 ms
+        # call, R4_TPU_RESULTS5 trace_sharded_device)
+        self._col_format = self._row_major_col_format()
+        scol_fmt = self._col_format or self._val_sharding
         self.scales_col = jax.device_put(
             jnp.asarray(scales).reshape(-1, 1).astype(jnp.float32),
-            self._val_sharding)
+            scol_fmt)
         self.valid_col = jax.device_put(
             jnp.asarray(valid).astype(jnp.int8).reshape(-1, 1),
-            self._val_sharding)
+            scol_fmt)
         self.full_precision = (
             jax.device_put(jnp.asarray(embeddings, dtype=jnp.bfloat16),
                            self._val_sharding)
@@ -297,20 +304,34 @@ class ShardedQuantizedIndex:
         self._search_cache: dict[tuple[int, bool], callable] = {}
         self._force_pallas = False
         self._pallas_interpret = False
+        col_out = self._col_format or self._val_sharding
         self._update_fn = jax.jit(
             lambda v, s, val, scol, vcol, idx, nv, ns: (
                 v.at[idx].set(nv), s.at[idx].set(ns), val.at[idx].set(True),
                 scol.at[idx, 0].set(ns), vcol.at[idx, 0].set(1)),
             out_shardings=(self._val_sharding, self._row_sharding,
-                           self._row_sharding, self._val_sharding,
-                           self._val_sharding))
+                           self._row_sharding, col_out, col_out))
         self._invalidate_fn = jax.jit(
             lambda val, vcol, idx: (val.at[idx].set(False),
                                     vcol.at[idx, 0].set(0)),
-            out_shardings=(self._row_sharding, self._val_sharding))
+            out_shardings=(self._row_sharding, col_out))
         self._update_fp_fn = jax.jit(
             lambda fp, idx, v: fp.at[idx].set(v.astype(jnp.bfloat16)),
             out_shardings=self._val_sharding)
+
+    def _row_major_col_format(self):
+        """Format forcing major_to_minor=(0,1) on the sharded [N,1]
+        columns (HLO {1,0}, the Pallas custom-call's operand demand).
+        Returns None where the backend rejects explicit layouts (CPU
+        test meshes) — there the relayout copy doesn't exist anyway."""
+        try:
+            from jax.experimental.layout import Format, Layout
+            fmt = Format(Layout((0, 1)), self._val_sharding)
+            # probe: some backends accept the type but reject at use
+            jax.device_put(jnp.zeros((2, 1), jnp.float32), fmt)
+            return fmt
+        except Exception:
+            return None
 
     def memory_bytes(self) -> int:
         fp = (self.full_precision.size * 2
