@@ -1115,10 +1115,17 @@ class ChunkStore:
         if bits == 16:
             return view.search(q, k_eff, mask=mask)
         wide = min(max((4 if bits == 8 else 8) * k_eff, 32), self._cap)
-        s1, c1 = view.search(q, wide, mask=mask)
+        if mask is None and hasattr(view, "search_device"):
+            # device-resident first stage: the host wrapper re-uploads
+            # the query batch every call (786 KB at ~20 MB/s dominated
+            # the old 2.8k-qps number, R4_TPU_RESULTS5)
+            s1, c1 = view.search_device(
+                jnp.asarray(np.atleast_2d(q), jnp.float32), wide)
+        else:
+            s1, c1 = view.search(q, wide, mask=mask)
+            s1, c1 = jnp.asarray(s1), jnp.asarray(c1)
         qn = _normalize_queries(jnp.asarray(q))
-        s, i = pallas_ops._exact_rescore(
-            qn, self._emb, jnp.asarray(s1), jnp.asarray(c1), k_eff)
+        s, i = pallas_ops._exact_rescore(qn, self._emb, s1, c1, k_eff)
         return np.asarray(s), np.asarray(i)
 
     def search_device_pipelined(self, queries: jax.Array, k: int,

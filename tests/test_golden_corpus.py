@@ -24,19 +24,25 @@ from lattice_tpu.query.engine import QueryEngine
 # Pinned against the checked-in corpus. If you EDIT the fixture, re-run
 # the pipeline and update these deliberately.
 EXPECTED = {
-    "files": 64,
-    "nodes": 644,
-    "calls": 652,
-    "extends": 29,
-    "imports": 145,
-    "defines": 580,
-    "defines_method": 315,
-    "functions": 155,
-    "classes": 77,
-    "methods": 315,
-    "interfaces": 23,
-    "type_aliases": 10,
-    "chunks": 600,
+    # r4: + app/integrations (webhooks, slack — a 3-level inheritance
+    # chain BaseService -> WebhookService -> SlackIntegration) and
+    # web/src/integrations/webhookPanel.ts; deltas hand-verified against
+    # the authored entities (+4 files, +9 classes, +32 methods,
+    # +6 functions, +2 interfaces, +1 alias = +54 nodes; +2 EXTENDS,
+    # +12 IMPORTS)
+    "files": 68,
+    "nodes": 698,
+    "calls": 693,
+    "extends": 31,
+    "imports": 157,
+    "defines": 630,
+    "defines_method": 347,
+    "functions": 161,
+    "classes": 86,
+    "methods": 347,
+    "interfaces": 25,
+    "type_aliases": 11,
+    "chunks": 651,
 }
 
 
@@ -101,6 +107,8 @@ class TestInheritanceChains:
          "app.services.base.BaseService", 2),
         ("app.api.middleware.AuthMiddleware",
          "app.api.middleware.Middleware", 1),
+        ("app.integrations.slack.SlackIntegration",
+         "app.services.base.BaseService", 2),
     ])
     def test_chain(self, golden, leaf, root, depth):
         store = golden.graph_builder.store
