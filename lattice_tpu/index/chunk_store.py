@@ -906,7 +906,13 @@ class ChunkStore:
                       rescore beats the bf16 binned scan on BOTH axes
                       (46.5k vs 40.1k qps, recall 0.9965 vs 0.9934 at 1M,
                       bench_r2) at +0.5x corpus HBM for the shadow;
-                      LATTICE_INT8=0 opts out
+                      LATTICE_INT8=0 opts out. Re-A/B'd against int4 in
+                      r4 (order-swapped, 2 reps, both corpus regimes,
+                      R4_TPU_RESULTS9): int8 57.9k/0.9934 vs int4
+                      50k/0.9957 clustered, 58.3k/0.9926 vs 51k/0.9934
+                      isotropic — int8 keeps the default on qps, int4
+                      stays the capacity tier (+0.2pp recall, half the
+                      shadow bytes)
         6. pallas   — bf16 binned-max scan: no int8 shadow memory, or
                       int8 opted out; forced method="refined" gives the
                       exact-at-storage insertion scan (29k / 0.9996)
