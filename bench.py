@@ -49,9 +49,15 @@ Prints ONE JSON line.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import sys
 import time
+
+
+def _mark(section: str) -> None:
+    print(f"[bench] {section}", file=sys.stderr, flush=True)
 
 import numpy as np
 
@@ -553,8 +559,15 @@ def main() -> None:
         alt["bulk_upload_s"] = round(upload_s, 2)
         alt["bulk_views_to_serve_s"] = round(views_s, 2)
         del store_b, dev_rows, host_rows
+        # ChunkStore's compiled-closure caches form reference cycles:
+        # `del` alone does NOT release the HBM buffers — the r4 bench
+        # OOMed at a 1.5 MB allocation because two dead 1M stores were
+        # still cycle-held. Collect after every big-corpus section.
+        gc.collect()
     except Exception as exc:
         alt["bulk_build_error"] = repr(exc)[:120]
+        gc.collect()
+    _mark("clustered")
 
     # ---- clustered regime (the IVF tier's home turf): a second corpus
     # with real cluster structure, served through the same dispatcher
@@ -631,8 +644,11 @@ def main() -> None:
         except Exception as exc:
             alt["clustered_fresh_error"] = repr(exc)[:120]
         del emb_c, store_c
+        gc.collect()
     except Exception as exc:  # keep the headline alive on any failure
         alt["clustered_error"] = repr(exc)[:120]
+        gc.collect()
+    _mark("delta-upsert")
 
     # ---- recall vs device-exact f32 (oracle computed up front)
     recall = np.mean([
@@ -642,15 +658,24 @@ def main() -> None:
 
     # ---- config 5: incremental delta upsert into the live store
     # (first add pays the scatter-kernel compiles; the second is the number)
-    delta = np.asarray(gen_block(centers, jax.random.fold_in(kd, 1),
-                                 jax.random.fold_in(kd, 2), 2 * DELTA_ROWS))
-    store.add(delta[:DELTA_ROWS], [{"file_path": "warm.py"}] * DELTA_ROWS)
-    np.asarray(store._emb[0])
-    t0 = time.perf_counter()
-    rows = store.add(delta[DELTA_ROWS:], [{"file_path": "delta.py"}] * DELTA_ROWS)
-    np.asarray(store._emb[rows[0]])  # only a readback proves execution
-    delta_ms = (time.perf_counter() - t0) * 1000.0
-    ivf_still_fresh = not store._ivf_dirty if store._ivf else None
+    try:
+        delta = np.asarray(gen_block(centers, jax.random.fold_in(kd, 1),
+                                     jax.random.fold_in(kd, 2),
+                                     2 * DELTA_ROWS))
+        store.add(delta[:DELTA_ROWS],
+                  [{"file_path": "warm.py"}] * DELTA_ROWS)
+        np.asarray(store._emb[0])
+        t0 = time.perf_counter()
+        rows = store.add(delta[DELTA_ROWS:],
+                         [{"file_path": "delta.py"}] * DELTA_ROWS)
+        np.asarray(store._emb[rows[0]])  # a readback proves execution
+        delta_ms = (time.perf_counter() - t0) * 1000.0
+        ivf_still_fresh = not store._ivf_dirty if store._ivf else None
+    except Exception as exc:
+        alt["delta_error"] = repr(exc)[:120]
+        delta_ms = float("nan")
+        ivf_still_fresh = None
+    _mark("graph+hybrid")
 
     # ---- BASELINE config 4 + hybrid query path (VERDICT r2 #1/#3)
     if os.environ.get("BENCH_GRAPH", "1") == "1":
@@ -658,14 +683,16 @@ def main() -> None:
             bench_graph = _bench_graph(alt)
             _bench_hybrid(alt, bench_graph, store, np.asarray(queries))
             del bench_graph
+            gc.collect()
         except Exception as exc:
             alt["graph_error"] = repr(exc)[:200]
+            gc.collect()
+    _mark("encoder")
 
     # ---- config 2: encoder throughput at the real model config
     # (free the serving corpus + its quantized views first: ~7 GB of HBM
     # pressure measurably throttled the encoder — 380 vs 611 chunks/s in
     # bench_r3a vs the standalone measurement)
-    import gc
     del store, emb_dev, valid_dev
     gc.collect()
     from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
