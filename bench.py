@@ -57,7 +57,14 @@ import time
 
 
 def _mark(section: str) -> None:
-    print(f"[bench] {section}", file=sys.stderr, flush=True)
+    extra = ""
+    try:
+        import jax
+        st = jax.devices()[0].memory_stats() or {}
+        extra = f" (device {st.get('bytes_in_use', 0) / 1e6:.0f} MB in use)"
+    except Exception:
+        pass
+    print(f"[bench] {section}{extra}", file=sys.stderr, flush=True)
 
 import numpy as np
 
@@ -459,6 +466,7 @@ def main() -> None:
     host_corpus = np.asarray(corpus_f32[:sub])
     del corpus_f32
 
+    _mark("headline")
     store = ChunkStore.from_device_arrays(emb_dev, valid_dev)
 
     # ---- dispatcher plan (on TPU at this scale: builds + self-measures IVF)
@@ -673,7 +681,7 @@ def main() -> None:
         ivf_still_fresh = not store._ivf_dirty if store._ivf else None
     except Exception as exc:
         alt["delta_error"] = repr(exc)[:120]
-        delta_ms = float("nan")
+        delta_ms = None
         ivf_still_fresh = None
     _mark("graph+hybrid")
 
@@ -695,39 +703,47 @@ def main() -> None:
     # bench_r3a vs the standalone measurement)
     del store, emb_dev, valid_dev
     gc.collect()
-    from lattice_tpu.models.unixcoder import UniXcoderConfig, UniXcoderModel
-    enc_model = UniXcoderModel(UniXcoderConfig())
-    # the serving configuration (provider defaults on TPU): bf16 matrix
-    # params + paired attention (auto on TPU) + pinned layouts —
-    # 771 vs 565 chunks/s ladder measured in R4_TPU_RESULTS1
-    enc_model.enable_bf16_inference()
-    enc_model.pin_serving_layouts(ENCODE_BATCH, ENCODE_LEN)
-    ids = np.ones((ENCODE_BATCH, ENCODE_LEN), dtype=np.int32)
-    mask = np.ones_like(ids)
-    # compile + drain the relay queue before timing (a warmup without a
-    # readback leaves the grant drain on the first timed iteration)
-    np.asarray(enc_model.encode_device(ids, mask))
-    # headline = the ingestion path: device-resident outputs, ONE
-    # readback at the end (the provider hands pooled blocks straight to
-    # ChunkStore.add — per-call readbacks cost ~30%, R4_TPU_RESULTS2)
-    t0 = time.perf_counter()
-    enc_iters = 4
-    for _ in range(enc_iters):
-        out_dev = enc_model.encode_device(ids, mask)
-    float(out_dev[0, 0])
-    encode_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
-    # host loop (per-call readback) kept as a secondary number
-    t0 = time.perf_counter()
-    for _ in range(enc_iters):
-        enc_model.encode(ids, mask)
-    encode_host_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
-    # model FLOPs per token: QKVO + FFN matmuls + the two [L,L] attention
-    # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4 wants MFU reported)
+    _mark("encoder-post-gc")
     h, ff, nl, length = 768, 3072, 12, ENCODE_LEN
     flops_tok = 2 * nl * (4 * h * h + 2 * h * ff) + 2 * nl * 2 * length * h
     on_tpu = device.platform.lower() in ("tpu", "axon")
-    encode_mfu = (encode_cps * length * flops_tok / 197e12
-                  if on_tpu else None)
+    try:
+        from lattice_tpu.models.unixcoder import (UniXcoderConfig,
+                                                  UniXcoderModel)
+        enc_model = UniXcoderModel(UniXcoderConfig())
+        # the serving configuration (provider defaults on TPU): bf16
+        # matrix params + paired attention (auto on TPU) + pinned
+        # layouts — 771 vs 565 chunks/s ladder in R4_TPU_RESULTS1
+        enc_model.enable_bf16_inference()
+        enc_model.pin_serving_layouts(ENCODE_BATCH, ENCODE_LEN)
+        ids = np.ones((ENCODE_BATCH, ENCODE_LEN), dtype=np.int32)
+        mask = np.ones_like(ids)
+        # compile + drain the relay queue before timing (a warmup with
+        # no readback leaves the grant drain on the first timed iter)
+        np.asarray(enc_model.encode_device(ids, mask))
+        # headline = the ingestion path: device-resident outputs, ONE
+        # readback at the end (the provider hands pooled blocks straight
+        # to ChunkStore.add — per-call readbacks cost ~30%, R4 RESULTS2)
+        t0 = time.perf_counter()
+        enc_iters = 4
+        for _ in range(enc_iters):
+            out_dev = enc_model.encode_device(ids, mask)
+        float(out_dev[0, 0])
+        encode_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
+        # host loop (per-call readback) kept as a secondary number
+        t0 = time.perf_counter()
+        for _ in range(enc_iters):
+            enc_model.encode(ids, mask)
+        encode_host_cps = (ENCODE_BATCH * enc_iters
+                           / (time.perf_counter() - t0))
+        # model FLOPs/token: QKVO + FFN matmuls + two [L,L] attention
+        # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4: report MFU)
+        encode_mfu = (encode_cps * length * flops_tok / 197e12
+                      if on_tpu else None)
+    except Exception as exc:
+        alt["encode_error"] = repr(exc)[:160]
+        encode_cps = encode_host_cps = 0.0
+        encode_mfu = None
 
     # ---- host baselines on a subsample (exact scan + IVF estimate)
     t0 = time.perf_counter()
@@ -764,7 +780,8 @@ def main() -> None:
             "plan_ms_incl_ivf_build": round(plan_ms, 1),
             "ivf_self_recall": (round(ivf_recall, 4)
                                 if ivf_recall is not None else None),
-            "delta_upsert_ms_256rows": round(delta_ms, 1),
+            "delta_upsert_ms_256rows": (round(delta_ms, 1)
+                                        if delta_ms is not None else None),
             "ivf_fresh_after_delta": ivf_still_fresh,
             "encode_chunks_per_s": round(encode_cps, 1),
             "encode_host_loop_cps": round(encode_host_cps, 1),

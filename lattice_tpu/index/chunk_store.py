@@ -1003,10 +1003,9 @@ class ChunkStore:
         plan = self._plan_search(len(q), k_eff, filters, method)
         if plan == "sharded" and len(jax.devices()) > 1:
             mask = self.filter_mask(filters)
-            scores_np, idx_np = self._sharded_search_rescored(
-                np.asarray(q), k_eff,
-                None if mask is None else np.asarray(mask))
-            return self._assemble_hits(len(q), scores_np, idx_np)
+            s_dev, i_dev = self._sharded_search_rescored(q, k_eff, mask)
+            return self._assemble_hits(len(q), np.asarray(s_dev),
+                                       np.asarray(i_dev))
         if plan == "ivf":
             return self.search_ivf(q, k_eff, nprobe=IVF_AUTO_NPROBE,
                                    filters=filters)
@@ -1066,11 +1065,9 @@ class ChunkStore:
                                  method)
         mask = self.filter_mask(filters)
         if plan == "sharded" and len(jax.devices()) > 1:
-            # sharded views l2-normalize host-side themselves
-            s, i = self._sharded_search_rescored(
-                np.asarray(raw), k_eff,
-                None if mask is None else np.asarray(mask))
-            return jnp.asarray(s), jnp.asarray(i)
+            # device-resident end to end (quantized views normalize +
+            # quantize inside the shard_map execution)
+            return self._sharded_search_rescored(raw, k_eff, mask)
         valid = self._valid if mask is None else (self._valid & mask)
         vcol = self._valid_col() if mask is None else valid
         if plan == "quantized":
@@ -1104,35 +1101,41 @@ class ChunkStore:
                     queries, self._emb, valid, k_eff, tile=tile)
         return topk_ops.flat_topk(queries, self._emb, valid, k_eff)
 
-    def _sharded_search_rescored(self, q: np.ndarray, k_eff: int,
-                                 mask: np.ndarray | None
-                                 ) -> tuple[np.ndarray, np.ndarray]:
+    def _sharded_search_rescored(self, q, k_eff: int, mask
+                                 ) -> tuple[jax.Array, jax.Array]:
         """Sharded search; quantized views get a widened first stage +
-        exact rescore against the store's resident bf16 rows.
+        exact rescore against the store's resident bf16 rows. Returns
+        DEVICE arrays — host callers read back once.
 
         The standalone Sharded(Quantized)Index deliberately keeps no
         full-precision rows (capacity), so its scores carry quantization
         error — measured first-stage recall on hardware: int8 0.975,
         int4 0.775 at 131k (R2_TPU_RESULTS11). Inside the store the rows
         ARE resident, so the merged candidates rescore exactly, the same
-        two-stage design as the single-chip tiers."""
+        two-stage design as the single-chip tiers. The whole chain stays
+        device-resident: per-call query re-upload through the relay cost
+        13x on the standalone index (R4_TPU_RESULTS5)."""
         view = self._sharded_view()
         bits = getattr(view, "bits", 16)
+        q_dev = jnp.asarray(q, jnp.float32)
+        if q_dev.ndim == 1:
+            q_dev = q_dev[None, :]
         if bits == 16:
-            return view.search(q, k_eff, mask=mask)
+            s, i = view.search(
+                np.asarray(q_dev), k_eff,
+                mask=None if mask is None else np.asarray(mask))
+            return jnp.asarray(s), jnp.asarray(i)
         wide = min(max((4 if bits == 8 else 8) * k_eff, 32), self._cap)
-        if mask is None and hasattr(view, "search_device"):
-            # device-resident first stage: the host wrapper re-uploads
-            # the query batch every call (786 KB at ~20 MB/s dominated
-            # the old 2.8k-qps number, R4_TPU_RESULTS5)
-            s1, c1 = view.search_device(
-                jnp.asarray(np.atleast_2d(q), jnp.float32), wide)
-        else:
-            s1, c1 = view.search(q, wide, mask=mask)
-            s1, c1 = jnp.asarray(s1), jnp.asarray(c1)
-        qn = _normalize_queries(jnp.asarray(q))
-        s, i = pallas_ops._exact_rescore(qn, self._emb, s1, c1, k_eff)
-        return np.asarray(s), np.asarray(i)
+        m_dev = None
+        if mask is not None:
+            m = np.asarray(mask, dtype=bool)
+            pad = view.capacity - m.shape[0]
+            if pad:
+                m = np.concatenate([m, np.zeros(pad, dtype=bool)])
+            m_dev = jax.device_put(jnp.asarray(m), view._row_sharding)
+        s1, c1 = view.search_device(q_dev, wide, mask=m_dev)
+        qn = _normalize_queries(q_dev)
+        return pallas_ops._exact_rescore(qn, self._emb, s1, c1, k_eff)
 
     def search_device_pipelined(self, queries: jax.Array, k: int,
                                 chunk: int = 256,

@@ -276,9 +276,12 @@ class ShardedQuantizedIndex:
         self._row_sharding = NamedSharding(self.mesh, P(self._row_axes))
         self._val_sharding = NamedSharding(self.mesh,
                                            P(self._row_axes, None))
+        self._n_data = n_data
         self.values = jax.device_put(jnp.asarray(values), self._val_sharding)
-        self.scales = jax.device_put(jnp.asarray(scales), self._row_sharding)
-        self.valid = jax.device_put(jnp.asarray(valid), self._row_sharding)
+        # scales/valid live ONLY as the [N, 1] kernel-layout columns
+        # below (the flat [N] twins were scattered on every mutation and
+        # drifted out of the memory accounting — r4 review); the
+        # `scales`/`valid` properties derive the flat views on demand.
         # kernel-layout [N, 1] columns, PRE-SHAPED per shard: the r4
         # sharded trace showed the in-jit [N] -> [N,1] relayouts cost
         # 1.5 ms of a 4.6 ms per-call device budget (R4_TPU_RESULTS4
@@ -306,15 +309,13 @@ class ShardedQuantizedIndex:
         self._pallas_interpret = False
         col_out = self._col_format or self._val_sharding
         self._update_fn = jax.jit(
-            lambda v, s, val, scol, vcol, idx, nv, ns: (
-                v.at[idx].set(nv), s.at[idx].set(ns), val.at[idx].set(True),
+            lambda v, scol, vcol, idx, nv, ns: (
+                v.at[idx].set(nv),
                 scol.at[idx, 0].set(ns), vcol.at[idx, 0].set(1)),
-            out_shardings=(self._val_sharding, self._row_sharding,
-                           self._row_sharding, col_out, col_out))
+            out_shardings=(self._val_sharding, col_out, col_out))
         self._invalidate_fn = jax.jit(
-            lambda val, vcol, idx: (val.at[idx].set(False),
-                                    vcol.at[idx, 0].set(0)),
-            out_shardings=(self._row_sharding, col_out))
+            lambda vcol, idx: vcol.at[idx, 0].set(0),
+            out_shardings=col_out)
         self._update_fp_fn = jax.jit(
             lambda fp, idx, v: fp.at[idx].set(v.astype(jnp.bfloat16)),
             out_shardings=self._val_sharding)
@@ -327,8 +328,13 @@ class ShardedQuantizedIndex:
         try:
             from jax.experimental.layout import Format, Layout
             fmt = Format(Layout((0, 1)), self._val_sharding)
-            # probe: some backends accept the type but reject at use
-            jax.device_put(jnp.zeros((2, 1), jnp.float32), fmt)
+            # probe: some backends accept the type but reject at use.
+            # The probe shape must be divisible by the data-axis size or
+            # the NamedSharding itself raises before layout support is
+            # exercised, silently disabling the forcing on exactly the
+            # multi-device meshes it exists for (r4 review finding)
+            jax.device_put(jnp.zeros((self._n_data * 8, 1), jnp.float32),
+                           fmt)
             return fmt
         except Exception:
             return None
@@ -336,11 +342,23 @@ class ShardedQuantizedIndex:
     def memory_bytes(self) -> int:
         fp = (self.full_precision.size * 2
               if self.full_precision is not None else 0)
-        return self.values.size + self.scales.size * 4 + self.valid.size + fp
+        return (self.values.size + self.scales_col.size * 4
+                + self.valid_col.size + fp)
 
     @property
     def capacity(self) -> int:
         return int(self.values.shape[0])
+
+    @property
+    def scales(self) -> jax.Array:
+        """Flat [N] view of the per-row scales (derived; the stored
+        form is the kernel-layout column)."""
+        return self.scales_col.reshape(-1)
+
+    @property
+    def valid(self) -> jax.Array:
+        """Flat [N] bool validity view (derived from the column)."""
+        return self.valid_col.reshape(-1) != 0
 
     def update_rows(self, vectors: np.ndarray | jax.Array,
                     rows: np.ndarray) -> bool:
@@ -354,10 +372,9 @@ class ShardedQuantizedIndex:
         quant = (quantize_rows_device if self.bits == 8
                  else quantize_rows_int4_device)
         nv, ns = quant(jnp.asarray(vectors, jnp.float32))
-        (self.values, self.scales, self.valid, self.scales_col,
-         self.valid_col) = self._update_fn(
-            self.values, self.scales, self.valid, self.scales_col,
-            self.valid_col, jnp.asarray(rows), nv, ns)
+        self.values, self.scales_col, self.valid_col = self._update_fn(
+            self.values, self.scales_col, self.valid_col,
+            jnp.asarray(rows), nv, ns)
         if self.full_precision is not None:
             self.full_precision = self._update_fp_fn(
                 self.full_precision, jnp.asarray(rows),
@@ -371,8 +388,8 @@ class ShardedQuantizedIndex:
             dtype=np.int32)
         if rows.size == 0:
             return
-        self.valid, self.valid_col = self._invalidate_fn(
-            self.valid, self.valid_col, jnp.asarray(rows))
+        self.valid_col = self._invalidate_fn(self.valid_col,
+                                             jnp.asarray(rows))
 
     def _build_search(self, k: int, with_mask: bool = False,
                       rescore: bool = True):
@@ -513,7 +530,7 @@ class ShardedQuantizedIndex:
         m_dev = None
         if with_mask:
             m = np.asarray(mask, dtype=bool)
-            pad = self.valid.shape[0] - m.shape[0]
+            pad = self.capacity - m.shape[0]
             if pad:
                 m = np.concatenate([m, np.zeros(pad, dtype=bool)])
             m_dev = jax.device_put(jnp.asarray(m), self._row_sharding)
