@@ -359,6 +359,24 @@ class TestShardedDispatch:
         assert np.mean(overlaps) >= 0.8  # int8 scores, near-ties may flip
         assert view.memory_bytes() < 0.6 * (view.values.shape[0] * 32 * 2)
 
+    def test_filters_ride_quantized_sharded_path(self, monkeypatch):
+        """Payload filters through the QUANTIZED sharded route (r4: the
+        masked first stage runs device-resident; the mask pads to the
+        view capacity and rides the view's row sharding). Winners must
+        match the flat path exactly — candidates rescore against the
+        resident bf16 rows."""
+        monkeypatch.setenv("LATTICE_SHARDED_BITS", "8")
+        s, _ = self._store()
+        q = _vecs(1, 32, seed=49)
+        hits = s.search(q, k=10, filters={"file_path": "f1.py"},
+                        method="sharded")
+        assert s._shardedq is not None and s._shardedq.bits == 8
+        assert hits[0]
+        assert all(p["file_path"] == "f1.py" for _, _, p in hits[0])
+        flat = s.search(q, k=10, filters={"file_path": "f1.py"},
+                        method="flat")
+        assert [r for r, _, _ in hits[0]] == [r for r, _, _ in flat[0]]
+
     def test_env_knob(self, monkeypatch):
         s, _ = self._store()
         q = _vecs(1, 32, seed=46)
