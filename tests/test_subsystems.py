@@ -577,6 +577,31 @@ class TestInotifyRecursiveMoveStress:
         touched2, _ = backend.drain()
         assert "pkg/fresh.py" in touched2
 
+    def test_rapid_rename_churn_stays_consistent(self, backend_tree):
+        """Stress (r2 leftover): several successive subtree renames with
+        interleaved writes, drained only at the end. Whatever mix of
+        per-file events and rescan flags the kernel queue produced, the
+        final state must be reachable: either the full-rescan flag is
+        up, or the last write under the FINAL path surfaced — and the
+        backend must keep delivering events afterwards."""
+        root, backend = backend_tree
+        cur = root / "pkg"
+        for i in range(5):
+            nxt = root / f"pkg_m{i}"
+            cur.rename(nxt)
+            # interleave a write under the new name while events pile up
+            (nxt / "d0" / f"churn{i}.py").write_text(f"c = {i}\n")
+            cur = nxt
+        touched, need_full = backend.drain()
+        assert need_full or any(
+            p == "pkg_m4/d0/churn4.py" or p.startswith("pkg_m4/")
+            for p in touched)
+        # liveness after the churn: a fresh write under the final name
+        # must surface as a normal per-file event
+        (cur / "d0" / "after.py").write_text("ok = 1\n")
+        touched2, _ = backend.drain()
+        assert "pkg_m4/d0/after.py" in touched2
+
     def test_deep_move_in_from_outside(self, backend_tree, tmp_path):
         root, backend = backend_tree
         outside = tmp_path / "import_me"
