@@ -489,6 +489,39 @@ def _binned_kernel_int8(q_ref, qs_ref, e_ref, es_ref, valid_ref,
     out_keys_ref[:] = maxes
 
 
+def _binned_kernel_int8_hoistq(q_ref, inv2_ref, e_ref, es_ref, valid_ref,
+                               out_keys_ref, *, tile: int, n_rows: int,
+                               inner: int, shift: int):
+    """Int8 scan with the hoistq chain (see `_binned_kernel_int4_hoistq`).
+
+    Same algebra: the per-row query scale is order-invariant so it
+    hoists to the wrapper, the +2 positivity bias becomes 2/qs applied
+    inside the fma, the where-mask stays (no bias slab). The int8 scan
+    is closer to DMA-bound than int4 (2x the bytes), so the expected
+    win is smaller — opt-in until measured on chip."""
+    q = q_ref[:]
+    inv2 = inv2_ref[:]                                # [B, 1] f32: 2/qs
+    maxes = None
+    for h in range(tile // inner):
+        acc = jax.lax.dot_general(
+            q, e_ref[pl.ds(h * inner, inner), :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                             # [B, inner] i32
+        b = acc.shape[0]
+        es_half = es_ref[pl.ds(h * inner, inner), :].reshape(1, inner)
+        scores = acc.astype(jnp.float32) * es_half + inv2
+        alive = valid_ref[pl.ds(h * inner, inner), :].reshape(1, inner) != 0
+        scores = jnp.where(alive, scores, NEG_INF)
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (b, inner), 1) + h * inner
+        bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        keys = (bits & ~((1 << shift) - 1)) | cols
+        m = jnp.max(keys.reshape(b, inner // BINS, BINS), axis=1)
+        maxes = m if maxes is None else jnp.maximum(maxes, m)
+    out_keys_ref[:] = maxes
+
+
 def _binned_candidates(keys_all: jax.Array, k1: int, tile: int,
                        shift: int = _KEY_SHIFT
                        ) -> tuple[jax.Array, jax.Array]:
@@ -682,7 +715,8 @@ def binned_topk_scanned(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile", "inner", "interpret"))
+                   static_argnames=("k", "tile", "inner", "interpret",
+                                    "selection"))
 def binned_topk_int8(
     q_values: jax.Array,     # [B, d] i8
     q_scales: jax.Array,     # [B] f32
@@ -693,10 +727,15 @@ def binned_topk_int8(
     tile: int = DEFAULT_TILE,
     inner: int | None = None,
     interpret: bool = False,
+    selection: str = "mul",
 ) -> tuple[jax.Array, jax.Array]:
     """Int8 binned-max scan; rescore happens in the caller (the int8 view
     holds no full-precision rows — QuantizedView passes them separately).
-    Returns widened (scores [B,k1], ids [B,k1]) with k1 = max(k, 16)."""
+    Returns widened (scores [B,k1], ids [B,k1]) with k1 = max(k, 16).
+    `selection="hoistq"` swaps in the hoisted-scale chain
+    (`_binned_kernel_int8_hoistq`) — opt-in until measured on chip (the
+    int8 scan is closer to DMA-bound than int4's, where the same chain
+    won by ~2-5%, R4_TPU_RESULTS6)."""
     n, d = e_values.shape
     b_in = q_values.shape[0]
     b = max(32, ((b_in + 31) // 32) * 32)
@@ -708,7 +747,15 @@ def binned_topk_int8(
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     n_tiles = n // tile
     valid_i8 = _as_valid_col(valid, n)
-    kernel = functools.partial(_binned_kernel_int8, tile=tile, n_rows=n,
+    use_hoistq = selection == "hoistq"
+    if use_hoistq:
+        body = _binned_kernel_int8_hoistq
+        qs_safe = jnp.where(q_scales > 0, q_scales, 1.0)
+        q_col = (2.0 / qs_safe).reshape(b, 1).astype(jnp.float32)
+    else:
+        body = _binned_kernel_int8
+        q_col = q_scales.reshape(b, 1)
+    kernel = functools.partial(body, tile=tile, n_rows=n,
                                inner=_pick_inner(tile, inner),
                                shift=_tile_shift(tile))
     keys_all = pl.pallas_call(
@@ -733,10 +780,13 @@ def binned_topk_int8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_values, q_scales.reshape(b, 1), e_values,
+    )(q_values, q_col, e_values,
       _as_scales_col(e_scales, n), valid_i8)
     k1 = min(max(k, 16), n_tiles * BINS)
     s1, c1 = _binned_candidates(keys_all, k1, tile, _tile_shift(tile))
+    if use_hoistq:
+        qs_b = qs_safe.reshape(b, 1)
+        s1 = jnp.where(s1 > NEG_INF / 2, (s1 + 2.0) * qs_b - 2.0, NEG_INF)
     return s1[:b_in], c1[:b_in]
 
 

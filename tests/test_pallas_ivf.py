@@ -201,6 +201,50 @@ class TestBinnedTopK:
             tile=256, interpret=True)
         assert set(rows) <= set(np.asarray(c1)[0].tolist())
 
+    def test_int8_hoistq_selection_matches_mul(self):
+        """The int8 hoistq chain (opt-in): winner sets and restored
+        stage scores agree with the mul chain within the packed
+        truncation; invalid rows never surface; all-negative scores
+        keep exact ordering through the (true+2)/qs packing."""
+        from lattice_tpu.ops.quant import quantize_rows
+        rng = np.random.default_rng(41)
+        rows = list(range(100, 110))
+        emb, q = self._planted(1024, 64, rows, seed=2)
+        ev, es = quantize_rows(emb)
+        qv, qs = quantize_rows(q)
+        valid = np.ones(1024, bool)
+        valid[rng.integers(0, 1024, 80)] = False
+        for r in rows:
+            valid[r] = True
+        args = (jnp.asarray(qv), jnp.asarray(qs), jnp.asarray(ev),
+                jnp.asarray(es), jnp.asarray(valid))
+        s_h, i_h = binned_topk_int8(*args, 10, tile=256, interpret=True,
+                                    selection="hoistq")
+        s_m, i_m = binned_topk_int8(*args, 10, tile=256, interpret=True,
+                                    selection="mul")
+        i_h, i_m = np.asarray(i_h), np.asarray(i_m)
+        s_h, s_m = np.asarray(s_h), np.asarray(s_m)
+        assert set(rows) <= set(i_h[0].tolist())
+        assert not (set(i_h[0].tolist()) & set(np.flatnonzero(~valid)))
+        ref = {int(c): float(s) for c, s in zip(i_m[0], s_m[0])}
+        for c, s in zip(i_h[0], s_h[0]):
+            if int(c) in ref:
+                assert abs(ref[int(c)] - float(s)) < 2e-3
+        # anti-correlated corpus: every true score negative
+        base = topk_ops.l2_normalize(rng.normal(size=(1, 64)))
+        anti = topk_ops.l2_normalize(
+            -np.abs(rng.normal(size=(256, 1))) * base
+            + 0.05 * rng.normal(size=(256, 64)))
+        anti = topk_ops.l2_normalize(
+            np.where(anti @ base.T > 0, -anti, anti))
+        ev2, es2 = quantize_rows(anti)
+        qv2, qs2 = quantize_rows(base)
+        s_n, i_n = binned_topk_int8(
+            jnp.asarray(qv2), jnp.asarray(qs2), jnp.asarray(ev2),
+            jnp.asarray(es2), jnp.asarray(np.ones(256, bool)), 8,
+            tile=128, interpret=True, selection="hoistq")
+        assert (np.asarray(s_n)[0] < 0).all()
+
     def test_inner_subtiling_matches_full_width(self):
         # sub-tiled compute slabs (inner < tile) must be bit-identical to
         # the full-width kernel: same scores, same ids
