@@ -261,6 +261,30 @@ class TestGoldenQueries:
         names = " ".join(r.qualified_name for r in result.results)
         assert "notification" in names.lower()
 
+    def test_integrations_callers_query(self, engine, golden):
+        """The r4 integrations module resolves through the engine: the
+        super()-delegating SlackIntegration methods surface as callers
+        of WebhookService.fire, and the cross-module call into
+        utils.formatting resolves."""
+        store = golden.graph_builder.store
+        fire = store.id_of("app.integrations.webhooks.WebhookService.fire")
+        assert fire is not None
+        callers = store.k_hop([fire], EdgeType.CALLS, hops=1, reverse=True)
+        names = {store.node(n).qualified_name for n in callers}
+        assert ("app.integrations.slack.SlackIntegration.post_message"
+                in names)
+        result = engine.search_sync("who calls WebhookService.fire?")
+        assert result.results
+
+    def test_integrations_inheritance_through_engine(self, engine):
+        """Hierarchy intent over the 3-level chain answers with the
+        middle and root of BaseService -> WebhookService ->
+        SlackIntegration."""
+        result = engine.search_sync(
+            "what does SlackIntegration inherit from?")
+        names = " ".join(r.qualified_name for r in result.results)
+        assert "WebhookService" in names or "BaseService" in names
+
     def test_per_entity_caller_lists_are_entity_specific(self, golden):
         """Each primary's EntityContext carries its OWN depth-1 callers
         (reference `context/builder.py:141-151`), not the union across
