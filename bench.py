@@ -257,6 +257,15 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
                                      limit=R_CAP // 2)
         b_ids, b_d = graph._host_bfs([seed_id], EdgeType.CALLS, 5,
                                      reverse=True, limit=R_CAP // 2)
+        # the NumPy fallback walk ignores `limit`; trim each direction
+        # to the shallowest-(depth, id) prefix like the native walk and
+        # the engine do, so pack_reach never truncates one direction out
+        if len(f_ids) > R_CAP // 2:
+            o = np.lexsort((f_ids, f_d))[: R_CAP // 2]
+            f_ids, f_d = f_ids[o], f_d[o]
+        if len(b_ids) > R_CAP // 2:
+            o = np.lexsort((b_ids, b_d))[: R_CAP // 2]
+            b_ids, b_d = b_ids[o], b_d[o]
         ids = np.concatenate([[seed_id], f_ids, b_ids])
         depths = np.concatenate([[0], f_d, b_d]).astype(np.int32)
         # reach rides packed: 4 B/entry instead of 12 (the upload through

@@ -262,6 +262,8 @@ class ChunkStore:
         if len(payloads) != len(vectors):
             raise VectorStoreError("payloads/vectors length mismatch")
         n = len(vectors)
+        if n == 0:
+            return []
         rows: list[int] = []
         for _ in range(n):
             if self._free:

@@ -300,6 +300,16 @@ class GraphStore:
             scratch = self._bfs_scratch = native.BFSScratch(n)
         return scratch
 
+    def _csr_view(self, edge_type: EdgeType, reverse: bool
+                  ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(indptr, indices, n_nodes) for the requested direction —
+        shared by the single and batch native walks so their CSR/limit
+        semantics cannot diverge (r4 review finding)."""
+        es = self._edges[edge_type]
+        indptr = es.rev_indptr if reverse else es.indptr
+        indices = es.rev_dst if reverse else es.coo_dst
+        return indptr, indices, self.n_nodes()
+
     def _host_bfs(self, seed_ids: list[int], edge_type: EdgeType,
                   hops: int, reverse: bool = False, limit: int = 0
                   ) -> tuple[np.ndarray, np.ndarray]:
@@ -317,10 +327,7 @@ class GraphStore:
         traversals (CLAUDE.md r3 log). `limit<=0` traverses all `hops`.
         """
         self._ensure_final()
-        es = self._edges[edge_type]
-        indptr = es.rev_indptr if reverse else es.indptr
-        indices = es.rev_dst if reverse else es.coo_dst
-        n = self.n_nodes()
+        indptr, indices, n = self._csr_view(edge_type, reverse)
         seeds32 = np.asarray([s for s in seed_ids if 0 <= s < n],
                              dtype=np.int32)
         if seeds32.size == 0 or len(indices) == 0:
@@ -545,10 +552,7 @@ class GraphStore:
         if (not device
                 or self.n_edges(edge_type) < self.DEVICE_BFS_THRESHOLD):
             if not self._want_sharded():
-                es = self._edges[edge_type]
-                indptr = es.rev_indptr if reverse else es.indptr
-                indices = es.rev_dst if reverse else es.coo_dst
-                n = self.n_nodes()
+                indptr, indices, n = self._csr_view(edge_type, reverse)
                 clean = [[s for s in ss if 0 <= s < n] for ss in seed_sets]
                 if len(indices):
                     from lattice_tpu.utils import native

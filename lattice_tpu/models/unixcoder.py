@@ -131,8 +131,13 @@ class SelfAttention(nn.Module):
             k = dense("key")(hidden)
             v = dense("value")(hidden)
 
-        if (_paired_enabled(cfg) and head_dim == 64
+        if (_paired_enabled(cfg) and not _flash_enabled(cfg)
+                and head_dim == 64
                 and cfg.num_heads % 2 == 0 and hidden.shape[1] >= 8):
+            # an explicit flash opt-in (LATTICE_FLASH_ATTN=1 /
+            # fused_attention=True) must win over the paired auto-default
+            # or the A/B lever silently measures the paired kernel
+            # (r4 review finding)
             # head-pair kernel consumes the projections in their native
             # [B, L, H*64] layout — no split/transpose at all
             from lattice_tpu.ops.attention import paired_attention

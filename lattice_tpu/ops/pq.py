@@ -452,12 +452,21 @@ class PQIndex:
             q_np = np.asarray(emb_ref)[rows].astype(np.float32)
             _, exact_np = topk_ops.topk_oracle(
                 q_np, emb_ref, valid_np, k_eff)
-        rr = None
-        if rescore:
-            rr = (np.asarray(emb_ref, np.float32)
-                  if not isinstance(emb_ref, jax.Array)
-                  else np.asarray(emb_ref).astype(np.float32))
-        _, got = self.search(q_np, k_eff, rescore_rows=rr)
+        if rescore and isinstance(emb_ref, jax.Array):
+            # rescore ON DEVICE: gather only the [B, k1, d] candidates.
+            # Materializing the whole matrix on host for the gate is a
+            # ~6 GB readback at PQ's own serving regime (>4M x 768)
+            # through a ~20 MB/s relay (r4 review finding).
+            from lattice_tpu.ops.pallas_topk import _exact_rescore
+            qn = topk_ops.l2_normalize(q_np)
+            k1 = min(max(4 * k_eff, 32), self.codes.shape[0])
+            s1, c1 = self.search_device(jnp.asarray(qn, jnp.float32), k1)
+            _, got_dev = _exact_rescore(jnp.asarray(qn, jnp.float32),
+                                        emb_ref, s1, c1, k_eff)
+            got = np.asarray(got_dev)
+        else:
+            rr = np.asarray(emb_ref, np.float32) if rescore else None
+            _, got = self.search(q_np, k_eff, rescore_rows=rr)
         hits = sum(
             len(set(got[i].tolist()) & set(exact_np[i].tolist()))
             for i in range(len(rows)))

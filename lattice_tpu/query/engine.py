@@ -368,7 +368,11 @@ class QueryEngine:
         # (unbounded 5-hop reach at 1M/10M measured ~600k nodes ->
         # ~100 ms/query of BFS sort + upload, R4_TPU_RESULTS1).
         import os as _os
-        budget = int(_os.environ.get("LATTICE_REACH_BUDGET", 32768)) // 2
+        # floor of 1 per direction: 0/1 would pass limit=0 to the walk,
+        # which means UNBOUNDED — the exact pathology the budget exists
+        # to prevent — and then trim every reached node away
+        budget = max(
+            int(_os.environ.get("LATTICE_REACH_BUDGET", 32768)) // 2, 1)
         if seeds:
             # seeds always carry their depth-0 primary credit, even in a
             # graph with no CALLS edges (hierarchy/import-only corpora)

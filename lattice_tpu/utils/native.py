@@ -127,10 +127,18 @@ class BFSScratch:
     """
 
     def __init__(self, n: int):
+        import threading
+
         import numpy as np
         self.n = n
         self.mark = np.full(n, -1, dtype=np.int32)
         self.epoch = 0
+        # The mark array is shared mutable state and ctypes releases the
+        # GIL during the C++ walk: two concurrent traversals (watcher
+        # reconcile + a query thread) could run the same epoch on the
+        # same marks and silently drop each other's nodes. The walk is
+        # sub-ms, so a lock costs nothing (r4 review finding).
+        self.lock = threading.Lock()
 
     def next_epoch(self) -> int:
         self.epoch += 1
@@ -158,14 +166,15 @@ def bfs_khop(indptr, indices, alive_u8, seeds, hops: int, limit: int,
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    written = lib.lattice_bfs_khop(
-        indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
-        alive_u8.ctypes.data_as(u8p), n,
-        seeds.ctypes.data_as(i32p), len(seeds),
-        hops, limit,
-        scratch.mark.ctypes.data_as(i32p), scratch.next_epoch(),
-        out_ids.ctypes.data_as(i32p), out_depths.ctypes.data_as(i32p),
-        out_cap)
+    with scratch.lock:
+        written = lib.lattice_bfs_khop(
+            indptr.ctypes.data_as(i64p), indices.ctypes.data_as(i32p),
+            alive_u8.ctypes.data_as(u8p), n,
+            seeds.ctypes.data_as(i32p), len(seeds),
+            hops, limit,
+            scratch.mark.ctypes.data_as(i32p), scratch.next_epoch(),
+            out_ids.ctypes.data_as(i32p),
+            out_depths.ctypes.data_as(i32p), out_cap)
     return out_ids[:written], out_depths[:written]
 
 
@@ -185,8 +194,6 @@ def bfs_khop_batch(indptr, indices, alive_u8, seed_sets, hops: int,
     flat = np.concatenate([np.asarray(s, dtype=np.int32)
                            for s in seed_sets]) if q else \
         np.empty(0, dtype=np.int32)
-    if flat.size == 0:
-        flat = np.empty(0, dtype=np.int32)
     offsets = np.zeros(q + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seed_sets], out=offsets[1:])
     out_ids = np.empty((q, out_cap), dtype=np.int32)

@@ -716,6 +716,14 @@ class TestIncrementalIVF:
         s.build_ivf(n_clusters=4)
         return s
 
+    def test_empty_add_is_a_noop(self):
+        """A zero-row batch (a commit touching no indexable entities)
+        must return [] instead of raising on max(rows) (r4 review)."""
+        s = self._store()
+        before = s._size
+        assert s.add(np.zeros((0, 16), dtype=np.float32), []) == []
+        assert s._size == before
+
     def test_add_is_findable_without_rebuild(self):
         s = self._store()
         assert not s._ivf_dirty
