@@ -1070,6 +1070,16 @@ class ChunkStore:
             # device-resident end to end (quantized views normalize +
             # quantize inside the shard_map execution)
             return self._sharded_search_rescored(raw, k_eff, mask)
+        if (plan in ("quantized", "int4") and self._device_is_tpu()
+                and int(queries.shape[0]) >= 512):
+            # very large single calls serve better as ONE scanned
+            # execution over 256-query chunks: B=1024 measured 77.9k qps
+            # monolithic (tile drops to 1024 under the VMEM budget) vs
+            # 93k scanned at chunk=256 (R4_TPU_RESULTS1 / R3 sweep) —
+            # same two-stage kernels, same widths, better tile
+            return self.search_device_pipelined(raw, k, chunk=256,
+                                                filters=filters,
+                                                method=plan)
         valid = self._valid if mask is None else (self._valid & mask)
         vcol = self._valid_col() if mask is None else valid
         if plan == "quantized":
