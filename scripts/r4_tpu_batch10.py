@@ -121,16 +121,55 @@ def phase_q10():
         save()
 
 
+def phase_b10():
+    """B>=512 auto-chunk routing: recall + qps through the dispatcher
+    (search_device now serves >=512-query calls as ONE scanned
+    execution over 256-chunks — verify the route keeps exactness and
+    lands near the 93k pipelined ceiling)."""
+    import jax.numpy as jnp
+    from lattice_tpu.index.chunk_store import ChunkStore
+    from lattice_tpu.ops import topk as topk_ops
+
+    emb, q = _gen_corpus(N1M, seed=3)
+    store = ChunkStore.from_device_arrays(
+        emb.astype(jnp.bfloat16), jnp.ones((N1M,), bool))
+    qb = jnp.concatenate([jnp.asarray(q)] * 4)          # [1024, d]
+    _, exact_i = topk_ops.flat_topk(jnp.asarray(q), emb,
+                                    jnp.ones((N1M,), bool), K)
+    exact_i = np.asarray(exact_i)
+    del emb
+    gc.collect()
+    for b in (512, 1024):
+        qx = qb[:b]
+        s, i = store.search_device(qx, K)
+        ids = np.asarray(i)  # warm + drain
+        t0 = time.perf_counter()
+        for _ in range(12):
+            s, i = store.search_device(qx, K)
+        ids = np.asarray(i)
+        dt = (time.perf_counter() - t0) / 12
+        rec = float(np.mean([
+            len(set(ids[r].tolist()) & set(exact_i[r % 256].tolist())) / K
+            for r in range(b)]))
+        RESULTS[f"b{b}_routed_qps"] = round(b / dt, 1)
+        RESULTS[f"b{b}_routed_recall"] = round(rec, 4)
+        log(f"B10 b{b}: {b/dt:.0f} qps, recall {rec:.4f}")
+        save()
+
+
 def main():
     import jax
     log(f"devices: {jax.devices()}")
-    try:
-        phase_q10()
-    except Exception as exc:
-        import traceback
-        log(f"phase Q10 FAILED: {exc!r}\n" + traceback.format_exc(limit=6))
-        RESULTS["phase_Q10_error"] = repr(exc)[:300]
-        save()
+    for name, fn in (("Q10", phase_q10), ("B10", phase_b10)):
+        try:
+            fn()
+        except Exception as exc:
+            import traceback
+            log(f"phase {name} FAILED: {exc!r}\n"
+                + traceback.format_exc(limit=6))
+            RESULTS[f"phase_{name}_error"] = repr(exc)[:300]
+            save()
+            gc.collect()
     save()
     log("ALL DONE")
 
