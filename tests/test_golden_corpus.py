@@ -285,6 +285,16 @@ class TestGoldenQueries:
         names = " ".join(r.qualified_name for r in result.results)
         assert "WebhookService" in names or "BaseService" in names
 
+    def test_reach_budget_floor(self, engine, monkeypatch):
+        """LATTICE_REACH_BUDGET=1 must still bound the walk AND keep
+        graph evidence (the pre-fix behavior passed limit=0 = UNBOUNDED
+        to the walk, then trimmed every reached node away)."""
+        monkeypatch.setenv("LATTICE_REACH_BUDGET", "1")
+        result = engine.deep_search("who calls validate_email?")
+        assert result.results
+        names = " ".join(r.qualified_name for r in result.results)
+        assert "validate_email" in names
+
     def test_per_entity_caller_lists_are_entity_specific(self, golden):
         """Each primary's EntityContext carries its OWN depth-1 callers
         (reference `context/builder.py:141-151`), not the union across
