@@ -716,6 +716,31 @@ class TestIncrementalIVF:
         s.build_ivf(n_clusters=4)
         return s
 
+    def test_store_buffers_release_after_del_and_gc(self):
+        """Dead stores must actually free their device buffers once
+        gc runs: the compiled-closure caches form reference cycles, so
+        plain del keeps the corpus alive (this OOMed the r4 bench with
+        two dead 1M stores resident). Pin the invariant at library
+        scale: after del + gc.collect(), live device bytes return to
+        ~baseline."""
+        import gc as _gc
+
+        import jax as _jax
+        _gc.collect()
+        base = sum(a.nbytes for a in _jax.live_arrays())
+        import jax.numpy as _jnp
+        s = self._store()                      # builds views + caches
+        q = _vecs(4, 16, seed=51)
+        s.search_device(_jnp.asarray(q), 5)
+        s.search(q, 5, method="quantized")
+        grown = sum(a.nbytes for a in _jax.live_arrays())
+        assert grown > base                    # the store is resident
+        del s
+        _gc.collect()
+        after = sum(a.nbytes for a in _jax.live_arrays())
+        # small jit-cache constants may persist; the corpus must not
+        assert after - base < (grown - base) * 0.2, (base, grown, after)
+
     def test_empty_add_is_a_noop(self):
         """A zero-row batch (a commit touching no indexable entities)
         must return [] instead of raising on max(rows) (r4 review)."""
