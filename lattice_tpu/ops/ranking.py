@@ -286,11 +286,11 @@ def hybrid_rank_device_packed_batch(
     embeddings: jax.Array,      # [N, d] bf16/f32 corpus rows
     valid: jax.Array,           # [N] bool
     packed_reach: jax.Array,    # [Q, R] i32 (pack_reach rows, -1 pad)
-    rel_table: jax.Array,       # [4] f32
+    rel_table: jax.Array,       # [4] f32, or [Q, 4] per-intent
     match_rows: jax.Array,      # [Q, M] i32 (-1 pad)
     row_degree: jax.Array,      # [N] i32
     quality: jax.Array,         # [N] f32
-    weights: jax.Array,         # [8] f32
+    weights: jax.Array,         # [8] f32, or [Q, 8] per-intent
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Q hybrid queries in ONE execution: batched cosine on the MXU,
@@ -310,13 +310,20 @@ def hybrid_rank_device_packed_batch(
         preferred_element_type=jnp.float32)      # [Q, N]
     vec_all = jnp.where(valid[None, :], scores, NEG_INF)
     n = embeddings.shape[0]
+    nq = queries.shape[0]
+    # per-query intent tables: [8]/[4] broadcast to [Q, 8]/[Q, 4] so a
+    # mixed-intent batch fuses each query with its own weights
+    w_q = (weights if weights.ndim == 2
+           else jnp.broadcast_to(weights, (nq,) + weights.shape))
+    rel_q = (rel_table if rel_table.ndim == 2
+             else jnp.broadcast_to(rel_table, (nq,) + rel_table.shape))
 
     def body(_, per_q):
-        vec, packed, m_rows = per_q
+        vec, packed, m_rows, w, rel_t = per_q
         on = packed >= 0
         rows = packed & REACH_ROW_MASK
         depth_p = (packed >> REACH_ROW_BITS) & REACH_DEPTH_MAX
-        rel_p = rel_table[(packed >> 29) & 3]
+        rel_p = rel_t[(packed >> 29) & 3]
         safe = jnp.clip(rows, 0, n - 1)
         depth = jnp.full((n,), UNREACHED, dtype=jnp.int32).at[safe].min(
             jnp.where(on, depth_p, UNREACHED).astype(jnp.int32))
@@ -327,11 +334,11 @@ def hybrid_rank_device_packed_batch(
         match = jnp.zeros((n,), dtype=jnp.float32).at[m_safe].max(
             jnp.where(m_on, 1.0, 0.0))
         fused = _fuse_scores(depth, rel, vec, match, row_degree,
-                             quality, weights)
+                             quality, w)
         return None, _select_topk(fused, k)
 
     _, (top_s, top_i) = jax.lax.scan(
-        body, None, (vec_all, packed_reach, match_rows))
+        body, None, (vec_all, packed_reach, match_rows, w_q, rel_q))
     return top_s, top_i
 
 

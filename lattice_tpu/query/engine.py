@@ -340,6 +340,120 @@ class QueryEngine:
         )
 
         t0 = time.perf_counter()
+        store = self.indexer.code
+        ev = self._deep_evidence(plan)
+        cols = ev["cols"]
+        # pad the sparse reach to a geometric bucket for a stable jit key
+        r_cap = gk.geometric_bucket(max(len(ev["r_rows"]), 1), floor=512)
+        packed = pack_reach(ev["r_rows"], ev["r_depths"], ev["r_cls"],
+                            r_cap)
+        qvec = np.asarray(
+            self.vector_searcher.embedder.embed(query_text),
+            dtype=np.float32)
+        emb, valid = store.device_arrays
+        # small padded array; the scatter happens inside the fused
+        # execution instead of an extra eager device call per query
+        m_cap = gk.geometric_bucket(max(len(ev["match_rows"]), 1),
+                                    floor=64)
+        m_arr = np.full(m_cap, -1, np.int32)
+        m_n = min(len(ev["match_rows"]), m_cap)
+        m_arr[:m_n] = ev["match_rows"][:m_n]
+        weights = jnp.asarray(pack_weights(FuseWeights(
+            *_weights_tuple(self.ranker.config, plan))))
+        # one device execution: cosine pass + reach scatter + fuse + top-k
+        scores, rows = hybrid_rank_device_packed(
+            jnp.asarray(qvec), emb, valid,
+            jnp.asarray(packed), jnp.asarray(ev["rel_table"]),
+            jnp.asarray(m_arr),
+            cols.degree, cols.quality, weights, limit)
+        scores, rows = np.asarray(scores), np.asarray(rows)
+        elapsed_ms = (time.perf_counter() - t0) * 1000
+        results = self._deep_results(scores, rows, ev["reach_set"])
+        return QueryResult(
+            query=query_text, answer="", results=results, query_plan=plan,
+            graph_context=self._deep_context(plan, ev),
+            phase_times_ms={"deep_fuse_ms": elapsed_ms},
+        )
+
+    def deep_search_batch(self, query_texts: list[str],
+                          limit: int | None = None) -> list[QueryResult]:
+        """Corpus-wide hybrid ranking for MANY queries in ONE device
+        execution — a TPU-native extension (the reference serves one
+        query per round trip). Per-query evidence (budgeted BFS reach,
+        entity matches, per-intent weights/relevance tables) stacks to
+        [Q, ...] and uploads once; the batched kernel runs one [Q, N]
+        MXU cosine pass then scans the per-query scatter+fuse+top-k.
+        Measured on v5e at 1M rows / 10M edges: 11.7 ms/query end to end
+        at Q=16 vs ~43 ms single-query (singles sit on the relay's
+        ~34 ms sync floor — R4_TPU_RESULTS4/5)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lattice_tpu.ops import graph_kernels as gk
+        from lattice_tpu.ops.ranking import (FuseWeights,
+                                             hybrid_rank_device_packed_batch,
+                                             pack_reach, pack_weights)
+
+        if not query_texts:
+            return []
+        limit = limit or self.settings.search_limit
+        store = self.indexer.code
+        if (len(store) == 0 or len(query_texts) == 1
+                or store.capacity < self.DEEP_DEVICE_THRESHOLD):
+            return [self.deep_search(t, limit) for t in query_texts]
+        t0 = time.perf_counter()
+        plans = [self.planner.plan_heuristic(t) for t in query_texts]
+        evs = [self._deep_evidence(p) for p in plans]
+        r_cap = gk.geometric_bucket(
+            max(max(len(e["r_rows"]) for e in evs), 1), floor=512)
+        packed_b = np.stack([
+            pack_reach(e["r_rows"], e["r_depths"], e["r_cls"], r_cap)
+            for e in evs])
+        m_cap = gk.geometric_bucket(
+            max(max(len(e["match_rows"]) for e in evs), 1), floor=64)
+        match_b = np.full((len(evs), m_cap), -1, np.int32)
+        for i, e in enumerate(evs):
+            m_n = min(len(e["match_rows"]), m_cap)
+            match_b[i, :m_n] = e["match_rows"][:m_n]
+        qvecs = np.stack([
+            np.asarray(self.vector_searcher.embedder.embed(t), np.float32)
+            for t in query_texts])
+        # mixed intents ride per-query weight/relevance tables
+        w_b = np.stack([
+            pack_weights(FuseWeights(
+                *_weights_tuple(self.ranker.config, p))) for p in plans])
+        rel_b = np.stack([e["rel_table"] for e in evs])
+        emb, valid = store.device_arrays
+        cols = evs[0]["cols"]
+        scores_b, rows_b = hybrid_rank_device_packed_batch(
+            jnp.asarray(qvecs), emb, valid, jnp.asarray(packed_b),
+            jnp.asarray(rel_b), jnp.asarray(match_b),
+            cols.degree, cols.quality, jnp.asarray(w_b), limit)
+        scores_b, rows_b = np.asarray(scores_b), np.asarray(rows_b)
+        per_q_ms = (time.perf_counter() - t0) * 1000 / len(plans)
+        out = []
+        for text, plan, e, sc, rw in zip(query_texts, plans, evs,
+                                         scores_b, rows_b):
+            out.append(QueryResult(
+                query=text, answer="",
+                results=self._deep_results(sc, rw, e["reach_set"]),
+                query_plan=plan, graph_context=self._deep_context(plan, e),
+                phase_times_ms={"deep_fuse_ms": per_q_ms}))
+        return out
+
+    def _deep_evidence(self, plan) -> dict:
+        """Host-side evidence for one deep query: seeds, budgeted BFS
+        reach expanded node->row through the resident reverse CSR,
+        entity-match rows, and the intent relevance table. O(seeds +
+        reached + matches) host work, never O(corpus)."""
+        import numpy as np
+
+        from lattice_tpu.core.types import EdgeType
+        from lattice_tpu.query.ranking.scorer import (
+            _DEFAULT_RELEVANCE,
+            _RELATIONSHIP_RELEVANCE,
+        )
+
         graph = self.graph_store
         store = self.indexer.code
         graph._ensure_final()
@@ -405,6 +519,8 @@ class QueryEngine:
                 np.full(len(f_ids), 1, np.uint8),
                 np.full(len(b_ids), 2, np.uint8)])
         else:
+            f_ids = b_ids = np.empty(0, np.int64)
+            f_d = b_d = np.empty(0, np.int32)
             n_ids = np.empty(0, np.int64)
             n_depths = np.empty(0, np.int32)
             n_cls = np.empty(0, np.uint8)
@@ -414,37 +530,25 @@ class QueryEngine:
         # node->row expansion through the resident reverse CSR, host-side
         r_rows, r_depths, r_cls = cols.rows_for_nodes(n_ids, n_depths,
                                                       n_cls)
-        # pad the sparse reach to a geometric bucket for a stable jit key
-        r_cap = gk.geometric_bucket(max(len(r_rows), 1), floor=512)
-        packed = pack_reach(r_rows, r_depths, r_cls, r_cap)
-
-        qvec = np.asarray(
-            self.vector_searcher.embedder.embed(query_text),
-            dtype=np.float32)
-        emb, valid = store.device_arrays
-
         match_rows: list[int] = []
         inverted = store._inverted["graph_node_id"]
-        for s in seeds:
-            match_rows.extend(inverted.get(graph.node(s).qualified_name, ()))
-        # small padded array; the scatter happens inside the fused
-        # execution instead of an extra eager device call per query
-        m_cap = gk.geometric_bucket(max(len(match_rows), 1), floor=64)
-        m_arr = np.full(m_cap, -1, np.int32)
-        m_n = min(len(match_rows), m_cap)
-        m_arr[:m_n] = match_rows[:m_n]
+        for sd in seeds:
+            match_rows.extend(
+                inverted.get(graph.node(sd).qualified_name, ()))
+        return {
+            "seeds": seeds, "f_ids": f_ids, "f_d": f_d,
+            "b_ids": b_ids, "b_d": b_d,
+            "r_rows": r_rows, "r_depths": r_depths, "r_cls": r_cls,
+            "rel_table": rel_table, "reach_set": reach_set,
+            "match_rows": match_rows, "cols": cols,
+        }
 
-        weights = jnp.asarray(pack_weights(FuseWeights(
-            *_weights_tuple(self.ranker.config, plan))))
-        # one device execution: cosine pass + reach scatter + fuse + top-k
-        scores, rows = hybrid_rank_device_packed(
-            jnp.asarray(qvec), emb, valid,
-            jnp.asarray(packed), jnp.asarray(rel_table),
-            jnp.asarray(m_arr),
-            cols.degree, cols.quality, weights, limit)
-        scores, rows = np.asarray(scores), np.asarray(rows)
-        elapsed_ms = (time.perf_counter() - t0) * 1000
+    def _deep_results(self, scores, rows, reach_set) -> list:
+        from lattice_tpu.core.types import ResultSource
+        from lattice_tpu.query.ranking.models import RankedResult
 
+        graph = self.graph_store
+        store = self.indexer.code
         results = []
         for score, row in zip(scores, rows):
             payload = store.payload(int(row))
@@ -465,6 +569,9 @@ class QueryEngine:
                 score=float(score),
                 content=payload.get("content") or "",
             ))
+        return results
+
+    def _deep_context(self, plan, ev) -> "GraphContext":
         # CALLS-centric intents get their context from the SAME reach the
         # fuse ranked on (no second traversal; BFS discovery order is
         # depth order, so the head of each direction is the Cypher-capped
@@ -477,25 +584,22 @@ class QueryEngine:
             QueryIntent.FIND_CALL_CHAIN, QueryIntent.FIND_SIMILAR,
             QueryIntent.FIND_EXAMPLES, QueryIntent.GENERAL_SEARCH,
         }
-        if not seeds:
-            graph_context = GraphContext()
-        elif plan.intent in calls_intents:
+        if not ev["seeds"]:
+            return GraphContext()
+        if plan.intent in calls_intents:
             cap = 50
             to_node = self.graph_engine._to_node
-            graph_context = GraphContext(
-                primary_entities=[to_node(s, 0, "primary") for s in seeds],
+            return GraphContext(
+                primary_entities=[to_node(s, 0, "primary")
+                                  for s in ev["seeds"]],
                 callees=[to_node(int(v), int(d), "callee")
-                         for v, d in zip(f_ids[:cap], f_d[:cap])],
+                         for v, d in zip(ev["f_ids"][:cap],
+                                         ev["f_d"][:cap])],
                 callers=[to_node(int(v), int(d), "caller")
-                         for v, d in zip(b_ids[:cap], b_d[:cap])],
+                         for v, d in zip(ev["b_ids"][:cap],
+                                         ev["b_d"][:cap])],
             )
-        else:
-            graph_context = self._graph_phase(plan)
-        return QueryResult(
-            query=query_text, answer="", results=results, query_plan=plan,
-            graph_context=graph_context,
-            phase_times_ms={"deep_fuse_ms": elapsed_ms},
-        )
+        return self._graph_phase(plan)
 
     def get_statistics(self) -> dict:
         """Reference: `engine.py:281-309` (+ span aggregates, SURVEY §5)."""

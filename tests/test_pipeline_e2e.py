@@ -341,6 +341,28 @@ class TestDeepSearch:
         from lattice_tpu.core.types import ResultSource
         assert any(r.source == ResultSource.HYBRID for r in dev.results)
 
+    def test_deep_search_batch_matches_sequential(self, indexed):
+        """`deep_search_batch` (one [Q,N] cosine pass + per-query fuse
+        scan in ONE execution, r4) must return exactly the sequential
+        device path's rows per query — mixed intents ride per-query
+        weight/relevance tables."""
+        engine = QueryEngine(indexed.graph_builder.store, indexed.indexer)
+        engine.DEEP_DEVICE_THRESHOLD = 1  # force the device route
+        queries = [
+            "who calls validate_email_format?",
+            "email address format check",
+            "how does UserService create users?",
+        ]
+        seq = [engine.deep_search(q, limit=8) for q in queries]
+        batch = engine.deep_search_batch(queries, limit=8)
+        assert len(batch) == len(seq)
+        for one, many in zip(seq, batch):
+            assert many.query_plan.intent == one.query_plan.intent
+            assert ([r.qualified_name for r in many.results]
+                    == [r.qualified_name for r in one.results])
+            assert ([r.source for r in many.results]
+                    == [r.source for r in one.results])
+
 
 class TestGraphReasoningDispatch:
     @pytest.fixture(scope="class")
