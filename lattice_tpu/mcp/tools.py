@@ -73,6 +73,25 @@ TOOL_SCHEMAS: list[dict[str, Any]] = [
             "required": ["query"],
         },
     },
+    {
+        # TPU-native extension beyond the reference's four tools: many
+        # questions ranked corpus-wide in ONE device execution
+        # (`QueryEngine.deep_search_batch`) — agents batching related
+        # questions amortize the per-call device round trip ~Q-fold
+        "name": "deep_search_batch",
+        "description": "Corpus-wide hybrid ranking for SEVERAL questions "
+                       "at once (one batched device execution; ~Q-fold "
+                       "cheaper than asking one at a time).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "questions": {"type": "array",
+                              "items": {"type": "string"}},
+                "limit": {"type": "integer", "default": 10},
+            },
+            "required": ["questions"],
+        },
+    },
 ]
 
 
@@ -214,9 +233,40 @@ async def semantic_search(ctx: ToolContext, args: dict) -> dict:
     }
 
 
+async def deep_search_batch(ctx: ToolContext, args: dict) -> dict:
+    """Batched corpus-wide hybrid rank (no reference analog — the
+    reference answers one question per round trip; on TPU the batch
+    shares one [Q, N] cosine pass + per-query fuse scan)."""
+    import asyncio
+
+    engine = ctx.engine()
+    questions = [str(q) for q in args.get("questions", []) if str(q)]
+    if not questions:
+        return {"answers": []}
+    results = await asyncio.to_thread(
+        engine.deep_search_batch, questions, int(args.get("limit", 10)))
+    return {
+        "answers": [
+            {
+                "question": r.query,
+                "intent": r.query_plan.intent.value,
+                "results": [
+                    {"name": h.qualified_name or h.name,
+                     "file": h.file_path, "line": h.start_line,
+                     "score": round(h.score, 4),
+                     "source": h.source.value}
+                    for h in r.results
+                ],
+            }
+            for r in results
+        ],
+    }
+
+
 TOOL_HANDLERS = {
     "index_repository": index_repository,
     "query_code_graph": query_code_graph,
     "get_code_snippet": get_code_snippet,
     "semantic_search": semantic_search,
+    "deep_search_batch": deep_search_batch,
 }

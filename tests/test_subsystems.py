@@ -334,7 +334,8 @@ class TestMCPServer:
         resp = self._call(server, "tools/list")
         names = [t["name"] for t in resp["result"]["tools"]]
         assert names == ["index_repository", "query_code_graph",
-                         "get_code_snippet", "semantic_search"]
+                         "get_code_snippet", "semantic_search",
+                         "deep_search_batch"]
 
     def test_semantic_search_tool(self, server):
         resp = self._call(server, "tools/call", {
@@ -368,6 +369,22 @@ class TestMCPServer:
         })
         payload = json.loads(resp["result"]["content"][0]["text"])
         assert "error" in payload
+
+    def test_deep_search_batch_tool(self, server):
+        resp = self._call(server, "tools/call", {
+            "name": "deep_search_batch",
+            "arguments": {"questions": [
+                "who calls validate_email_format?",
+                "email address format check",
+            ], "limit": 5},
+        })
+        payload = json.loads(resp["result"]["content"][0]["text"])
+        assert len(payload["answers"]) == 2
+        assert payload["answers"][0]["intent"] == "find_usage"
+        for ans in payload["answers"]:
+            assert ans["results"]
+            names = " ".join(r["name"] for r in ans["results"])
+            assert "validate" in names or "UserService" in names
 
     def test_unknown_method(self, server):
         resp = self._call(server, "nope/nope")
