@@ -143,9 +143,39 @@ def run_index(args: argparse.Namespace, settings: Settings) -> int:
 
 
 def run_search(args: argparse.Namespace, settings: Settings) -> int:
-    """Reference: `main.py:647-686`."""
+    """Reference: `main.py:647-686` (+ the TPU-native --batch-file)."""
     repo_path = Path(args.path).resolve()
     engine, _ = _load_engine(repo_path, settings)
+    if getattr(args, "batch_file", None):
+        import sys as _sys
+        raw = (_sys.stdin.read() if args.batch_file == "-"
+               else Path(args.batch_file).read_text())
+        queries = [ln.strip() for ln in raw.splitlines() if ln.strip()]
+        if not queries:
+            print("no queries in batch file")
+            return 1
+        batch = engine.deep_search_batch(queries, limit=args.limit)
+        if args.json:
+            from lattice_tpu.query.ranking.utils import (
+                ranked_results_to_search_results,
+            )
+            print(json.dumps([
+                {"query": r.query,
+                 "intent": r.query_plan.intent.value,
+                 "results": ranked_results_to_search_results(r.results)}
+                for r in batch], indent=1))
+            return 0
+        for r in batch:
+            print(f"== {r.query}  (intent: {r.query_plan.intent.value})")
+            for i, h in enumerate(r.results, 1):
+                print(f"  {i:2}. [{h.score:6.3f}] "
+                      f"{h.qualified_name or h.name} "
+                      f"({h.entity_type}, {h.source.value}) "
+                      f"{h.file_path}:{h.start_line}")
+        return 0
+    if args.query is None:
+        print("a query is required (or --batch-file)")
+        return 1
     if getattr(args, "deep", False):
         result = engine.deep_search(args.query, limit=args.limit)
     else:
@@ -328,12 +358,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="re-embed unchanged files")
 
     p = sub.add_parser("search", help="retrieval without synthesis")
-    p.add_argument("query")
+    p.add_argument("query", nargs="?", default=None)
     p.add_argument("--path", default=".")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--json", action="store_true")
     p.add_argument("--deep", action="store_true",
                    help="corpus-wide device-fused ranking (every chunk)")
+    p.add_argument("--batch-file", default=None, metavar="FILE",
+                   help="newline-separated queries ranked corpus-wide in "
+                        "ONE device execution (implies --deep; '-' reads "
+                        "stdin)")
     p.add_argument("-v", "--verbose", action="store_true")
 
     p = sub.add_parser("query", help="ask a question about the code")
