@@ -1065,11 +1065,6 @@ class ChunkStore:
         k_eff = min(k, self._cap)
         plan = self._plan_search(int(queries.shape[0]), k_eff, filters,
                                  method)
-        mask = self.filter_mask(filters)
-        if plan == "sharded" and len(jax.devices()) > 1:
-            # device-resident end to end (quantized views normalize +
-            # quantize inside the shard_map execution)
-            return self._sharded_search_rescored(raw, k_eff, mask)
         if (plan in ("quantized", "int4") and self._device_is_tpu()
                 and int(queries.shape[0]) >= 512):
             # very large single calls serve better as ONE scanned
@@ -1080,6 +1075,11 @@ class ChunkStore:
             return self.search_device_pipelined(raw, k, chunk=256,
                                                 filters=filters,
                                                 method=plan)
+        mask = self.filter_mask(filters)
+        if plan == "sharded" and len(jax.devices()) > 1:
+            # device-resident end to end (quantized views normalize +
+            # quantize inside the shard_map execution)
+            return self._sharded_search_rescored(raw, k_eff, mask)
         valid = self._valid if mask is None else (self._valid & mask)
         vcol = self._valid_col() if mask is None else valid
         if plan == "quantized":

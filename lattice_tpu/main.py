@@ -148,8 +148,12 @@ def run_search(args: argparse.Namespace, settings: Settings) -> int:
     engine, _ = _load_engine(repo_path, settings)
     if getattr(args, "batch_file", None):
         import sys as _sys
-        raw = (_sys.stdin.read() if args.batch_file == "-"
-               else Path(args.batch_file).read_text())
+        try:
+            raw = (_sys.stdin.read() if args.batch_file == "-"
+                   else Path(args.batch_file).read_text())
+        except OSError as exc:
+            print(f"cannot read batch file {args.batch_file}: {exc}")
+            return 1
         queries = [ln.strip() for ln in raw.splitlines() if ln.strip()]
         if not queries:
             print("no queries in batch file")

@@ -236,7 +236,9 @@ async def semantic_search(ctx: ToolContext, args: dict) -> dict:
 async def deep_search_batch(ctx: ToolContext, args: dict) -> dict:
     """Batched corpus-wide hybrid rank (no reference analog — the
     reference answers one question per round trip; on TPU the batch
-    shares one [Q, N] cosine pass + per-query fuse scan)."""
+    shares one [Q, N] cosine pass + per-query fuse scan). Arbitrarily
+    long question lists are safe: the engine executes in chunks of
+    `DEEP_BATCH_CHUNK` (128) so the device score slab stays bounded."""
     import asyncio
 
     engine = ctx.engine()

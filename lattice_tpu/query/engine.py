@@ -311,6 +311,37 @@ class QueryEngine:
     # device-resident join (ops/ranking.fused_rank_rows)
     DEEP_DEVICE_THRESHOLD = 100_000
 
+    # max queries per batched-rank execution: bounds the kernel's [Q, N]
+    # f32 score slab (128 * 1M rows * 4 B = 512 MB) so an unbounded
+    # MCP/CLI batch cannot OOM the chip and wedge the relay grant queue
+    DEEP_BATCH_CHUNK = 128
+
+    def _pack_deep_evidence(self, evs: list[dict]):
+        """Stack per-query evidence into padded [Q, R] / [Q, M] arrays.
+
+        Geometric buckets on both capacities keep the jit cache key
+        stable as reach/match sizes vary query to query; -1 pads are
+        masked inside the kernel. Shared by the single-query device path
+        (Q=1, row 0) and `deep_search_batch` so the packed-reach format
+        has exactly one producer."""
+        import numpy as np
+
+        from lattice_tpu.ops import graph_kernels as gk
+        from lattice_tpu.ops.ranking import pack_reach
+
+        r_cap = gk.geometric_bucket(
+            max(max(len(e["r_rows"]) for e in evs), 1), floor=512)
+        packed_b = np.stack([
+            pack_reach(e["r_rows"], e["r_depths"], e["r_cls"], r_cap)
+            for e in evs])
+        m_cap = gk.geometric_bucket(
+            max(max(len(e["match_rows"]) for e in evs), 1), floor=64)
+        match_b = np.full((len(evs), m_cap), -1, np.int32)
+        for i, e in enumerate(evs):
+            m_n = min(len(e["match_rows"]), m_cap)
+            match_b[i, :m_n] = e["match_rows"][:m_n]
+        return packed_b, match_b
+
     def _deep_search_device(self, query_text: str, plan, limit: int
                             ) -> QueryResult:
         """Corpus-scale hybrid rank: sparse host BFS + device fuse.
@@ -328,43 +359,28 @@ class QueryEngine:
         import jax.numpy as jnp
         import numpy as np
 
-        from lattice_tpu.core.types import EdgeType, ResultSource
-        from lattice_tpu.ops import graph_kernels as gk
         from lattice_tpu.ops.ranking import (FuseWeights,
                                              hybrid_rank_device_packed,
-                                             pack_reach, pack_weights)
-        from lattice_tpu.query.ranking.models import RankedResult
-        from lattice_tpu.query.ranking.scorer import (
-            _DEFAULT_RELEVANCE,
-            _RELATIONSHIP_RELEVANCE,
-        )
+                                             pack_weights)
 
         t0 = time.perf_counter()
         store = self.indexer.code
         ev = self._deep_evidence(plan)
         cols = ev["cols"]
-        # pad the sparse reach to a geometric bucket for a stable jit key
-        r_cap = gk.geometric_bucket(max(len(ev["r_rows"]), 1), floor=512)
-        packed = pack_reach(ev["r_rows"], ev["r_depths"], ev["r_cls"],
-                            r_cap)
+        # padded reach/match arrays; the scatter happens inside the fused
+        # execution instead of an extra eager device call per query
+        packed_b, match_b = self._pack_deep_evidence([ev])
         qvec = np.asarray(
             self.vector_searcher.embedder.embed(query_text),
             dtype=np.float32)
         emb, valid = store.device_arrays
-        # small padded array; the scatter happens inside the fused
-        # execution instead of an extra eager device call per query
-        m_cap = gk.geometric_bucket(max(len(ev["match_rows"]), 1),
-                                    floor=64)
-        m_arr = np.full(m_cap, -1, np.int32)
-        m_n = min(len(ev["match_rows"]), m_cap)
-        m_arr[:m_n] = ev["match_rows"][:m_n]
         weights = jnp.asarray(pack_weights(FuseWeights(
             *_weights_tuple(self.ranker.config, plan))))
         # one device execution: cosine pass + reach scatter + fuse + top-k
         scores, rows = hybrid_rank_device_packed(
             jnp.asarray(qvec), emb, valid,
-            jnp.asarray(packed), jnp.asarray(ev["rel_table"]),
-            jnp.asarray(m_arr),
+            jnp.asarray(packed_b[0]), jnp.asarray(ev["rel_table"]),
+            jnp.asarray(match_b[0]),
             cols.degree, cols.quality, weights, limit)
         scores, rows = np.asarray(scores), np.asarray(rows)
         elapsed_ms = (time.perf_counter() - t0) * 1000
@@ -392,7 +408,7 @@ class QueryEngine:
         from lattice_tpu.ops import graph_kernels as gk
         from lattice_tpu.ops.ranking import (FuseWeights,
                                              hybrid_rank_device_packed_batch,
-                                             pack_reach, pack_weights)
+                                             pack_weights)
 
         if not query_texts:
             return []
@@ -404,20 +420,12 @@ class QueryEngine:
         t0 = time.perf_counter()
         plans = [self.planner.plan_heuristic(t) for t in query_texts]
         evs = [self._deep_evidence(p) for p in plans]
-        r_cap = gk.geometric_bucket(
-            max(max(len(e["r_rows"]) for e in evs), 1), floor=512)
-        packed_b = np.stack([
-            pack_reach(e["r_rows"], e["r_depths"], e["r_cls"], r_cap)
-            for e in evs])
-        m_cap = gk.geometric_bucket(
-            max(max(len(e["match_rows"]) for e in evs), 1), floor=64)
-        match_b = np.full((len(evs), m_cap), -1, np.int32)
-        for i, e in enumerate(evs):
-            m_n = min(len(e["match_rows"]), m_cap)
-            match_b[i, :m_n] = e["match_rows"][:m_n]
-        qvecs = np.stack([
-            np.asarray(self.vector_searcher.embedder.embed(t), np.float32)
-            for t in query_texts])
+        # one encoder forward for ALL queries (per-query embed() would
+        # reintroduce Q synchronous device cycles — the exact cost this
+        # batched path exists to amortize)
+        qvecs = np.asarray(
+            self.vector_searcher.embedder.embed_batch(query_texts),
+            dtype=np.float32)
         # mixed intents ride per-query weight/relevance tables
         w_b = np.stack([
             pack_weights(FuseWeights(
@@ -425,11 +433,35 @@ class QueryEngine:
         rel_b = np.stack([e["rel_table"] for e in evs])
         emb, valid = store.device_arrays
         cols = evs[0]["cols"]
-        scores_b, rows_b = hybrid_rank_device_packed_batch(
-            jnp.asarray(qvecs), emb, valid, jnp.asarray(packed_b),
-            jnp.asarray(rel_b), jnp.asarray(match_b),
-            cols.degree, cols.quality, jnp.asarray(w_b), limit)
-        scores_b, rows_b = np.asarray(scores_b), np.asarray(rows_b)
+        # chunk Q: the batched kernel materializes a [Q, N] f32 score
+        # matrix, so an unbounded MCP/CLI batch at 1M rows would OOM the
+        # chip (128 * 1M * 4 B = 512 MB per slab). Each chunk pads Q to a
+        # geometric bucket (repeating the last real query) so distinct
+        # question counts reuse one jit entry instead of recompiling.
+        scores_parts: list[np.ndarray] = []
+        rows_parts: list[np.ndarray] = []
+        for lo in range(0, len(evs), self.DEEP_BATCH_CHUNK):
+            sl = slice(lo, lo + self.DEEP_BATCH_CHUNK)
+            evs_c = evs[sl]
+            q_n = len(evs_c)
+            q_cap = gk.geometric_bucket(q_n, floor=8)
+            packed_b, match_b = self._pack_deep_evidence(evs_c)
+            qv_c, rel_c, w_c = qvecs[sl], rel_b[sl], w_b[sl]
+            if q_cap > q_n:
+                def _pad(a: np.ndarray) -> np.ndarray:
+                    reps = [1] * a.ndim
+                    reps[0] = q_cap - q_n
+                    return np.concatenate([a, np.tile(a[-1:], reps)])
+                packed_b, match_b = _pad(packed_b), _pad(match_b)
+                qv_c, rel_c, w_c = _pad(qv_c), _pad(rel_c), _pad(w_c)
+            sc, rw = hybrid_rank_device_packed_batch(
+                jnp.asarray(qv_c), emb, valid, jnp.asarray(packed_b),
+                jnp.asarray(rel_c), jnp.asarray(match_b),
+                cols.degree, cols.quality, jnp.asarray(w_c), limit)
+            scores_parts.append(np.asarray(sc)[:q_n])
+            rows_parts.append(np.asarray(rw)[:q_n])
+        scores_b = np.concatenate(scores_parts)
+        rows_b = np.concatenate(rows_parts)
         per_q_ms = (time.perf_counter() - t0) * 1000 / len(plans)
         out = []
         for text, plan, e, sc, rw in zip(query_texts, plans, evs,

@@ -169,6 +169,10 @@ def main():
                 + traceback.format_exc(limit=6))
             RESULTS[f"phase_{name}_error"] = repr(exc)[:300]
             save()
+        finally:
+            # store/view closure caches form reference cycles; without a
+            # collect the dead 1M-scale buffers stay resident and the
+            # next phase OOMs the relay process (CLAUDE.md r4 log)
             gc.collect()
     save()
     log("ALL DONE")

@@ -290,6 +290,10 @@ class TestGoldenQueries:
         graph evidence (the pre-fix behavior passed limit=0 = UNBOUNDED
         to the walk, then trimmed every reached node away)."""
         monkeypatch.setenv("LATTICE_REACH_BUDGET", "1")
+        # the budget is read only on the device path (_deep_evidence);
+        # the golden corpus is far below the 100k-row threshold, so force
+        # the routing or this test never executes the guarded code
+        monkeypatch.setattr(type(engine), "DEEP_DEVICE_THRESHOLD", 1)
         result = engine.deep_search("who calls validate_email?")
         assert result.results
         names = " ".join(r.qualified_name for r in result.results)
