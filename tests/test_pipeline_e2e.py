@@ -363,6 +363,30 @@ class TestDeepSearch:
             assert ([r.source for r in many.results]
                     == [r.source for r in one.results])
 
+    def test_deep_search_batch_chunked_parity(self, indexed, monkeypatch):
+        """Q above DEEP_BATCH_CHUNK splits across executions, each padded
+        to a geometric Q bucket (the pad repeats the last real query);
+        results must be identical to one monolithic execution and the
+        pad rows must never leak into the output."""
+        engine = QueryEngine(indexed.graph_builder.store, indexed.indexer)
+        engine.DEEP_DEVICE_THRESHOLD = 1  # force the device route
+        queries = [
+            "who calls validate_email_format?",
+            "email address format check",
+            "how does UserService create users?",
+            "where is promote used?",
+            "what imports validators?",
+        ]
+        whole = engine.deep_search_batch(queries, limit=8)
+        # 5 queries -> chunks of (2, 2, 1); the odd chunk pads 1 -> 2
+        monkeypatch.setattr(type(engine), "DEEP_BATCH_CHUNK", 2)
+        chunked = engine.deep_search_batch(queries, limit=8)
+        assert len(chunked) == len(queries)
+        for one, many in zip(whole, chunked):
+            assert many.query == one.query
+            assert ([r.qualified_name for r in many.results]
+                    == [r.qualified_name for r in one.results])
+
 
 class TestGraphReasoningDispatch:
     @pytest.fixture(scope="class")
