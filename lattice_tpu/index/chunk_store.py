@@ -177,6 +177,7 @@ class ChunkStore:
         self._shardedq_dirty = True
         self._rank_cols = None     # (node_ids, quality) device columns for
         self._rank_cols_dirty = True  # the fused hybrid rank (ops/ranking.py)
+        self._sharded_rank = None  # multi-chip hybrid deep-rank view
 
     @classmethod
     def from_device_arrays(cls, embeddings: jax.Array, valid: jax.Array,
@@ -396,6 +397,7 @@ class ChunkStore:
                 logger.exception("incremental PQ update failed; rebuilding")
                 self._pq_dirty = True
         self._rank_cols_dirty = True
+        self._sharded_rank = None
 
     def _drop_row(self, row: int) -> None:
         payload = self._payloads[row]
@@ -513,6 +515,7 @@ class ChunkStore:
         self._shardedq_dirty = True
         self._rank_cols = None
         self._rank_cols_dirty = True
+        self._sharded_rank = None
 
     def clear(self) -> None:
         self._valid = jnp.zeros((self._cap,), dtype=bool)
@@ -830,6 +833,29 @@ class ChunkStore:
         emb = np.asarray(self._emb, dtype=np.float32)
         return ShardedQuantizedIndex(emb, self._valid_host.copy(), mesh=mesh,
                                      bits=bits)
+
+    def sharded_hybrid(self, graph, mesh=None):
+        """Multi-chip hybrid deep-rank view: corpus rows AND the resident
+        rank columns (CALLS degree, content quality) shard together over
+        the data axis; per-query packed evidence replicates and each
+        shard fuses its own rows (parallel/sharded_rank.py). Cached on
+        the RankColumns object — `device_rank_columns` hands back a new
+        one after any store mutation or graph re-finalize, so the view
+        rebuilds exactly when the columns do. Mutations therefore cost a
+        reshard here (deep-rank serves read-heavy agent traffic; the
+        O(delta) path of ShardedIndex can be added if watch-mode churn
+        ever meets multi-chip deep search)."""
+        from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
+
+        cols = self.device_rank_columns(graph)
+        cached = self._sharded_rank
+        if cached is not None and cached[0] is cols:
+            return cached[1]
+        view = ShardedHybridRank(self._emb, self._valid_host.copy(),
+                                 cols.degree, cols.quality, mesh=mesh,
+                                 dtype=str(self.dtype))
+        self._sharded_rank = (cols, view)
+        return view
 
     def _sharded_quant_bits(self) -> int:
         """Memory-pressure tiering for the sharded serving view (CLAUDE r2

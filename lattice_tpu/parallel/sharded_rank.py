@@ -1,0 +1,202 @@
+"""Multi-chip hybrid deep-rank: the corpus-wide fuse where the rows live.
+
+Reference semantic: the hybrid ranking pass of
+`src/lattice/query/engine.py:102-220` with the scoring formulas of
+`src/lattice/query/ranking/scorer.py:9-126` — single-chip this runs as
+`ops/ranking.hybrid_rank_device_packed(_batch)` over a replicated
+corpus. Past one chip's HBM the corpus rows (and the resident rank
+columns that ride with them) shard over the mesh's data axis, and the
+fuse is row-local by construction: every row's fused score depends only
+on its own vector score, reach depth/relevance, degree, quality and
+match bit. So the multi-chip plan is exactly the ShardedIndex plan:
+
+  - embeddings [N, d], valid/degree/quality [N] shard P(data);
+  - the per-query packed evidence ([Q, R] reach, [Q, M] match rows,
+    [Q, 4]/[Q, 8] intent tables) is tiny (4 B/entry, budgeted) and
+    REPLICATES — each shard rebases global row ids into its local row
+    window and drops the rest, which is cheaper than any host-side
+    routing and keeps the upload one broadcast;
+  - each shard fuses + selects its local top-k with global row ids,
+    and the [B, k] candidates merge over ICI (`all_gather` + re-select,
+    the ShardedIndex merge), hierarchically across DCN on a multislice
+    mesh.
+
+Parity: per-row fuse + exact local/global selection means the merged
+result EQUALS the single-chip kernel's (CPU `approx_max_k` is exact;
+on TPU both paths widen through the same PartialReduce).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lattice_tpu.ops.graph_kernels import UNREACHED
+from lattice_tpu.ops.ranking import (
+    NEG_INF,
+    REACH_DEPTH_MAX,
+    REACH_ROW_BITS,
+    REACH_ROW_MASK,
+    _fuse_scores,
+    _select_topk,
+)
+from lattice_tpu.parallel.mesh import DATA_AXIS, DCN_AXIS, make_mesh
+
+
+class ShardedHybridRank:
+    """Row-sharded corpus + rank columns serving batched hybrid rank.
+
+    Construction uploads each array once with its sharding; `rank`
+    executes ONE shard_map jit per (Q, R, M, k) bucket (callers pad to
+    geometric buckets exactly as the single-chip path does). Mutations
+    follow ShardedIndex semantics: rebuild on store/graph generation
+    change — rank columns are static between generations by design
+    (`ChunkStore.device_rank_columns`).
+    """
+
+    def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
+                 degree: np.ndarray, quality: np.ndarray,
+                 mesh=None, dtype: str = "bfloat16"):
+        self.mesh = mesh or make_mesh()
+        self.multislice = DCN_AXIS in self.mesh.axis_names
+        self._row_axes = ((DCN_AXIS, DATA_AXIS) if self.multislice
+                          else DATA_AXIS)
+        n_data = self.mesh.shape[DATA_AXIS]
+        if self.multislice:
+            n_data *= self.mesh.shape[DCN_AXIS]
+        n, d = embeddings.shape
+        pad = (-n) % n_data
+        if pad:
+            # device matrices reshard without a host round-trip (the
+            # ChunkStore hands its resident HBM matrix straight in)
+            xp = jnp if isinstance(embeddings, jax.Array) else np
+            embeddings = xp.concatenate(
+                [embeddings, xp.zeros((pad, d), embeddings.dtype)])
+            valid = np.concatenate([np.asarray(valid, bool),
+                                    np.zeros(pad, dtype=bool)])
+            xd = jnp if isinstance(degree, jax.Array) else np
+            degree = xd.concatenate([degree, xd.zeros(pad, degree.dtype)])
+            xq = jnp if isinstance(quality, jax.Array) else np
+            quality = xq.concatenate(
+                [quality, xq.zeros(pad, quality.dtype)])
+        self.n_rows = n
+        self.rows_per_shard = (n + pad) // n_data
+        row_sh = NamedSharding(self.mesh, P(self._row_axes))
+        emb_sh = NamedSharding(self.mesh, P(self._row_axes, None))
+        self.embeddings = jax.device_put(
+            jnp.asarray(embeddings, dtype=jnp.dtype(dtype)), emb_sh)
+        self.valid = jax.device_put(jnp.asarray(valid, bool), row_sh)
+        self.degree = jax.device_put(
+            jnp.asarray(degree, jnp.int32), row_sh)
+        self.quality = jax.device_put(
+            jnp.asarray(quality, jnp.float32), row_sh)
+        self._fn_cache: dict[int, callable] = {}
+
+    @property
+    def capacity(self) -> int:
+        return int(self.embeddings.shape[0])
+
+    def _build(self, k: int):
+        mesh = self.mesh
+        rows_per_shard = self.rows_per_shard
+        multislice = self.multislice
+        row_axes = self._row_axes
+        k_local = min(k, rows_per_shard)
+
+        def merge_axis(scores, idx, axis, k_out):
+            all_scores = jax.lax.all_gather(scores, axis, axis=0,
+                                            tiled=False)   # [D, Q, k]
+            all_idx = jax.lax.all_gather(idx, axis, axis=0)
+            dd, q, kk = all_scores.shape
+            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, dd * kk)
+            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, dd * kk)
+            top_s, pos = jax.lax.top_k(flat_s, min(k_out, dd * kk))
+            return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
+
+        def local_rank(queries, emb, valid_s, degree_s, quality_s,
+                       packed, rel_q, match, w_q):
+            n_local = emb.shape[0]
+            q = queries.astype(jnp.float32)
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            scores = jax.lax.dot_general(
+                q, emb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [Q, n_local]
+            vec_all = jnp.where(valid_s[None, :], scores, NEG_INF)
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            if multislice:
+                shard_id = (jax.lax.axis_index(DCN_AXIS)
+                            * jax.lax.axis_size(DATA_AXIS) + shard_id)
+            base = shard_id * rows_per_shard
+            nq = queries.shape[0]
+            w_b = (w_q if w_q.ndim == 2
+                   else jnp.broadcast_to(w_q, (nq,) + w_q.shape))
+            rel_b = (rel_q if rel_q.ndim == 2
+                     else jnp.broadcast_to(rel_q, (nq,) + rel_q.shape))
+
+            def body(_, per_q):
+                vec, packed_i, m_rows, w, rel_t = per_q
+                on = packed_i >= 0
+                rows = (packed_i & REACH_ROW_MASK) - base
+                in_shard = on & (rows >= 0) & (rows < n_local)
+                depth_p = (packed_i >> REACH_ROW_BITS) & REACH_DEPTH_MAX
+                rel_p = rel_t[(packed_i >> 29) & 3]
+                safe = jnp.clip(rows, 0, n_local - 1)
+                depth = jnp.full(
+                    (n_local,), UNREACHED, dtype=jnp.int32).at[safe].min(
+                    jnp.where(in_shard, depth_p,
+                              UNREACHED).astype(jnp.int32))
+                rel = jnp.zeros((n_local,), jnp.float32).at[safe].max(
+                    jnp.where(in_shard, rel_p, 0.0))
+                m_local = m_rows - base
+                m_in = (m_rows >= 0) & (m_local >= 0) & (m_local < n_local)
+                m_safe = jnp.clip(m_local, 0, n_local - 1)
+                match_c = jnp.zeros(
+                    (n_local,), jnp.float32).at[m_safe].max(
+                    jnp.where(m_in, 1.0, 0.0))
+                fused = _fuse_scores(depth, rel, vec, match_c, degree_s,
+                                     quality_s, w)
+                s, i = _select_topk(fused, k_local)
+                return None, (s, i + base)
+
+            _, (top_s, top_i) = jax.lax.scan(
+                body, None, (vec_all, packed, match, w_b, rel_b))
+            top_s, top_i = merge_axis(top_s, top_i, DATA_AXIS, k)
+            if multislice:
+                top_s, top_i = merge_axis(top_s, top_i, DCN_AXIS, k)
+            return top_s, top_i
+
+        rep = P()
+        fn = shard_map(
+            local_rank, mesh=mesh,
+            in_specs=(rep, P(row_axes, None), P(row_axes), P(row_axes),
+                      P(row_axes), rep, rep, rep, rep),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def rank(self, queries: np.ndarray, packed_reach: np.ndarray,
+             rel_table: np.ndarray, match_rows: np.ndarray,
+             weights: np.ndarray, k: int
+             ) -> tuple[np.ndarray, np.ndarray]:
+        """([Q, k] scores, [Q, k] global row ids) across all shards.
+
+        `packed_reach` [Q, R] in the `pack_reach` format (global row
+        ids); `rel_table`/`weights` [4]/[8] or per-query [Q, 4]/[Q, 8];
+        `match_rows` [Q, M] global row ids (-1 pad). Same contract as
+        `ops/ranking.hybrid_rank_device_packed_batch`.
+        """
+        fn = self._fn_cache.get(k)
+        if fn is None:
+            fn = self._build(k)
+            self._fn_cache[k] = fn
+        scores, rows = fn(
+            jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32))),
+            self.embeddings, self.valid, self.degree, self.quality,
+            jnp.asarray(packed_reach), jnp.asarray(rel_table),
+            jnp.asarray(match_rows), jnp.asarray(weights))
+        return np.asarray(scores), np.asarray(rows)

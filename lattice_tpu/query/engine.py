@@ -316,6 +316,21 @@ class QueryEngine:
     # MCP/CLI batch cannot OOM the chip and wedge the relay grant queue
     DEEP_BATCH_CHUNK = 128
 
+    @staticmethod
+    def _sharded_deep_enabled() -> bool:
+        """Deep rank over a multi-chip mesh: same opt-in convention as
+        the store's sharded tier (`ChunkStore._plan_search` step 1) —
+        LATTICE_SHARDED=1 with more than one attached device."""
+        import os
+
+        if os.environ.get("LATTICE_SHARDED") != "1":
+            return False
+        import jax
+        try:
+            return len(jax.devices()) > 1
+        except Exception:
+            return False
+
     def _pack_deep_evidence(self, evs: list[dict]):
         """Stack per-query evidence into padded [Q, R] / [Q, M] arrays.
 
@@ -373,16 +388,25 @@ class QueryEngine:
         qvec = np.asarray(
             self.vector_searcher.embedder.embed(query_text),
             dtype=np.float32)
-        emb, valid = store.device_arrays
-        weights = jnp.asarray(pack_weights(FuseWeights(
-            *_weights_tuple(self.ranker.config, plan))))
-        # one device execution: cosine pass + reach scatter + fuse + top-k
-        scores, rows = hybrid_rank_device_packed(
-            jnp.asarray(qvec), emb, valid,
-            jnp.asarray(packed_b[0]), jnp.asarray(ev["rel_table"]),
-            jnp.asarray(match_b[0]),
-            cols.degree, cols.quality, weights, limit)
-        scores, rows = np.asarray(scores), np.asarray(rows)
+        w_np = pack_weights(FuseWeights(
+            *_weights_tuple(self.ranker.config, plan)))
+        if self._sharded_deep_enabled():
+            # rows + rank columns sharded over the mesh; evidence
+            # replicates and each shard fuses its own row window
+            view = store.sharded_hybrid(self.graph_store)
+            scores, rows = view.rank(qvec[None], packed_b,
+                                     ev["rel_table"], match_b, w_np,
+                                     limit)
+            scores, rows = scores[0], rows[0]
+        else:
+            emb, valid = store.device_arrays
+            # one device execution: cosine + reach scatter + fuse + top-k
+            scores, rows = hybrid_rank_device_packed(
+                jnp.asarray(qvec), emb, valid,
+                jnp.asarray(packed_b[0]), jnp.asarray(ev["rel_table"]),
+                jnp.asarray(match_b[0]),
+                cols.degree, cols.quality, jnp.asarray(w_np), limit)
+            scores, rows = np.asarray(scores), np.asarray(rows)
         elapsed_ms = (time.perf_counter() - t0) * 1000
         results = self._deep_results(scores, rows, ev["reach_set"])
         return QueryResult(
@@ -431,7 +455,10 @@ class QueryEngine:
             pack_weights(FuseWeights(
                 *_weights_tuple(self.ranker.config, p))) for p in plans])
         rel_b = np.stack([e["rel_table"] for e in evs])
-        emb, valid = store.device_arrays
+        sharded_view = (store.sharded_hybrid(self.graph_store)
+                        if self._sharded_deep_enabled() else None)
+        if sharded_view is None:
+            emb, valid = store.device_arrays
         cols = evs[0]["cols"]
         # chunk Q: the batched kernel materializes a [Q, N] f32 score
         # matrix, so an unbounded MCP/CLI batch at 1M rows would OOM the
@@ -454,10 +481,14 @@ class QueryEngine:
                     return np.concatenate([a, np.tile(a[-1:], reps)])
                 packed_b, match_b = _pad(packed_b), _pad(match_b)
                 qv_c, rel_c, w_c = _pad(qv_c), _pad(rel_c), _pad(w_c)
-            sc, rw = hybrid_rank_device_packed_batch(
-                jnp.asarray(qv_c), emb, valid, jnp.asarray(packed_b),
-                jnp.asarray(rel_c), jnp.asarray(match_b),
-                cols.degree, cols.quality, jnp.asarray(w_c), limit)
+            if sharded_view is not None:
+                sc, rw = sharded_view.rank(qv_c, packed_b, rel_c,
+                                           match_b, w_c, limit)
+            else:
+                sc, rw = hybrid_rank_device_packed_batch(
+                    jnp.asarray(qv_c), emb, valid, jnp.asarray(packed_b),
+                    jnp.asarray(rel_c), jnp.asarray(match_b),
+                    cols.degree, cols.quality, jnp.asarray(w_c), limit)
             scores_parts.append(np.asarray(sc)[:q_n])
             rows_parts.append(np.asarray(rw)[:q_n])
         scores_b = np.concatenate(scores_parts)

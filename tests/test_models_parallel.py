@@ -832,3 +832,98 @@ class TestShardedQuantizedUpgrades:
         assert idx.update_rows(fresh, np.array([33]))
         _, ids = idx.search(fresh, k=1)
         assert ids[0, 0] == 33
+
+
+class TestShardedHybridRank:
+    """Multi-chip hybrid deep-rank (parallel/sharded_rank.py): row-sharded
+    fuse must EQUAL the single-chip packed batch kernel — the fuse is
+    row-local, so sharding changes nothing but where rows live."""
+
+    def _fixture(self, n=1000, d=32, q=3, seed=0):
+        import numpy as np
+
+        from lattice_tpu.ops.ranking import FuseWeights, pack_reach, pack_weights
+
+        rng = np.random.default_rng(seed)
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        valid = rng.random(n) < 0.95
+        degree = rng.integers(0, 80, n).astype(np.int32)
+        quality = rng.random(n).astype(np.float32)
+        queries = rng.normal(size=(q, d)).astype(np.float32)
+        r_cap, m_cap = 512, 64
+        packed = np.stack([
+            pack_reach(rng.choice(n, 200, replace=False).astype(np.int64),
+                       rng.integers(0, 6, 200),
+                       rng.integers(0, 4, 200), r_cap)
+            for _ in range(q)])
+        match = np.full((q, m_cap), -1, np.int32)
+        for i in range(q):
+            match[i, :10] = rng.choice(n, 10, replace=False)
+        rel = np.stack([
+            np.asarray([1.0, 0.9, 0.7, 0.0], np.float32) * (1 - 0.1 * i)
+            for i in range(q)])
+        w = np.stack([pack_weights(FuseWeights())] * q)
+        return emb, valid, degree, quality, queries, packed, match, rel, w
+
+    def _single_chip(self, emb, valid, degree, quality, queries, packed,
+                     match, rel, w, k):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lattice_tpu.ops.ranking import hybrid_rank_device_packed_batch
+
+        s, i = hybrid_rank_device_packed_batch(
+            jnp.asarray(queries), jnp.asarray(emb), jnp.asarray(valid),
+            jnp.asarray(packed), jnp.asarray(rel), jnp.asarray(match),
+            jnp.asarray(degree), jnp.asarray(quality), jnp.asarray(w), k)
+        return np.asarray(s), np.asarray(i)
+
+    def test_matches_single_chip_kernel(self):
+        import numpy as np
+
+        from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
+
+        fx = self._fixture()
+        emb, valid, degree, quality, queries, packed, match, rel, w = fx
+        want_s, want_i = self._single_chip(*fx, k=10)
+        sh = ShardedHybridRank(emb, valid, degree, quality,
+                               mesh=make_mesh(8), dtype="float32")
+        got_s, got_i = sh.rank(queries, packed, rel, match, w, k=10)
+        assert got_s.shape == (3, 10) and got_i.shape == (3, 10)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(got_i, want_i)
+
+    def test_multislice_merge_matches(self):
+        import numpy as np
+
+        from lattice_tpu.parallel.mesh import make_multislice_mesh
+        from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
+
+        fx = self._fixture(seed=1)
+        emb, valid, degree, quality, queries, packed, match, rel, w = fx
+        want_s, want_i = self._single_chip(*fx, k=8)
+        sh = ShardedHybridRank(emb, valid, degree, quality,
+                               mesh=make_multislice_mesh(2, 8),
+                               dtype="float32")
+        got_s, got_i = sh.rank(queries, packed, rel, match, w, k=8)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.sort(got_i), np.sort(want_i))
+
+    def test_shared_intent_tables_broadcast(self):
+        """[4]/[8] tables (single-intent batch) must match stacking them
+        per query."""
+        import numpy as np
+
+        from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
+
+        fx = self._fixture(seed=2)
+        emb, valid, degree, quality, queries, packed, match, rel, w = fx
+        sh = ShardedHybridRank(emb, valid, degree, quality,
+                               mesh=make_mesh(8), dtype="float32")
+        rel1, w1 = rel[0], w[0]
+        rel_b = np.stack([rel1] * len(queries))
+        w_b = np.stack([w1] * len(queries))
+        s_flat, i_flat = sh.rank(queries, packed, rel1, match, w1, k=6)
+        s_stack, i_stack = sh.rank(queries, packed, rel_b, match, w_b, k=6)
+        np.testing.assert_allclose(s_flat, s_stack, rtol=1e-6)
+        assert np.array_equal(i_flat, i_stack)

@@ -387,6 +387,29 @@ class TestDeepSearch:
             assert ([r.qualified_name for r in many.results]
                     == [r.qualified_name for r in one.results])
 
+    def test_deep_search_sharded_matches_single_chip(self, indexed,
+                                                     monkeypatch):
+        """LATTICE_SHARDED=1 on the 8-device mesh routes deep search
+        through ShardedHybridRank (rows + rank columns sharded, ICI
+        merge); single and batched results must EQUAL the replicated
+        single-chip kernel's — the fuse is row-local."""
+        engine = QueryEngine(indexed.graph_builder.store, indexed.indexer)
+        engine.DEEP_DEVICE_THRESHOLD = 1  # force the device route
+        queries = [
+            "who calls validate_email_format?",
+            "how does UserService create users?",
+        ]
+        single = [engine.deep_search(q, limit=8) for q in queries]
+        batch = engine.deep_search_batch(queries, limit=8)
+        monkeypatch.setenv("LATTICE_SHARDED", "1")
+        sh_single = [engine.deep_search(q, limit=8) for q in queries]
+        sh_batch = engine.deep_search_batch(queries, limit=8)
+        for want, got in zip(single + batch, sh_single + sh_batch):
+            assert ([r.qualified_name for r in got.results]
+                    == [r.qualified_name for r in want.results])
+            for a, b in zip(want.results, got.results):
+                assert abs(a.score - b.score) < 1e-4
+
 
 class TestGraphReasoningDispatch:
     @pytest.fixture(scope="class")
