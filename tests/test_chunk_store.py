@@ -275,6 +275,41 @@ class TestQuantizedStorePath:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    atol=1e-5)
 
+
+    def test_b512_routes_through_one_scanned_execution(self, monkeypatch):
+        """TPU-gated routing (r4): quantized/int4 plans at B>=512 must
+        serve as ONE scanned execution over 256-query chunks (93k vs
+        77.9k qps monolithic at B=1024 on chip, R4_TPU_RESULTS1). The
+        dispatch is asserted with a sentinel (forcing _device_is_tpu on
+        CPU would send the EXECUTION down TPU-only kernel plans; the
+        routed path's result parity is chip-verified in batch10)."""
+        s = ChunkStore(dim=16, dtype="float32", initial_capacity=1024)
+        s.add(_vecs(600, 16, seed=30),
+              [{"file_path": f"f{i}.py", "content_hash": "h"}
+               for i in range(600)])
+        import jax.numpy as jnp
+        q = jnp.asarray(_vecs(512, 16, seed=31))
+        monkeypatch.setattr(ChunkStore, "_device_is_tpu",
+                            lambda self: True)
+        calls = []
+        sentinel = (object(), object())
+        monkeypatch.setattr(
+            ChunkStore, "search_device_pipelined",
+            lambda self, *a, **kw: (calls.append(
+                (kw.get("chunk"), kw.get("method"))) or sentinel))
+        assert s.search_device(q, 5, method="quantized") is sentinel
+        assert calls == [(256, "quantized")], calls
+        # int4 plans route too; B below the threshold must NOT reroute
+        calls.clear()
+        assert s.search_device(q, 5, method="int4") is sentinel
+        assert calls == [(256, "int4")]
+        calls.clear()
+        try:
+            s.search_device(q[:256], 5, method="quantized")
+        except Exception:
+            pass  # the direct quantized path may pick TPU-only kernels
+        assert calls == []
+
     def test_quant_masks_removed_rows_without_rebuild(self):
         s = ChunkStore(dim=16, dtype="float32", initial_capacity=32)
         s.add(_vecs(10, 16), [{"file_path": "a.py", "content_hash": "h"}] * 10)
