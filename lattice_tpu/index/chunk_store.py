@@ -848,13 +848,14 @@ class ChunkStore:
         from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
 
         cols = self.device_rank_columns(graph)
+        bits = self._sharded_quant_bits()
         cached = self._sharded_rank
-        if cached is not None and cached[0] is cols:
-            return cached[1]
+        if cached is not None and cached[0] is cols and cached[1] == bits:
+            return cached[2]
         view = ShardedHybridRank(self._emb, self._valid_host.copy(),
                                  cols.degree, cols.quality, mesh=mesh,
-                                 dtype=str(self.dtype))
-        self._sharded_rank = (cols, view)
+                                 dtype=str(self.dtype), bits=bits)
+        self._sharded_rank = (cols, bits, view)
         return view
 
     def _sharded_quant_bits(self) -> int:

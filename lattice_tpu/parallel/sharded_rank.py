@@ -55,11 +55,20 @@ class ShardedHybridRank:
     follow ShardedIndex semantics: rebuild on store/graph generation
     change — rank columns are static between generations by design
     (`ChunkStore.device_rank_columns`).
+
+    `bits` mirrors the sharded index's capacity ladder: 16 stores
+    bf16/f32 rows, 8 halves them to symmetric per-row int8, 4 quarters
+    them to packed nibbles — the quantized cosine (i32-accumulated int8
+    matmul, two symmetric rescales) feeds the same fuse, trading ~1e-2
+    score error for 2-4x corpus per chip.
     """
 
     def __init__(self, embeddings: np.ndarray, valid: np.ndarray,
                  degree: np.ndarray, quality: np.ndarray,
-                 mesh=None, dtype: str = "bfloat16"):
+                 mesh=None, dtype: str = "bfloat16", bits: int = 16):
+        if bits not in (16, 8, 4):
+            raise ValueError(f"bits must be 16, 8 or 4, got {bits}")
+        self.bits = bits
         self.mesh = mesh or make_mesh()
         self.multislice = DCN_AXIS in self.mesh.axis_names
         self._row_axes = ((DCN_AXIS, DATA_AXIS) if self.multislice
@@ -86,8 +95,27 @@ class ShardedHybridRank:
         self.rows_per_shard = (n + pad) // n_data
         row_sh = NamedSharding(self.mesh, P(self._row_axes))
         emb_sh = NamedSharding(self.mesh, P(self._row_axes, None))
-        self.embeddings = jax.device_put(
-            jnp.asarray(embeddings, dtype=jnp.dtype(dtype)), emb_sh)
+        if bits == 16:
+            self.embeddings = jax.device_put(
+                jnp.asarray(embeddings, dtype=jnp.dtype(dtype)), emb_sh)
+            self.scales = None
+        else:
+            # capacity tiers: symmetric per-row int8 (2x rows/chip) or
+            # packed-nibble int4 (4x) shards; the quantized cosine feeds
+            # the same fuse (ops/quant.py math, i32-accumulated matmul)
+            from lattice_tpu.ops.quant import (quantize_rows,
+                                               quantize_rows_device,
+                                               quantize_rows_int4,
+                                               quantize_rows_int4_device)
+            if isinstance(embeddings, jax.Array):
+                qfn = (quantize_rows_device if bits == 8
+                       else quantize_rows_int4_device)
+            else:
+                qfn = quantize_rows if bits == 8 else quantize_rows_int4
+            values, scales = qfn(embeddings)
+            self.embeddings = jax.device_put(jnp.asarray(values), emb_sh)
+            self.scales = jax.device_put(
+                jnp.asarray(scales, jnp.float32), row_sh)
         self.valid = jax.device_put(jnp.asarray(valid, bool), row_sh)
         self.degree = jax.device_put(
             jnp.asarray(degree, jnp.int32), row_sh)
@@ -116,15 +144,32 @@ class ShardedHybridRank:
             top_s, pos = jax.lax.top_k(flat_s, min(k_out, dd * kk))
             return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
 
+        bits = self.bits
+
         def local_rank(queries, emb, valid_s, degree_s, quality_s,
-                       packed, rel_q, match, w_q):
+                       packed, rel_q, match, w_q, *scales_s):
             n_local = emb.shape[0]
             q = queries.astype(jnp.float32)
             q = q / jnp.maximum(
                 jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-            scores = jax.lax.dot_general(
-                q, emb, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [Q, n_local]
+            if bits == 16:
+                scores = jax.lax.dot_general(
+                    q, emb, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [Q, n_local]
+            else:
+                # quantized cosine: the normalized query quantizes
+                # in-execution, int8 x int8 accumulates in i32 on the
+                # MXU, and the two symmetric scales rescale the result
+                # (XLA upcasts mixed f32 x int8 dots ~100x on TPU)
+                from lattice_tpu.ops.quant import _quant8_block, unpack_int4
+                qv, qs = _quant8_block(q)
+                rows_i8 = unpack_int4(emb) if bits == 4 else emb
+                acc = jax.lax.dot_general(
+                    qv, rows_i8,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                scores = (acc.astype(jnp.float32) * qs[:, None]
+                          * scales_s[0][None, :])
             vec_all = jnp.where(valid_s[None, :], scores, NEG_INF)
             shard_id = jax.lax.axis_index(DATA_AXIS)
             if multislice:
@@ -170,10 +215,13 @@ class ShardedHybridRank:
             return top_s, top_i
 
         rep = P()
+        in_specs = (rep, P(row_axes, None), P(row_axes), P(row_axes),
+                    P(row_axes), rep, rep, rep, rep)
+        if self.bits != 16:
+            in_specs = in_specs + (P(row_axes),)    # per-row scales
         fn = shard_map(
             local_rank, mesh=mesh,
-            in_specs=(rep, P(row_axes, None), P(row_axes), P(row_axes),
-                      P(row_axes), rep, rep, rep, rep),
+            in_specs=in_specs,
             out_specs=(rep, rep),
             check_vma=False,
         )
@@ -194,9 +242,12 @@ class ShardedHybridRank:
         if fn is None:
             fn = self._build(k)
             self._fn_cache[k] = fn
-        scores, rows = fn(
+        args = (
             jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32))),
             self.embeddings, self.valid, self.degree, self.quality,
             jnp.asarray(packed_reach), jnp.asarray(rel_table),
             jnp.asarray(match_rows), jnp.asarray(weights))
+        if self.bits != 16:
+            args = args + (self.scales,)
+        scores, rows = fn(*args)
         return np.asarray(scores), np.asarray(rows)

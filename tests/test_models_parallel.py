@@ -927,3 +927,53 @@ class TestShardedHybridRank:
         s_stack, i_stack = sh.rank(queries, packed, rel_b, match, w_b, k=6)
         np.testing.assert_allclose(s_flat, s_stack, rtol=1e-6)
         assert np.array_equal(i_flat, i_stack)
+
+    def test_quantized_tiers_track_bf16_ordering(self):
+        """bits=8/4 capacity tiers: the quantized cosine feeds the same
+        fuse — top results must closely track the full-precision view
+        (int8 ~1e-2 score error; int4 coarser but ordering-stable on
+        non-tie data)."""
+        import numpy as np
+
+        from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
+
+        fx = self._fixture(seed=3)
+        emb, valid, degree, quality, queries, packed, match, rel, w = fx
+        full = ShardedHybridRank(emb, valid, degree, quality,
+                                 mesh=make_mesh(8), dtype="float32")
+        want_s, want_i = full.rank(queries, packed, rel, match, w, k=10)
+        for bits, min_overlap in ((8, 0.9), (4, 0.7)):
+            qv = ShardedHybridRank(emb, valid, degree, quality,
+                                   mesh=make_mesh(8), dtype="float32",
+                                   bits=bits)
+            got_s, got_i = qv.rank(queries, packed, rel, match, w, k=10)
+            overlap = np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(got_i, want_i)])
+            assert overlap >= min_overlap, (bits, overlap)
+            # top-1 must agree at int8 fidelity
+            if bits == 8:
+                assert np.array_equal(got_i[:, 0], want_i[:, 0])
+
+    def test_store_view_follows_memory_pressure_bits(self, monkeypatch):
+        """ChunkStore.sharded_hybrid picks the capacity tier from the
+        same ladder as the sharded index (LATTICE_SHARDED_BITS) and
+        rebuilds when the tier changes."""
+        import numpy as np
+
+        from lattice_tpu.index.chunk_store import ChunkStore
+        from lattice_tpu.index.graph_store import GraphStore
+
+        rng = np.random.default_rng(0)
+        store = ChunkStore(dim=16, dtype="float32", initial_capacity=64)
+        vecs = rng.normal(size=(32, 16)).astype(np.float32)
+        store.add(vecs, [{"file_path": f"f{i}.py", "content_hash": "h",
+                          "content": "x" * 100} for i in range(32)])
+        graph = GraphStore()
+        monkeypatch.setenv("LATTICE_SHARDED_BITS", "8")
+        v8 = store.sharded_hybrid(graph, mesh=make_mesh(8))
+        assert v8.bits == 8 and v8.scales is not None
+        assert store.sharded_hybrid(graph, mesh=make_mesh(8)) is v8
+        monkeypatch.setenv("LATTICE_SHARDED_BITS", "16")
+        v16 = store.sharded_hybrid(graph, mesh=make_mesh(8))
+        assert v16.bits == 16 and v16 is not v8
