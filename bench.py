@@ -427,7 +427,43 @@ def main() -> None:
     from lattice_tpu.index.chunk_store import ChunkStore
     from lattice_tpu.ops import topk as topk_ops
 
-    device = jax.devices()[0]
+    # Guarded attach: a dead axon relay blocks jax.devices() FOREVER in
+    # hrtimer_nanosleep (observed 6+ h on 2026-08-17) — a hung bench
+    # leaves the driver with NO output at all. Attach in a daemon thread
+    # under a timeout; on timeout print one honest JSON line pointing at
+    # the last self-measured results (clearly labeled stale) and exit 2.
+    attach_timeout = float(os.environ.get("BENCH_ATTACH_TIMEOUT_S",
+                                          "1800"))
+    import threading
+    attached: list = []
+    th = threading.Thread(target=lambda: attached.append(jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(attach_timeout)
+    if not attached:
+        stale = {}
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)),
+                    "R4_SELF_BENCH.json")) as f:
+                stale = json.load(f).get("serving", {})
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "serving_qps_1000k_768d",
+            "value": None,
+            "unit": "queries/s",
+            "vs_baseline": None,
+            "extra": {
+                "relay_outage": True,
+                "attach_timeout_s": attach_timeout,
+                "last_self_measured": stale,
+                "source": ("R4_SELF_BENCH.json — pre-outage chip "
+                           "measurements; NOT fresh numbers"),
+            },
+        }))
+        os._exit(2)
+    device = attached[0][0]
 
     # ---- clustered corpus on device (code embeddings cluster; this is the
     # regime the IVF serving path is built for — BASELINE config 3)
