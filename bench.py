@@ -461,8 +461,8 @@ def main() -> None:
                 "source": ("R4_SELF_BENCH.json — pre-outage chip "
                            "measurements; NOT fresh numbers"),
             },
-        }))
-        os._exit(2)
+        }), flush=True)   # os._exit skips stdio flushing; a piped
+        os._exit(2)       # stdout would otherwise swallow the line
     device = attached[0][0]
 
     # ---- clustered corpus on device (code embeddings cluster; this is the

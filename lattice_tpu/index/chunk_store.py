@@ -850,12 +850,16 @@ class ChunkStore:
         cols = self.device_rank_columns(graph)
         bits = self._sharded_quant_bits()
         cached = self._sharded_rank
-        if cached is not None and cached[0] is cols and cached[1] == bits:
-            return cached[2]
+        # mesh compares by identity: a different (even equal-topology)
+        # mesh object rebuilds rather than risk serving a view laid out
+        # on the wrong mesh
+        if (cached is not None and cached[0] is cols
+                and cached[1] == bits and cached[2] is mesh):
+            return cached[3]
         view = ShardedHybridRank(self._emb, self._valid_host.copy(),
                                  cols.degree, cols.quality, mesh=mesh,
                                  dtype=str(self.dtype), bits=bits)
-        self._sharded_rank = (cols, bits, view)
+        self._sharded_rank = (cols, bits, mesh, view)
         return view
 
     def _sharded_quant_bits(self) -> int:

@@ -84,8 +84,9 @@ class ShardedHybridRank:
             xp = jnp if isinstance(embeddings, jax.Array) else np
             embeddings = xp.concatenate(
                 [embeddings, xp.zeros((pad, d), embeddings.dtype)])
-            valid = np.concatenate([np.asarray(valid, bool),
-                                    np.zeros(pad, dtype=bool)])
+            xv = jnp if isinstance(valid, jax.Array) else np
+            valid = xv.concatenate([xv.asarray(valid, dtype=bool),
+                                    xv.zeros(pad, dtype=bool)])
             xd = jnp if isinstance(degree, jax.Array) else np
             degree = xd.concatenate([degree, xd.zeros(pad, degree.dtype)])
             xq = jnp if isinstance(quality, jax.Array) else np
@@ -212,6 +213,11 @@ class ShardedHybridRank:
             top_s, top_i = merge_axis(top_s, top_i, DATA_AXIS, k)
             if multislice:
                 top_s, top_i = merge_axis(top_s, top_i, DCN_AXIS, k)
+            # NEG_INF filler slots may carry divisibility-pad row ids
+            # (>= the caller's capacity); pin them to row 0 so the id
+            # contract matches the single-chip kernel, whose ids are
+            # always < N (callers drop the slot by its sentinel score)
+            top_i = jnp.where(top_s > NEG_INF / 2, top_i, 0)
             return top_s, top_i
 
         rep = P()

@@ -614,8 +614,12 @@ class QueryEngine:
         store = self.indexer.code
         results = []
         for score, row in zip(scores, rows):
+            # sentinel check BEFORE the payload lookup: NEG_INF filler
+            # slots don't reference a meaningful row
+            if score <= -1e29:
+                continue
             payload = store.payload(int(row))
-            if payload is None or score <= -1e29:
+            if payload is None:
                 continue
             qn = payload.get("graph_node_id") or ""
             nid = graph.id_of(qn) if qn else None

@@ -977,3 +977,31 @@ class TestShardedHybridRank:
         monkeypatch.setenv("LATTICE_SHARDED_BITS", "16")
         v16 = store.sharded_hybrid(graph, mesh=make_mesh(8))
         assert v16.bits == 16 and v16 is not v8
+
+    def test_pad_slots_never_leak_ids(self):
+        """k past the real row count on a non-divisible corpus: the
+        divisibility-pad rows (ids >= caller capacity) must never reach
+        the caller — NEG_INF filler slots pin to row 0 (the single-chip
+        kernel's ids are always < N; engine payload lookups rely on it)."""
+        import numpy as np
+
+        from lattice_tpu.ops.ranking import FuseWeights, pack_weights
+        from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
+
+        rng = np.random.default_rng(7)
+        n, d = 10, 16                     # 8 shards -> 6 pad rows
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        view = ShardedHybridRank(emb, np.ones(n, bool),
+                                 np.zeros(n, np.int32),
+                                 np.ones(n, np.float32),
+                                 mesh=make_mesh(8), dtype="float32")
+        assert view.capacity == 16
+        packed = np.full((1, 512), -1, np.int32)
+        match = np.full((1, 64), -1, np.int32)
+        rel = np.asarray([1.0, 0.9, 0.7, 0.0], np.float32)
+        s, i = view.rank(rng.normal(size=(1, d)), packed, rel, match,
+                         pack_weights(FuseWeights()), k=16)
+        assert i.max() < n, i
+        finite = s[0] > -1e29
+        assert finite.sum() == n          # every real row, nothing else
+        assert set(i[0][finite].tolist()) == set(range(n))
