@@ -112,3 +112,56 @@ class TestPlatformPinning:
             env=env, capture_output=True, text=True, timeout=90)
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "PINNED-CPU" in proc.stdout
+
+
+class TestBatchFileSearch:
+    """`search --batch-file` (r4): newline-separated queries ranked
+    corpus-wide in one batched execution; '-' reads stdin."""
+
+    def test_batch_file_ranks_each_query(self, repo, tmp_path, capsys):
+        root, env = repo
+        run(["index", str(root), "--project", "cli-test"], env)
+        capsys.readouterr()
+        qfile = tmp_path / "queries.txt"
+        qfile.write_text("who calls validate_email_format\n\n"
+                         "what is AdminUser\n")
+        assert run(["search", "--path", str(root), "--json",
+                    "--batch-file", str(qfile)], env) == 0
+        batch = json.loads(capsys.readouterr().out)
+        assert [b["query"] for b in batch] == [
+            "who calls validate_email_format", "what is AdminUser"]
+        assert all(b["results"] for b in batch)
+        assert all("intent" in b for b in batch)
+
+    def test_batch_file_stdin(self, repo, capsys, monkeypatch):
+        import io
+        root, env = repo
+        run(["index", str(root), "--project", "cli-test"], env)
+        capsys.readouterr()
+        monkeypatch.setattr("sys.stdin", io.StringIO("what is AdminUser\n"))
+        assert run(["search", "--path", str(root), "--json",
+                    "--batch-file", "-"], env) == 0
+        batch = json.loads(capsys.readouterr().out)
+        assert len(batch) == 1 and batch[0]["results"]
+
+    def test_batch_file_missing_is_a_clean_error(self, repo, tmp_path,
+                                                 capsys):
+        root, env = repo
+        run(["index", str(root), "--project", "cli-test"], env)
+        capsys.readouterr()
+        rc = run(["search", "--path", str(root),
+                  "--batch-file", str(tmp_path / "nope.txt")], env)
+        assert rc == 1
+        assert "cannot read batch file" in capsys.readouterr().out
+
+    def test_batch_file_empty_is_a_clean_error(self, repo, tmp_path,
+                                               capsys):
+        root, env = repo
+        run(["index", str(root), "--project", "cli-test"], env)
+        capsys.readouterr()
+        qfile = tmp_path / "empty.txt"
+        qfile.write_text("\n\n")
+        rc = run(["search", "--path", str(root),
+                  "--batch-file", str(qfile)], env)
+        assert rc == 1
+        assert "no queries" in capsys.readouterr().out
