@@ -365,6 +365,40 @@ class GraphStore:
         keep = self._alive_arr()[ids]
         return ids[keep], depths[keep]
 
+    def _host_bfs_batch(self, seed_sets: list[list[int]],
+                        edge_type: EdgeType, hops: int,
+                        reverse: bool = False, limit: int = 0,
+                        force_batch: bool = False
+                        ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Q bounded walks with `_host_bfs` semantics, one result pair
+        per seed set.
+
+        On hosts with cores to spare the Q walks run as ONE native call
+        (OpenMP across queries, `lattice_bfs_khop_batch`); on small
+        hosts the per-query loop serves — the batch entry measured
+        SLOWER in-process with the TPU runtime on a 1-core box (7.4k vs
+        16.3k walks/s, r4) because OpenMP contends for the core.
+        `force_batch` pins the native batch path for parity tests.
+        """
+        self._ensure_final()
+        import os
+        if seed_sets and (force_batch
+                          or (len(seed_sets) >= 4
+                              and (os.cpu_count() or 1) > 2)):
+            indptr, indices, n = self._csr_view(edge_type, reverse)
+            clean = [[s for s in ss if 0 <= s < n] for ss in seed_sets]
+            if len(indices):
+                from lattice_tpu.utils import native
+                res = native.bfs_khop_batch(
+                    indptr, indices, self._alive_arr().view(np.uint8),
+                    clean, hops, limit or 0,
+                    out_cap=(limit if limit and limit > 0 else n))
+                if res is not None:
+                    return [(ids.astype(np.int64, copy=False), depths)
+                            for ids, depths in res]
+        return [self._host_bfs(ss, edge_type, hops, reverse=reverse,
+                               limit=limit) for ss in seed_sets]
+
     def _want_sharded(self) -> bool:
         """Multi-chip traversal tier: LATTICE_SHARDED=1 with >1 device
         (the same opt-in as `ChunkStore.search`'s sharded path)."""

@@ -443,7 +443,7 @@ class QueryEngine:
             return [self.deep_search(t, limit) for t in query_texts]
         t0 = time.perf_counter()
         plans = [self.planner.plan_heuristic(t) for t in query_texts]
-        evs = [self._deep_evidence(p) for p in plans]
+        evs = self._deep_evidence_batch(plans)
         # one encoder forward for ALL queries (per-query embed() would
         # reintroduce Q synchronous device cycles — the exact cost this
         # batched path exists to amortize)
@@ -504,11 +504,66 @@ class QueryEngine:
                 phase_times_ms={"deep_fuse_ms": per_q_ms}))
         return out
 
-    def _deep_evidence(self, plan) -> dict:
+    def _deep_evidence_batch(self, plans: list) -> list[dict]:
+        """Evidence for Q plans with the BFS walks batched: all forward
+        walks in ONE native call, all backward walks in another
+        (`GraphStore._host_bfs_batch`, OpenMP across queries on
+        multi-core hosts). Results are identical to the sequential path
+        — `_deep_evidence` receives each plan's own walk pair and
+        applies the same budget trim."""
+        from lattice_tpu.core.types import EdgeType
+
+        graph = self.graph_store
+        seedss = [self._deep_seeds(p) for p in plans]
+        walks: list = [None] * len(plans)
+        if graph.n_edges(EdgeType.CALLS):
+            hops, budget = 5, self._reach_budget()
+            fw = graph._host_bfs_batch(seedss, EdgeType.CALLS, hops,
+                                       limit=budget)
+            bw = graph._host_bfs_batch(seedss, EdgeType.CALLS, hops,
+                                       reverse=True, limit=budget)
+            walks = list(zip(fw, bw))
+        return [self._deep_evidence(p, walks=w)
+                for p, w in zip(plans, walks)]
+
+    def _deep_seeds(self, plan) -> list[int]:
+        """Graph seed ids for a plan's entities (exact name, then fuzzy;
+        <=5 ids/entity, <=16 total, deduplicated in plan order)."""
+        graph = self.graph_store
+        graph._ensure_final()
+        n_pad = graph._n_padded()
+        seeds: list[int] = []
+        for e in plan.entities:
+            ids = graph.find_by_name(e.name) or [
+                nid for nid, _ in graph.find_fuzzy(e.name, limit=3)]
+            seeds.extend(ids[:5])
+        return list(dict.fromkeys(s for s in seeds if s < n_pad))[:16]
+
+    @staticmethod
+    def _reach_budget() -> int:
+        """Per-direction evidence budget: the shallowest `budget`
+        reached nodes per direction ride to the device; beyond it the
+        depth decay (0.8^5 ~= 0.33) has flattened graph credit and the
+        upload bytes dominate single-query latency through the relay
+        (unbounded 5-hop reach at 1M/10M measured ~600k nodes ->
+        ~100 ms/query of BFS sort + upload, R4_TPU_RESULTS1). Floor of
+        1: 0/1 would pass limit=0 = UNBOUNDED to the walk — the exact
+        pathology the budget exists to prevent — then trim every
+        reached node away."""
+        import os
+
+        return max(
+            int(os.environ.get("LATTICE_REACH_BUDGET", 32768)) // 2, 1)
+
+    def _deep_evidence(self, plan, walks=None) -> dict:
         """Host-side evidence for one deep query: seeds, budgeted BFS
         reach expanded node->row through the resident reverse CSR,
         entity-match rows, and the intent relevance table. O(seeds +
-        reached + matches) host work, never O(corpus)."""
+        reached + matches) host work, never O(corpus). `walks`
+        optionally injects precomputed ((f_ids, f_d), (b_ids, b_d))
+        walk results for this plan's seeds — the batch path runs all Q
+        queries' walks as two OpenMP native calls (`_host_bfs_batch`)
+        instead of 2Q sequential ones."""
         import numpy as np
 
         from lattice_tpu.core.types import EdgeType
@@ -529,35 +584,23 @@ class QueryEngine:
             "callee", _DEFAULT_RELEVANCE["callee"])
         rel_primary = relevance_map.get("primary", 1.0)
 
-        seeds: list[int] = []
-        for e in plan.entities:
-            ids = graph.find_by_name(e.name) or [
-                nid for nid, _ in graph.find_fuzzy(e.name, limit=3)]
-            seeds.extend(ids[:5])
-        seeds = list(dict.fromkeys(s for s in seeds if s < n_pad))[:16]
+        seeds = self._deep_seeds(plan)
 
         cols = store.device_rank_columns(graph)
         hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
-        # Evidence budget: the shallowest `budget` reached nodes per
-        # direction ride to the device; beyond it the depth decay
-        # (0.8^5 ~= 0.33) has flattened graph credit and the upload
-        # bytes dominate single-query latency through the relay
-        # (unbounded 5-hop reach at 1M/10M measured ~600k nodes ->
-        # ~100 ms/query of BFS sort + upload, R4_TPU_RESULTS1).
-        import os as _os
-        # floor of 1 per direction: 0/1 would pass limit=0 to the walk,
-        # which means UNBOUNDED — the exact pathology the budget exists
-        # to prevent — and then trim every reached node away
-        budget = max(
-            int(_os.environ.get("LATTICE_REACH_BUDGET", 32768)) // 2, 1)
+        budget = self._reach_budget()
         if seeds:
             # seeds always carry their depth-0 primary credit, even in a
             # graph with no CALLS edges (hierarchy/import-only corpora)
             if graph.n_edges(EdgeType.CALLS):
-                f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
-                                             limit=budget)
-                b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS, hops,
-                                             reverse=True, limit=budget)
+                if walks is not None:
+                    (f_ids, f_d), (b_ids, b_d) = walks
+                else:
+                    f_ids, f_d = graph._host_bfs(seeds, EdgeType.CALLS,
+                                                 hops, limit=budget)
+                    b_ids, b_d = graph._host_bfs(seeds, EdgeType.CALLS,
+                                                 hops, reverse=True,
+                                                 limit=budget)
                 # the NumPy fallback walk ignores `limit`; trim to the
                 # same shallowest-(depth, id) prefix the native walk
                 # returns so rankings are backend-independent
