@@ -95,6 +95,18 @@ def main():
     packed = np.stack([evidence(int(s)) for s in seeds])
     RESULTS["evidence_host_ms_per_q"] = round(
         (time.perf_counter() - t0) * 1e3 / Q, 3)
+    # the engine's batched walk entry: OpenMP across queries IN-PROCESS
+    # with the TPU runtime — r4 measured the k_hop batch entry slower on
+    # this 1-core box (7.4k vs 16.3k walks/s); quantify it for the
+    # deep-evidence shape so the cpu_count gate has chip-adjacent data
+    seed_sets = [[int(s)] for s in seeds]
+    t0 = time.perf_counter()
+    g._host_bfs_batch(seed_sets, EdgeType.CALLS, 5, limit=R_CAP // 2,
+                      force_batch=True)
+    g._host_bfs_batch(seed_sets, EdgeType.CALLS, 5, limit=R_CAP // 2,
+                      reverse=True, force_batch=True)
+    RESULTS["evidence_batched_walks_ms_per_q"] = round(
+        (time.perf_counter() - t0) * 1e3 / Q, 3)
     match = np.full((Q, 64), -1, np.int32)
     match[:, 0] = seeds
     rel_t = np.asarray([1.0, 0.9, 0.7, 0.0], np.float32)
