@@ -13,6 +13,7 @@ import argparse
 import asyncio
 import json
 import logging
+import os
 import shutil
 import sys
 import time
@@ -421,6 +422,20 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.DEBUG if args.verbose else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s")
     settings = Settings.from_env(args.env) if args.env != ".env" else get_settings()
+    # Persistent XLA compilation cache: a fresh CLI/MCP process
+    # otherwise re-pays EVERY jit compile (20-40 s per kernel through
+    # the TPU remote-compile path; 7+ s even for the CPU embed stage on
+    # the golden corpus, profiled r4). JAX_COMPILATION_CACHE_DIR in the
+    # environment wins; LATTICE_XLA_CACHE=off disables.
+    if os.environ.get("LATTICE_XLA_CACHE", "").lower() not in ("off", "0"):
+        os.environ.setdefault(
+            "JAX_COMPILATION_CACHE_DIR",
+            str(Path.home() / ".cache" / "lattice_tpu" / "xla"))
+        # default threshold (1 s) skips every CPU compile; 0.1 persists
+        # them too (measured: 37 entries, warm index run 8.8 -> 6.6 s on
+        # the golden corpus) while TPU compiles (20-40 s) always qualify
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
     if settings.device.platform == "cpu":
         # honor LATTICE_PLATFORM=cpu before any jax.devices() call so the
         # CLI never attaches to a TPU it was told not to use (the attach

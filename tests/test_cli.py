@@ -165,3 +165,29 @@ class TestBatchFileSearch:
                   "--batch-file", str(qfile)], env)
         assert rc == 1
         assert "no queries" in capsys.readouterr().out
+
+
+class TestPersistentCompileCache:
+    def test_cli_sets_xla_cache_dir(self, repo, monkeypatch, tmp_path,
+                                    capsys):
+        """A fresh CLI process must point JAX at a persistent compile
+        cache (fresh processes otherwise re-pay every jit compile —
+        20-40 s/kernel through the TPU remote-compile path). Explicit
+        JAX_COMPILATION_CACHE_DIR wins; LATTICE_XLA_CACHE=off disables."""
+        import os
+
+        root, env = repo
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        assert run(["settings"], env) == 0
+        capsys.readouterr()
+        assert os.environ["JAX_COMPILATION_CACHE_DIR"].endswith(
+            "lattice_tpu/xla")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+        assert run(["settings"], env) == 0
+        capsys.readouterr()
+        assert os.environ["JAX_COMPILATION_CACHE_DIR"] == str(tmp_path)
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        monkeypatch.setenv("LATTICE_XLA_CACHE", "off")
+        assert run(["settings"], env) == 0
+        capsys.readouterr()
+        assert "JAX_COMPILATION_CACHE_DIR" not in os.environ
