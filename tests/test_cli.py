@@ -191,3 +191,16 @@ class TestPersistentCompileCache:
         assert run(["settings"], env) == 0
         capsys.readouterr()
         assert "JAX_COMPILATION_CACHE_DIR" not in os.environ
+
+
+class TestDeepSearchFlag:
+    def test_search_deep_ranks_corpus_wide(self, repo, capsys):
+        root, env = repo
+        run(["index", str(root), "--project", "cli-test"], env)
+        capsys.readouterr()
+        assert run(["search", "who calls validate_email_format",
+                    "--path", str(root), "--deep", "--json"], env) == 0
+        results = json.loads(capsys.readouterr().out)
+        assert results
+        names = [r["name"] for r in results]
+        assert any("validate_email_format" in n for n in names)
