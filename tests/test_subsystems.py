@@ -7,7 +7,9 @@ the reference leaves untested (SURVEY §2.2 notes its watcher bugs).
 
 import asyncio
 import json
+import os
 import shutil
+from pathlib import Path
 
 import numpy as np
 
@@ -660,3 +662,41 @@ class TestDeviceTraceSummary:
     def test_missing_capture(self, tmp_path):
         from lattice_tpu.utils.tracing import summarize_device_trace
         assert "error" in summarize_device_trace(str(tmp_path / "nope"))
+
+
+class TestMCPStdioTransport:
+    """The real transport end to end: a subprocess `lattice mcp` speaks
+    newline-delimited JSON-RPC over stdin/stdout (the in-process tests
+    above cover dispatch; this pins framing, the reader loop, and
+    shutdown)."""
+
+    def test_stdio_initialize_list_shutdown(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        fixture = Path(__file__).parent / "fixtures" / "golden_project"
+        proj = tmp_path / "proj"
+        shutil.copytree(fixture, proj)
+        repo_root = Path(__file__).resolve().parents[1]
+        env = dict(os.environ, LATTICE_PLATFORM="cpu",
+                   PYTHONPATH=str(repo_root))
+        reqs = "\n".join(json.dumps(r) for r in [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+             "params": {}},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list",
+             "params": {}},
+            {"jsonrpc": "2.0", "id": 3, "method": "shutdown",
+             "params": {}},
+        ]) + "\n"
+        out = subprocess.run(
+            [_sys.executable, "-m", "lattice_tpu.main", "mcp",
+             "--path", str(proj)],
+            input=reqs, capture_output=True, text=True, timeout=240,
+            env=env, cwd=str(repo_root))
+        lines = [json.loads(l) for l in out.stdout.splitlines()
+                 if l.strip().startswith("{")]
+        by_id = {r.get("id"): r for r in lines}
+        assert by_id[1]["result"]["serverInfo"]["name"] == "lattice-tpu"
+        names = [t["name"] for t in by_id[2]["result"]["tools"]]
+        assert "deep_search_batch" in names and len(names) == 5
+        assert out.returncode == 0
