@@ -34,6 +34,22 @@ def _on_tpu() -> bool:
         return False
 
 
+def merge_topk_axis(scores: jax.Array, idx: jax.Array, axis: str,
+                    k_out: int) -> tuple[jax.Array, jax.Array]:
+    """The candidate merge shared by every sharded view (index, quantized
+    index, hybrid deep-rank): all_gather the per-shard [B, k] winners
+    along a mesh axis, then re-select the global top-k_out. Runs INSIDE
+    shard_map; the gather payload is k pairs per shard, never rows."""
+    all_scores = jax.lax.all_gather(scores, axis, axis=0,
+                                    tiled=False)     # [D, B, k]
+    all_idx = jax.lax.all_gather(idx, axis, axis=0)
+    d_, b, kk = all_scores.shape
+    flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d_ * kk)
+    flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d_ * kk)
+    top_s, pos = jax.lax.top_k(flat_s, min(k_out, d_ * kk))
+    return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
+
+
 class ShardedIndex:
     """Row-sharded view of an embedding matrix for search.
 
@@ -147,15 +163,7 @@ class ShardedIndex:
             return topk_ops.flat_topk(queries, emb_shard, valid_shard,
                                       k_local)
 
-        def merge_axis(scores, idx, axis, k_out):
-            all_scores = jax.lax.all_gather(scores, axis, axis=0,
-                                            tiled=False)   # [D, B, k]
-            all_idx = jax.lax.all_gather(idx, axis, axis=0)
-            d, b, kk = all_scores.shape
-            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d * kk)
-            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d * kk)
-            top_s, pos = jax.lax.top_k(flat_s, min(k_out, d * kk))
-            return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
+        merge_axis = merge_topk_axis
 
         def local_search(queries, emb_shard, valid_shard, *mask_shard):
             # queries replicated; emb/valid(/mask) are this chip's rows.
@@ -467,15 +475,7 @@ class ShardedQuantizedIndex:
             top_s, pos = jax.lax.top_k(sc, k_local)
             return top_s, jnp.take_along_axis(c1, pos, axis=-1)
 
-        def merge_axis(scores, idx, axis, k_out):
-            all_scores = jax.lax.all_gather(scores, axis, axis=0,
-                                            tiled=False)
-            all_idx = jax.lax.all_gather(idx, axis, axis=0)
-            d_, b, kk = all_scores.shape
-            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(b, d_ * kk)
-            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, d_ * kk)
-            top_s, pos = jax.lax.top_k(flat_s, min(k_out, d_ * kk))
-            return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
+        merge_axis = merge_topk_axis
 
         def local_search(q_raw, v_shard, scol_shard, vcol_shard, *extra):
             # normalize + quantize INSIDE the execution: replicated

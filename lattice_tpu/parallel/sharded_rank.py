@@ -44,6 +44,16 @@ from lattice_tpu.ops.ranking import (
     _select_topk,
 )
 from lattice_tpu.parallel.mesh import DATA_AXIS, DCN_AXIS, make_mesh
+from lattice_tpu.parallel.sharded_index import merge_topk_axis
+
+
+def _pad_rows(a, pad: int):
+    """Append `pad` zero rows along axis 0, staying on whichever side of
+    the host/device boundary the array already lives (the ChunkStore
+    hands its resident HBM matrix straight in — no host round-trip)."""
+    xp = jnp if isinstance(a, jax.Array) else np
+    return xp.concatenate(
+        [a, xp.zeros((pad,) + a.shape[1:], a.dtype)])
 
 
 class ShardedHybridRank:
@@ -79,19 +89,11 @@ class ShardedHybridRank:
         n, d = embeddings.shape
         pad = (-n) % n_data
         if pad:
-            # device matrices reshard without a host round-trip (the
-            # ChunkStore hands its resident HBM matrix straight in)
-            xp = jnp if isinstance(embeddings, jax.Array) else np
-            embeddings = xp.concatenate(
-                [embeddings, xp.zeros((pad, d), embeddings.dtype)])
+            embeddings = _pad_rows(embeddings, pad)
             xv = jnp if isinstance(valid, jax.Array) else np
-            valid = xv.concatenate([xv.asarray(valid, dtype=bool),
-                                    xv.zeros(pad, dtype=bool)])
-            xd = jnp if isinstance(degree, jax.Array) else np
-            degree = xd.concatenate([degree, xd.zeros(pad, degree.dtype)])
-            xq = jnp if isinstance(quality, jax.Array) else np
-            quality = xq.concatenate(
-                [quality, xq.zeros(pad, quality.dtype)])
+            valid = _pad_rows(xv.asarray(valid, dtype=bool), pad)
+            degree = _pad_rows(degree, pad)
+            quality = _pad_rows(quality, pad)
         self.n_rows = n
         self.rows_per_shard = (n + pad) // n_data
         row_sh = NamedSharding(self.mesh, P(self._row_axes))
@@ -134,17 +136,7 @@ class ShardedHybridRank:
         multislice = self.multislice
         row_axes = self._row_axes
         k_local = min(k, rows_per_shard)
-
-        def merge_axis(scores, idx, axis, k_out):
-            all_scores = jax.lax.all_gather(scores, axis, axis=0,
-                                            tiled=False)   # [D, Q, k]
-            all_idx = jax.lax.all_gather(idx, axis, axis=0)
-            dd, q, kk = all_scores.shape
-            flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, dd * kk)
-            flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, dd * kk)
-            top_s, pos = jax.lax.top_k(flat_s, min(k_out, dd * kk))
-            return top_s, jnp.take_along_axis(flat_i, pos, axis=-1)
-
+        merge_axis = merge_topk_axis
         bits = self.bits
 
         def local_rank(queries, emb, valid_s, degree_s, quality_s,

@@ -316,20 +316,11 @@ class QueryEngine:
     # MCP/CLI batch cannot OOM the chip and wedge the relay grant queue
     DEEP_BATCH_CHUNK = 128
 
-    @staticmethod
-    def _sharded_deep_enabled() -> bool:
+    def _sharded_deep_enabled(self) -> bool:
         """Deep rank over a multi-chip mesh: same opt-in convention as
-        the store's sharded tier (`ChunkStore._plan_search` step 1) —
-        LATTICE_SHARDED=1 with more than one attached device."""
-        import os
-
-        if os.environ.get("LATTICE_SHARDED") != "1":
-            return False
-        import jax
-        try:
-            return len(jax.devices()) > 1
-        except Exception:
-            return False
+        the store's and graph's sharded tiers (LATTICE_SHARDED=1 with
+        more than one attached device, `GraphStore._want_sharded`)."""
+        return self.graph_store._want_sharded()
 
     def _pack_deep_evidence(self, evs: list[dict]):
         """Stack per-query evidence into padded [Q, R] / [Q, M] arrays.
@@ -523,8 +514,8 @@ class QueryEngine:
             bw = graph._host_bfs_batch(seedss, EdgeType.CALLS, hops,
                                        reverse=True, limit=budget)
             walks = list(zip(fw, bw))
-        return [self._deep_evidence(p, walks=w)
-                for p, w in zip(plans, walks)]
+        return [self._deep_evidence(p, walks=w, seeds=s)
+                for p, w, s in zip(plans, walks, seedss)]
 
     def _deep_seeds(self, plan) -> list[int]:
         """Graph seed ids for a plan's entities (exact name, then fuzzy;
@@ -555,15 +546,16 @@ class QueryEngine:
         return max(
             int(os.environ.get("LATTICE_REACH_BUDGET", 32768)) // 2, 1)
 
-    def _deep_evidence(self, plan, walks=None) -> dict:
+    def _deep_evidence(self, plan, walks=None, seeds=None) -> dict:
         """Host-side evidence for one deep query: seeds, budgeted BFS
         reach expanded node->row through the resident reverse CSR,
         entity-match rows, and the intent relevance table. O(seeds +
-        reached + matches) host work, never O(corpus). `walks`
-        optionally injects precomputed ((f_ids, f_d), (b_ids, b_d))
-        walk results for this plan's seeds — the batch path runs all Q
-        queries' walks as two OpenMP native calls (`_host_bfs_batch`)
-        instead of 2Q sequential ones."""
+        reached + matches) host work, never O(corpus). `walks`/`seeds`
+        optionally inject precomputed ((f_ids, f_d), (b_ids, b_d)) walk
+        results and the seed list they were computed for — the batch
+        path runs all Q queries' walks as two OpenMP native calls
+        (`_host_bfs_batch`) instead of 2Q sequential ones, and entity
+        resolution (fuzzy lookups included) happens once per plan."""
         import numpy as np
 
         from lattice_tpu.core.types import EdgeType
@@ -584,7 +576,8 @@ class QueryEngine:
             "callee", _DEFAULT_RELEVANCE["callee"])
         rel_primary = relevance_map.get("primary", 1.0)
 
-        seeds = self._deep_seeds(plan)
+        if seeds is None:
+            seeds = self._deep_seeds(plan)
 
         cols = store.device_rank_columns(graph)
         hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
