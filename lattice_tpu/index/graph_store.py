@@ -524,12 +524,14 @@ class GraphStore:
             ids, depths = self._host_bfs(node_ids, edge_type, hops,
                                          reverse=reverse,
                                          limit=limit or 0)
-            if limit is not None and len(ids) > limit:
+            # limit<=0 means UNBOUNDED, matching _host_bfs/k_hop_batch
+            # (a 0 used to trim every result away here)
+            if limit and limit > 0 and len(ids) > limit:
                 # discovery order is depth order; trim with id tiebreak
                 order = np.lexsort((ids, depths))[:limit]
                 ids, depths = ids[order], depths[order]
             return {int(v): int(d) for v, d in zip(ids, depths)}
-        if limit is not None and len(out) > limit:
+        if limit and limit > 0 and len(out) > limit:
             out = dict(sorted(out.items(), key=lambda t: (t[1], t[0]))[:limit])
         return out
 
@@ -545,7 +547,7 @@ class GraphStore:
         alive = self.device_alive()
         # seeds scatter on device: host->device traffic is O(seeds), not O(N)
         ids = jnp.asarray(np.asarray(node_ids, dtype=np.int32))
-        if limit is not None:
+        if limit and limit > 0:
             # ONE fused execution (scatter+BFS+select) and an O(limit)
             # readback; widen 4x then trim exactly host-side
             # (approx_min_k can straddle the depth boundary)
