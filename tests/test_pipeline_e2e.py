@@ -162,6 +162,42 @@ class TestQueryEngine:
 
 
 class TestPersistence:
+    def test_mutated_roundtrip_preserves_rankings(self, indexed, tmp_path):
+        """Save/load AFTER real churn (file delete, row removal,
+        compaction): the reloaded index must return exactly the live
+        store's search ranking and graph reach — freelist holes and
+        compaction remaps must survive the manifest."""
+        import numpy as np
+
+        from lattice_tpu.core.types import EdgeType
+        from lattice_tpu.storage import persistence
+
+        store = indexed.graph_builder.store
+        code = indexed.indexer.code
+        victim = indexed.files[0].relative_path
+        code.delete_file(victim)
+        store.remove_file_nodes(victim)
+        store.finalize()
+        live_rows = [r for r, p in enumerate(code._payloads)
+                     if p is not None]
+        code.remove(live_rows[:2])
+        code.compact()
+        persistence.save_index(
+            tmp_path, store, indexed.indexer, project="mut",
+            provider="hash", file_hashes={})
+        embedder = Embedder(HashEmbedder(dimensions=256))
+        graph2, indexer2, _ = persistence.load_index(tmp_path, embedder)
+        assert len(indexer2.code) == len(code)
+        q = np.random.default_rng(0).normal(size=256).astype(np.float32)
+        want = code.search(q, k=8, method="flat")[0]
+        got = indexer2.code.search(q, k=8, method="flat")[0]
+        assert [(r, p.get("content_hash")) for r, _, p in got] == \
+               [(r, p.get("content_hash")) for r, _, p in want]
+        seeds = [n for n in range(store.n_nodes())
+                 if store._alive_arr()[n]][:3]
+        assert graph2.k_hop(seeds, EdgeType.CALLS, hops=3) == \
+               store.k_hop(seeds, EdgeType.CALLS, hops=3)
+
     def test_roundtrip(self, indexed, tmp_path):
         from lattice_tpu.storage import persistence
         store = indexed.graph_builder.store
