@@ -162,16 +162,27 @@ class TestQueryEngine:
 
 
 class TestPersistence:
-    def test_mutated_roundtrip_preserves_rankings(self, indexed, tmp_path):
+    def test_mutated_roundtrip_preserves_rankings(self, sample_project_path,
+                                                  tmp_path):
         """Save/load AFTER real churn (file delete, row removal,
         compaction): the reloaded index must return exactly the live
         store's search ranking and graph reach — freelist holes and
-        compaction remaps must survive the manifest."""
+        compaction remaps must survive the manifest. Builds its OWN
+        index: the churn below must not leak into the shared
+        module-scoped fixture."""
         import numpy as np
 
+        from lattice_tpu.config.settings import Settings
         from lattice_tpu.core.types import EdgeType
         from lattice_tpu.storage import persistence
 
+        settings = Settings()
+        settings.metadata.enabled = False
+        embedder0 = Embedder(HashEmbedder(dimensions=256))
+        orch = PipelineOrchestrator(sample_project_path, embedder0,
+                                    project_name="mut",
+                                    settings=settings)
+        indexed = asyncio.run(orch.run())
         store = indexed.graph_builder.store
         code = indexed.indexer.code
         victim = indexed.files[0].relative_path
@@ -492,3 +503,69 @@ class TestGraphReasoningDispatch:
         ctx = grengine.execute_query_plan(plan)
         assert ctx.primary_entities
         assert ctx.methods or ctx.callers or ctx.callees
+
+
+class TestIncrementalEqualsFresh:
+    """THE watcher/incremental invariant: re-indexing a mutated tree
+    incrementally (hash-skip + delete-stale, the watch-mode path) must
+    produce the same index a from-scratch build of the final tree does.
+    Reference semantic: `file_needs_update` hash checks + stale deletes
+    (`embeddings/client.py:178-202`, `pipeline/orchestrator.py:326-426`)."""
+
+    def _index(self, path, name):
+        from lattice_tpu.config.settings import Settings
+        settings = Settings()
+        settings.metadata.enabled = False
+        embedder = Embedder(HashEmbedder(dimensions=256))
+        orch = PipelineOrchestrator(path, embedder, project_name=name,
+                                    settings=settings)
+        return asyncio.run(orch.run())
+
+    def _signature(self, ctx):
+        store = ctx.graph_builder.store
+        alive = store._alive_arr()
+        nodes = {store.node(n).qualified_name
+                 for n in range(store.n_nodes()) if alive[n]}
+        chunks = sorted(
+            (p.get("qualified_name") or p.get("name") or "",
+             p["content_hash"])
+            for p in ctx.indexer.code._payloads if p is not None)
+        edge_counts = ctx.graph_builder.store.stats["edges"]
+        return nodes, chunks, edge_counts
+
+    def test_mutate_reindex_equals_fresh(self, sample_project_path,
+                                         tmp_path):
+        import shutil as _shutil
+
+        work = tmp_path / "work"
+        _shutil.copytree(sample_project_path, work)
+        self._index(work, "inc")
+
+        # mutate: edit one file, add one, delete one, rename one
+        svc = work / "app" / "services" / "user_service.py"
+        svc.write_text(svc.read_text().replace(
+            "def create_user", "def create_user_v2"))
+        (work / "app" / "newmod.py").write_text(
+            "def fresh_fn(x):\n    return x + 1\n")
+        (work / "app" / "models" / "user.py").rename(
+            work / "app" / "models" / "person.py")
+        inc_ctx = self._index(work, "inc")      # incremental second pass
+
+        fresh = tmp_path / "fresh"
+        _shutil.copytree(work, fresh, ignore=_shutil.ignore_patterns(
+            ".lattice"))
+        fresh_ctx = self._index(fresh, "fresh")
+
+        inc_nodes, inc_chunks, inc_edges = self._signature(inc_ctx)
+        fr_nodes, fr_chunks, fr_edges = self._signature(fresh_ctx)
+        assert inc_nodes == fr_nodes
+        assert inc_chunks == fr_chunks
+        assert inc_edges == fr_edges
+        # and both answer a post-mutation query identically
+        from lattice_tpu.query.engine import QueryEngine as _QE
+        e_inc = _QE(inc_ctx.graph_builder.store, inc_ctx.indexer)
+        e_fr = _QE(fresh_ctx.graph_builder.store, fresh_ctx.indexer)
+        r_inc = e_inc.search_sync("create_user_v2")
+        r_fr = e_fr.search_sync("create_user_v2")
+        assert ([r.qualified_name for r in r_inc.results]
+                == [r.qualified_name for r in r_fr.results])
