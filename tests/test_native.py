@@ -72,3 +72,47 @@ class TestBPECounter:
         exact = counter.count(code)
         assert exact > 0 and approx > 0
         assert 0.3 < approx / exact < 3.0
+
+
+class TestNoNativeFallback:
+    """The entire pipeline must work with lattice_native.so ABSENT
+    (hosts without a toolchain): SHA-256 falls back to hashlib, BPE to
+    the approximate counter, and every BFS to the vectorized NumPy
+    walk. Force get_lib() -> None and run index -> search -> deep."""
+
+    def test_full_pipeline_without_native_lib(self, tmp_path, monkeypatch):
+        import asyncio
+        import shutil
+        from pathlib import Path
+
+        from lattice_tpu.config.settings import Settings
+        from lattice_tpu.embeddings.embedder import Embedder
+        from lattice_tpu.pipeline.orchestrator import PipelineOrchestrator
+        from lattice_tpu.providers.hash_provider import HashEmbedder
+        from lattice_tpu.query.engine import QueryEngine
+        from lattice_tpu.utils import native as native_mod
+
+        monkeypatch.setattr(native_mod, "get_lib", lambda: None)
+        assert native_mod.bfs_khop(
+            None, None, None, None, 1, 0, None, out_cap=1) is None
+
+        fixture = (Path(__file__).parent / "fixtures" / "sample_project")
+        proj = tmp_path / "proj"
+        shutil.copytree(fixture, proj)
+        settings = Settings()
+        settings.metadata.enabled = False
+        embedder = Embedder(HashEmbedder(dimensions=128))
+        orch = PipelineOrchestrator(proj, embedder,
+                                    project_name="nonative",
+                                    settings=settings)
+        ctx = asyncio.run(orch.run())
+        assert len(ctx.indexer.code) > 10
+        engine = QueryEngine(ctx.graph_builder.store, ctx.indexer)
+        res = engine.search_sync("who calls validate_email_format?")
+        names = [r.qualified_name for r in res.results]
+        assert "app.services.user_service.UserService.create_user" in names
+        deep = engine.deep_search("who calls validate_email_format?")
+        assert deep.results
+        batch = engine.deep_search_batch(
+            ["who calls validate_email_format?", "what is AdminUser"])
+        assert all(b.results for b in batch)
