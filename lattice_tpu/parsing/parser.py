@@ -78,6 +78,12 @@ class CodeParser:
         return self._parse(source, file_info)
 
     def _parse(self, source: str, file_info: FileInfo) -> ParsedFile:
+        # A UTF-8 BOM decoded as text arrives as a leading U+FEFF:
+        # `ast.parse` rejects it outright (0 entities for the whole
+        # file) and the JS/TS lexer's line-start keyword match misses
+        # the first construct. Real repos ship BOM files; strip it.
+        if source.startswith("﻿"):
+            source = source[1:]
         extractor = self._extractor(file_info.language)
         parsed = ParsedFile(file_info=file_info)
         module_qn = module_qname(file_info.relative_path)

@@ -184,3 +184,51 @@ class TestParserFuzz:
             for i, text in enumerate(snippets):
                 parsed = parser.parse_content(text, lang, f"fuzz_{i}.x")
                 assert parsed is not None  # degraded, never raised
+
+
+class TestRealWorldEncodings:
+    """BOM and CRLF files are everywhere in real repos; they must parse
+    to the same entities (and sane line numbers) as clean LF sources —
+    not merely avoid raising."""
+
+    def test_bom_and_crlf_python(self):
+        from lattice_tpu.core.types import Language
+        from lattice_tpu.parsing.parser import CodeParser
+
+        src = ("class Foo:\n"
+               "    def bar(self):\n"
+               "        return 1\n"
+               "def baz():\n"
+               "    return Foo()\n")
+        parser = CodeParser()
+        clean = parser.parse_content(src, Language.PYTHON, "clean.py")
+        bom = parser.parse_content("﻿" + src, Language.PYTHON,
+                                   "bom.py")
+        crlf = parser.parse_content(src.replace("\n", "\r\n"),
+                                    Language.PYTHON, "crlf.py")
+        want = sorted((e.name, e.entity_type) for e in clean.all_entities)
+        for variant in (bom, crlf):
+            got = sorted((e.name, e.entity_type)
+                         for e in variant.all_entities)
+            assert got == want, variant.file_info.relative_path
+        by_name = {e.name: e for e in crlf.all_entities}
+        assert by_name["Foo"].start_line == 1
+        assert by_name["baz"].start_line == 4
+
+    def test_bom_and_crlf_typescript(self):
+        from lattice_tpu.core.types import Language
+        from lattice_tpu.parsing.parser import CodeParser
+
+        src = ("export interface Shape {\n"
+               "  area(): number;\n"
+               "}\n"
+               "export class Circle {\n"
+               "  area() { return 3.14; }\n"
+               "}\n")
+        parser = CodeParser()
+        clean = parser.parse_content(src, Language.TYPESCRIPT, "c.ts")
+        crlf = parser.parse_content("﻿" + src.replace("\n", "\r\n"),
+                                    Language.TYPESCRIPT, "b.ts")
+        want = sorted(e.name for e in clean.all_entities)
+        got = sorted(e.name for e in crlf.all_entities)
+        assert got == want and "Circle" in got
