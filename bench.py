@@ -61,7 +61,13 @@ def _mark(section: str) -> None:
     try:
         import jax
         st = jax.devices()[0].memory_stats() or {}
-        extra = f" (device {st.get('bytes_in_use', 0) / 1e6:.0f} MB in use)"
+        # memory_stats() is empty through the axon relay (measured r4:
+        # every mark read 0 during a real OOM) — also count the CLIENT's
+        # live arrays, which the relay cannot hide. Device-side holds by
+        # OTHER processes stay invisible either way.
+        live = sum(getattr(a, "nbytes", 0) or 0 for a in jax.live_arrays())
+        extra = (f" (device {st.get('bytes_in_use', 0) / 1e6:.0f} MB,"
+                 f" client live {live / 1e6:.0f} MB)")
     except Exception:
         pass
     print(f"[bench] {section}{extra}", file=sys.stderr, flush=True)

@@ -387,12 +387,14 @@ class GraphStore:
                               and (os.cpu_count() or 1) > 2)):
             indptr, indices, n = self._csr_view(edge_type, reverse)
             clean = [[s for s in ss if 0 <= s < n] for ss in seed_sets]
-            if len(indices):
+            # limit<=0 (unbounded) would need out_cap=n, i.e. two dense
+            # (Q, n) buffers up front (~1 GB at Q=128 / n=1M) — the
+            # sequential walk allocates one (n,) pair at a time instead.
+            if len(indices) and limit > 0:
                 from lattice_tpu.utils import native
                 res = native.bfs_khop_batch(
                     indptr, indices, self._alive_arr().view(np.uint8),
-                    clean, hops, limit or 0,
-                    out_cap=(limit if limit and limit > 0 else n))
+                    clean, hops, limit, out_cap=limit)
                 if res is not None:
                     return [(ids.astype(np.int64, copy=False), depths)
                             for ids, depths in res]
@@ -590,12 +592,13 @@ class GraphStore:
             if not self._want_sharded():
                 indptr, indices, n = self._csr_view(edge_type, reverse)
                 clean = [[s for s in ss if 0 <= s < n] for ss in seed_sets]
-                if len(indices):
+                # limit<=0 (unbounded) falls to the per-query loop: the
+                # native batch entry needs dense (Q, out_cap) buffers.
+                if len(indices) and limit > 0:
                     from lattice_tpu.utils import native
                     res = native.bfs_khop_batch(
                         indptr, indices, self._alive_arr().view(np.uint8),
-                        clean, hops, limit or 0,
-                        out_cap=(limit if limit and limit > 0 else n))
+                        clean, hops, limit, out_cap=limit)
                     if res is not None:
                         return [{int(v): int(d)
                                  for v, d in zip(ids, depths)}
@@ -609,15 +612,20 @@ class GraphStore:
         seed_arr = np.full((len(seed_sets), s_max), -1, dtype=np.int32)
         for i, s in enumerate(seed_sets):
             seed_arr[i, :len(s)] = s
+        # limit<=0 means UNBOUNDED here too (matching the host branches
+        # above — review finding r4): select up to the whole padded
+        # node space and skip the per-query truncation.
+        cap = n_pad if limit <= 0 else min(4 * limit, n_pad)
         d, idx = gk.khop_batch_bounded(psrc, pdst, jnp.asarray(seed_arr),
-                                       alive, n_pad, hops,
-                                       min(4 * limit, n_pad))
+                                       alive, n_pad, hops, cap)
         d, idx = np.asarray(d), np.asarray(idx)
         out = []
         for i in range(len(seed_sets)):
             keep = d[i] < int(gk.UNREACHED)
             pairs = sorted(zip(d[i][keep].tolist(), idx[i][keep].tolist()))
-            out.append({int(v): int(dd) for dd, v in pairs[:limit]})
+            if limit > 0:
+                pairs = pairs[:limit]
+            out.append({int(v): int(dd) for dd, v in pairs})
         return out
 
     def degree(self, node_ids: list[int], edge_type: EdgeType) -> list[tuple[int, int]]:

@@ -426,16 +426,26 @@ def main(argv: list[str] | None = None) -> int:
     # otherwise re-pays EVERY jit compile (20-40 s per kernel through
     # the TPU remote-compile path; 7+ s even for the CPU embed stage on
     # the golden corpus, profiled r4). JAX_COMPILATION_CACHE_DIR in the
-    # environment wins; LATTICE_XLA_CACHE=off disables.
+    # environment wins; LATTICE_XLA_CACHE=off disables. Must go through
+    # jax.config.update, NOT os.environ: jax snapshots these env vars at
+    # import time and the site hook preloads jax before main() runs, so
+    # env mutation here is inert (review finding r4).
+    import jax
     if os.environ.get("LATTICE_XLA_CACHE", "").lower() not in ("off", "0"):
-        os.environ.setdefault(
-            "JAX_COMPILATION_CACHE_DIR",
-            str(Path.home() / ".cache" / "lattice_tpu" / "xla"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                str(Path.home() / ".cache" / "lattice_tpu" / "xla")))
         # default threshold (1 s) skips every CPU compile; 0.1 persists
         # them too (measured: 37 entries, warm index run 8.8 -> 6.6 s on
         # the golden corpus) while TPU compiles (20-40 s) always qualify
-        os.environ.setdefault(
-            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")))
+    else:
+        jax.config.update("jax_compilation_cache_dir", None)
     if settings.device.platform == "cpu":
         # honor LATTICE_PLATFORM=cpu before any jax.devices() call so the
         # CLI never attaches to a TPU it was told not to use (the attach

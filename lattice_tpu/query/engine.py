@@ -315,6 +315,10 @@ class QueryEngine:
     # f32 score slab (128 * 1M rows * 4 B = 512 MB) so an unbounded
     # MCP/CLI batch cannot OOM the chip and wedge the relay grant queue
     DEEP_BATCH_CHUNK = 128
+    # reference traversal cap (`graph_reasoning/models.py:5`); the batch
+    # path precomputes walks at this depth for _deep_evidence to consume,
+    # so both MUST read the same constant
+    DEEP_HOPS = 5
 
     def _sharded_deep_enabled(self) -> bool:
         """Deep rank over a multi-chip mesh: same opt-in convention as
@@ -508,7 +512,7 @@ class QueryEngine:
         seedss = [self._deep_seeds(p) for p in plans]
         walks: list = [None] * len(plans)
         if graph.n_edges(EdgeType.CALLS):
-            hops, budget = 5, self._reach_budget()
+            hops, budget = self.DEEP_HOPS, self._reach_budget()
             fw = graph._host_bfs_batch(seedss, EdgeType.CALLS, hops,
                                        limit=budget)
             bw = graph._host_bfs_batch(seedss, EdgeType.CALLS, hops,
@@ -580,7 +584,7 @@ class QueryEngine:
             seeds = self._deep_seeds(plan)
 
         cols = store.device_rank_columns(graph)
-        hops = 5  # reference traversal cap (`graph_reasoning/models.py:5`)
+        hops = self.DEEP_HOPS
         budget = self._reach_budget()
         if seeds:
             # seeds always carry their depth-0 primary credit, even in a

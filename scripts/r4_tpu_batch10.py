@@ -160,6 +160,7 @@ def phase_b10():
 def main():
     import jax
     log(f"devices: {jax.devices()}")
+    RESULTS["devices"] = str(jax.devices())  # provenance (chip vs CPU)
     for name, fn in (("Q10", phase_q10), ("B10", phase_b10)):
         try:
             fn()

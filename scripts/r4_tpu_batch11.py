@@ -64,6 +64,11 @@ def main():
     from lattice_tpu.parallel.sharded_rank import ShardedHybridRank
 
     log(f"devices: {jax.devices()}  N={N} Q={Q}")
+    # Provenance markers: a SMALL=1 CPU smoke run writes the same keys as
+    # the chip run — record which this was so the file can't be misread
+    # (review finding r4; the 13.5-qps warmup artifact was this class).
+    RESULTS["small"] = SMALL
+    RESULTS["devices"] = str(jax.devices())
     float(jnp.sum(jnp.zeros((8,), jnp.float32)))  # drain the grant queue
 
     rng = np.random.default_rng(11)

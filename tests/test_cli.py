@@ -173,24 +173,35 @@ class TestPersistentCompileCache:
         """A fresh CLI process must point JAX at a persistent compile
         cache (fresh processes otherwise re-pay every jit compile —
         20-40 s/kernel through the TPU remote-compile path). Explicit
-        JAX_COMPILATION_CACHE_DIR wins; LATTICE_XLA_CACHE=off disables."""
+        JAX_COMPILATION_CACHE_DIR wins; LATTICE_XLA_CACHE=off disables.
+        The assertion target is jax's LIVE config value, not os.environ:
+        jax snapshots the env at import time and the site hook preloads
+        it, so env mutation after import is inert (review finding r4)."""
         import os
 
+        import jax
+        from jax._src import config as jax_config
+
+        def cache_dir():
+            return jax_config.compilation_cache_dir.value
+
+        original = cache_dir()  # conftest's /tmp/lattice_jax_cache
         root, env = repo
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
         assert run(["settings"], env) == 0
         capsys.readouterr()
-        assert os.environ["JAX_COMPILATION_CACHE_DIR"].endswith(
-            "lattice_tpu/xla")
+        assert (cache_dir() or "").endswith("lattice_tpu/xla")
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
         assert run(["settings"], env) == 0
         capsys.readouterr()
-        assert os.environ["JAX_COMPILATION_CACHE_DIR"] == str(tmp_path)
+        assert cache_dir() == str(tmp_path)
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
         monkeypatch.setenv("LATTICE_XLA_CACHE", "off")
         assert run(["settings"], env) == 0
         capsys.readouterr()
-        assert "JAX_COMPILATION_CACHE_DIR" not in os.environ
+        assert cache_dir() is None
+        # restore the suite's process-wide cache (conftest's env default)
+        jax.config.update("jax_compilation_cache_dir", original)
 
 
 class TestDeepSearchFlag:
