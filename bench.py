@@ -511,7 +511,7 @@ def main() -> None:
     # exact-recall oracle + host-baseline subsample FIRST, then free the
     # f32 corpus: keeping 4 GB of f32 alive through the quantized views +
     # clustered section OOMed a 16 GB chip (bench_r2c)
-    _, exact_i = topk_ops.flat_topk(q_f32, corpus_f32, valid_dev, K)
+    _, exact_i = topk_ops.flat_topk_blocked(q_f32, corpus_f32, valid_dev, K)
     exact_i = np.asarray(exact_i)
     sub = min(HOST_SUBSAMPLE, N_ROWS)
     host_corpus = np.asarray(corpus_f32[:sub])
@@ -665,8 +665,9 @@ def main() -> None:
                     getattr(store_c._ivf, "build_seconds", 0.0), 1)
         except Exception as exc:
             alt["clustered_smallbatch_error"] = repr(exc)[:120]
-        _, exact_c = topk_ops.flat_topk(qc, emb_c.astype(jnp.float32),
-                                        valid_dev, K)
+        # blocked oracle: casting the whole bf16 corpus to f32 (3 GB) +
+        # the [B, N] slab (1 GB) is where the r4 OOM cascade began
+        _, exact_c = topk_ops.flat_topk_blocked(qc, emb_c, valid_dev, K)
         exact_c = np.asarray(exact_c)
         recall_c = np.mean([
             len(set(idx_c[i].tolist()) & set(exact_c[i].tolist())) / K

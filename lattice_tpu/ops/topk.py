@@ -92,6 +92,50 @@ def merge_topk(
     return top_scores, top_idx
 
 
+def flat_topk_blocked(
+    queries: jax.Array,      # [B, d] f32 (normalized)
+    embeddings: jax.Array,   # [N, d] bf16/f32 (normalized rows)
+    valid: jax.Array,        # [N] bool
+    k: int,
+    block: int = 1 << 17,
+    score_dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k with bounded device memory: row blocks + merge ladder.
+
+    `flat_topk` over 1M x 768 materializes a [B, N] f32 slab (1 GB at
+    B=256) and, when the oracle upcasts a bf16 corpus, a full f32 copy
+    (3 GB) — that transient is what tipped the r4 bench into
+    RESOURCE_EXHAUSTED mid-run. This walks `block`-row slices (f32 cast
+    [block, d] + [B, block] scores, ~0.5 GB at the default), merging
+    per-block winners with `merge_topk`. Exact for any block split
+    because top-k is associative under merge. Dispatch overhead
+    (ceil(N/block) executions) is irrelevant for an oracle.
+    """
+    n = embeddings.shape[0]
+    best_s = best_i = None
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        s, i = flat_topk(queries,
+                         embeddings[lo:hi].astype(score_dtype),
+                         valid[lo:hi], min(k, hi - lo))
+        i = i + lo
+        if best_s is None:
+            best_s, best_i = s, i
+            if s.shape[-1] < k:  # first block smaller than k: pad
+                pad = k - s.shape[-1]
+                best_s = jnp.pad(s, ((0, 0), (0, pad)),
+                                 constant_values=NEG_INF)
+                best_i = jnp.pad(i, ((0, 0), (0, pad)))
+        else:
+            if s.shape[-1] < k:
+                pad = k - s.shape[-1]
+                s = jnp.pad(s, ((0, 0), (0, pad)),
+                            constant_values=NEG_INF)
+                i = jnp.pad(i, ((0, 0), (0, pad)))
+            best_s, best_i = merge_topk(best_s, best_i, s, i, k)
+    return best_s, best_i
+
+
 def batched_matmul_scores(
     queries: jax.Array, embeddings: jax.Array,
 ) -> jax.Array:

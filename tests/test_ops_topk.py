@@ -79,6 +79,39 @@ class TestFlatTopK:
         for row_dev, row_oracle in zip(np.asarray(merged_i), o_idx):
             assert set(row_dev.tolist()) == set(row_oracle.tolist())
 
+    @pytest.mark.parametrize("block", [16, 64, 100, 257, 1024])
+    def test_blocked_equals_flat(self, corpus, block):
+        """The memory-bounded oracle must be exact for ANY block split,
+        including blocks smaller than k (first-block pad path), a block
+        that does not divide N, and block >= N (single call)."""
+        import jax.numpy as jnp
+        queries, emb, valid = corpus
+        bs, bi = topk_ops.flat_topk_blocked(
+            jnp.asarray(queries), jnp.asarray(emb, jnp.bfloat16),
+            jnp.asarray(valid), 10, block=block)
+        o_scores, o_idx = topk_ops.topk_oracle(queries, emb, valid, 10)
+        # bf16 storage scored in f32: values close, sets may flip on
+        # near-ties — require score agreement at bf16 tolerance and
+        # overlap >= 9/10 like the storage-precision test above
+        np.testing.assert_allclose(np.asarray(bs), o_scores, atol=8e-3)
+        for row_dev, row_oracle in zip(np.asarray(bi), o_idx):
+            assert len(set(row_dev.tolist())
+                       & set(row_oracle.tolist())) >= 9
+
+    def test_blocked_equals_flat_exact_f32(self, corpus):
+        """At f32 storage the blocked oracle equals flat_topk exactly."""
+        import jax.numpy as jnp
+        queries, emb, valid = corpus
+        fs, fi = topk_ops.flat_topk(
+            jnp.asarray(queries), jnp.asarray(emb), jnp.asarray(valid), 10)
+        bs, bi = topk_ops.flat_topk_blocked(
+            jnp.asarray(queries), jnp.asarray(emb), jnp.asarray(valid),
+            10, block=97)
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(fs),
+                                   atol=1e-6)
+        for a, b in zip(np.asarray(bi), np.asarray(fi)):
+            assert set(a.tolist()) == set(b.tolist())
+
 
 class TestQuantized:
     def test_int8_topk_close_to_exact(self):
