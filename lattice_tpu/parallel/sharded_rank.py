@@ -236,16 +236,30 @@ class ShardedHybridRank:
         `match_rows` [Q, M] global row ids (-1 pad). Same contract as
         `ops/ranking.hybrid_rank_device_packed_batch`.
         """
+        scores, rows = self.rank_device(
+            jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32))),
+            jnp.asarray(packed_reach), jnp.asarray(rel_table),
+            jnp.asarray(match_rows), jnp.asarray(weights), k)
+        return np.asarray(scores), np.asarray(rows)
+
+    def rank_device(self, queries: jax.Array, packed_reach: jax.Array,
+                    rel_table: jax.Array, match_rows: jax.Array,
+                    weights: jax.Array, k: int
+                    ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident variant: per-query tensors already placed,
+        results left on device. Serving loops MUST use this — `rank`'s
+        per-call host round-trip re-uploads the [Q, R] packed evidence
+        (16 MB at Q=128/R=32k) and reads back through the relay, which
+        measured 13x the kernel's own time at n=1 (r4 batch11: 9.93 vs
+        0.745 ms/q) — the same trap `ShardedQuantizedIndex.search_device`
+        exists to avoid (2.8k -> 50k qps, R4_TPU_RESULTS5)."""
         fn = self._fn_cache.get(k)
         if fn is None:
             fn = self._build(k)
             self._fn_cache[k] = fn
-        args = (
-            jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32))),
-            self.embeddings, self.valid, self.degree, self.quality,
-            jnp.asarray(packed_reach), jnp.asarray(rel_table),
-            jnp.asarray(match_rows), jnp.asarray(weights))
+        args = (queries, self.embeddings, self.valid, self.degree,
+                self.quality, packed_reach, rel_table, match_rows,
+                weights)
         if self.bits != 16:
             args = args + (self.scales,)
-        scores, rows = fn(*args)
-        return np.asarray(scores), np.asarray(rows)
+        return fn(*args)
