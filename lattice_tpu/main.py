@@ -416,6 +416,34 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _xla_cache_dir() -> str:
+    """Default persistent-cache dir, scoped by a host-CPU fingerprint.
+
+    XLA:CPU cache entries embed AOT machine code keyed to the compile
+    host's CPU features; this container migrates between hosts with
+    different feature sets (AMX present/absent), and loading a stale
+    entry makes XLA warn 'could lead to execution errors such as
+    SIGILL' on every load (observed after the 2026-08-18 migration).
+    Hashing the cpuinfo flags into the path gives each host class its
+    own cache instead of trusting XLA to reject mismatched blobs.
+    An explicit JAX_COMPILATION_CACHE_DIR bypasses this (caller's
+    responsibility, e.g. tests/conftest.py's /tmp dir).
+    """
+    import hashlib
+    import platform
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats += platform.platform()
+    fp = hashlib.sha1(feats.encode()).hexdigest()[:8]
+    return str(Path.home() / ".cache" / "lattice_tpu" / f"xla-{fp}")
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -434,9 +462,7 @@ def main(argv: list[str] | None = None) -> int:
     if os.environ.get("LATTICE_XLA_CACHE", "").lower() not in ("off", "0"):
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR",
-                str(Path.home() / ".cache" / "lattice_tpu" / "xla")))
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", _xla_cache_dir()))
         # default threshold (1 s) skips every CPU compile; 0.1 persists
         # them too (measured: 37 entries, warm index run 8.8 -> 6.6 s on
         # the golden corpus) while TPU compiles (20-40 s) always qualify

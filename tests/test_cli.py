@@ -190,7 +190,9 @@ class TestPersistentCompileCache:
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
         assert run(["settings"], env) == 0
         capsys.readouterr()
-        assert (cache_dir() or "").endswith("lattice_tpu/xla")
+        from lattice_tpu.main import _xla_cache_dir
+        assert cache_dir() == _xla_cache_dir()
+        assert "lattice_tpu/xla-" in cache_dir()  # host-fingerprinted
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
         assert run(["settings"], env) == 0
         capsys.readouterr()
