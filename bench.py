@@ -625,6 +625,9 @@ def main() -> None:
         gc.collect()
     except Exception as exc:
         alt["bulk_build_error"] = repr(exc)[:120]
+        # gc can't free live locals: drop whatever the failure left bound
+        # or the dead 1M store pins HBM through every later section
+        store_b = dev_rows = host_rows = None  # noqa: F841
         gc.collect()
     _mark("sharded")
 
@@ -662,6 +665,7 @@ def main() -> None:
         gc.collect()
     except Exception as exc:
         alt["sharded_error"] = repr(exc)[:120]
+        sq = host_sh = out_sh = i_sh = i_or = None  # noqa: F841
         gc.collect()
     _mark("clustered")
 
@@ -744,6 +748,7 @@ def main() -> None:
         gc.collect()
     except Exception as exc:  # keep the headline alive on any failure
         alt["clustered_error"] = repr(exc)[:120]
+        emb_c = store_c = parts_c = qc = idx_c = exact_c = None  # noqa: F841
         gc.collect()
     _mark("delta-upsert")
 

@@ -432,13 +432,30 @@ def _xla_cache_dir() -> str:
     import hashlib
     import platform
     feats = platform.machine()
+    found = False
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # Feature list ("flags" on x86, "Features" on aarch64)
+                # AND the CPU identity: LLVM's target features derive
+                # from the detected MODEL, not just the flag list — two
+                # hosts with identical flags but different models still
+                # AOT-compile differently (+prefer-no-gather mismatch
+                # observed across the 2026-08-18 migration, verify run).
+                if line.startswith(("flags", "Features")):
                     feats += " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                    found = True
+                elif line.startswith(("vendor_id", "cpu family", "model",
+                                      "stepping", "CPU implementer",
+                                      "CPU part", "CPU variant")):
+                    feats += line.strip()
+                if found and line == "\n":
+                    break  # first core block only; all cores identical
     except OSError:
+        pass
+    if not found:
+        # no feature line (e.g. POWER/s390x): at least split by platform
+        # string instead of silently collapsing every same-arch host
         feats += platform.platform()
     fp = hashlib.sha1(feats.encode()).hexdigest()[:8]
     return str(Path.home() / ".cache" / "lattice_tpu" / f"xla-{fp}")

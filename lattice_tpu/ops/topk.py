@@ -112,6 +112,8 @@ def flat_topk_blocked(
     (ceil(N/block) executions) is irrelevant for an oracle.
     """
     n = embeddings.shape[0]
+    if n == 0:
+        raise ValueError("flat_topk_blocked: empty embeddings")
     best_s = best_i = None
     for lo in range(0, n, block):
         hi = min(lo + block, n)
@@ -119,20 +121,18 @@ def flat_topk_blocked(
                          embeddings[lo:hi].astype(score_dtype),
                          valid[lo:hi], min(k, hi - lo))
         i = i + lo
+        if s.shape[-1] < k:  # block smaller than k: pad to merge width
+            pad = k - s.shape[-1]
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            i = jnp.pad(i, ((0, 0), (0, pad)))
         if best_s is None:
             best_s, best_i = s, i
-            if s.shape[-1] < k:  # first block smaller than k: pad
-                pad = k - s.shape[-1]
-                best_s = jnp.pad(s, ((0, 0), (0, pad)),
-                                 constant_values=NEG_INF)
-                best_i = jnp.pad(i, ((0, 0), (0, pad)))
         else:
-            if s.shape[-1] < k:
-                pad = k - s.shape[-1]
-                s = jnp.pad(s, ((0, 0), (0, pad)),
-                            constant_values=NEG_INF)
-                i = jnp.pad(i, ((0, 0), (0, pad)))
             best_s, best_i = merge_topk(best_s, best_i, s, i, k)
+        # The bound is only real if the host can't run ahead: async
+        # dispatch would otherwise enqueue every block's f32 cast (and
+        # its result buffer) before any executes. Negligible oracle cost.
+        best_s.block_until_ready()
     return best_s, best_i
 
 

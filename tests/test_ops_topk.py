@@ -79,11 +79,12 @@ class TestFlatTopK:
         for row_dev, row_oracle in zip(np.asarray(merged_i), o_idx):
             assert set(row_dev.tolist()) == set(row_oracle.tolist())
 
-    @pytest.mark.parametrize("block", [16, 64, 100, 257, 1024])
+    @pytest.mark.parametrize("block", [4, 16, 64, 100, 257, 1024])
     def test_blocked_equals_flat(self, corpus, block):
         """The memory-bounded oracle must be exact for ANY block split,
-        including blocks smaller than k (first-block pad path), a block
-        that does not divide N, and block >= N (single call)."""
+        including blocks smaller than k (block=4 < k=10 hits the
+        pad-to-k path on EVERY block), a block that does not divide N,
+        and block >= N (single call)."""
         import jax.numpy as jnp
         queries, emb, valid = corpus
         bs, bi = topk_ops.flat_topk_blocked(
