@@ -78,7 +78,10 @@ N_ROWS = int(os.environ.get("BENCH_ROWS", 1_048_576))
 DIM = 768
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 K = 10
-DEVICE_ITERS = int(os.environ.get("BENCH_ITERS", 8))
+# 32 iters so the relay's ~34 ms sync floor (R4_TPU_RESULTS5) amortizes
+# below 10% of the timed window — at 8 iters the floor was ~half the
+# window and the headline under-read by ~30% (40.6k vs 53k view-level)
+DEVICE_ITERS = int(os.environ.get("BENCH_ITERS", 32))
 HOST_SUBSAMPLE = int(os.environ.get("BENCH_HOST_ROWS", 65_536))
 N_CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
 # B=128 measured best at full length on v5e (612 chunks/s vs 471 at
@@ -667,11 +670,17 @@ def main() -> None:
         alt["sharded_error"] = repr(exc)[:120]
         sq = host_sh = out_sh = i_sh = i_or = None  # noqa: F841
         gc.collect()
-    _mark("clustered")
+    _mark("delta-upsert")
 
-    # ---- clustered regime (the IVF tier's home turf): a second corpus
-    # with real cluster structure, served through the same dispatcher
-    try:
+    def _bench_clustered():
+        # ---- clustered regime (the IVF tier's home turf): a second
+        # corpus with real cluster structure, served through the same
+        # dispatcher. Runs LAST (after the headline store is freed):
+        # the fresh-delta add's capacity-growth transient on top of two
+        # live 1M stores caused the r4 OOM cascade — and the FIRST
+        # RESOURCE_EXHAUSTED poisons every later allocation in this
+        # process (the fresh-process probe refilled 14 GiB, so the
+        # chip itself was never held — R4_BENCH_FINAL/2).
         parts_c = []
         for i in range(0, N_ROWS, block):
             parts_c.append(gen_block(
@@ -745,12 +754,6 @@ def main() -> None:
         except Exception as exc:
             alt["clustered_fresh_error"] = repr(exc)[:120]
         del emb_c, store_c
-        gc.collect()
-    except Exception as exc:  # keep the headline alive on any failure
-        alt["clustered_error"] = repr(exc)[:120]
-        emb_c = store_c = parts_c = qc = idx_c = exact_c = None  # noqa: F841
-        gc.collect()
-    _mark("delta-upsert")
 
     # ---- recall vs device-exact f32 (oracle computed up front)
     recall = np.mean([
@@ -794,8 +797,9 @@ def main() -> None:
     # ---- config 2: encoder throughput at the real model config
     # (free the serving corpus + its quantized views first: ~7 GB of HBM
     # pressure measurably throttled the encoder — 380 vs 611 chunks/s in
-    # bench_r3a vs the standalone measurement)
-    del store, emb_dev, valid_dev
+    # bench_r3a vs the standalone measurement). valid_dev (1 MB) stays:
+    # the clustered section reuses it.
+    del store, emb_dev
     gc.collect()
     _mark("encoder-post-gc")
     h, ff, nl, length = 768, 3072, 12, ENCODE_LEN
@@ -838,6 +842,21 @@ def main() -> None:
         alt["encode_error"] = repr(exc)[:160]
         encode_cps = encode_host_cps = 0.0
         encode_mfu = None
+    try:
+        del enc_model, out_dev
+    except NameError:
+        pass
+    gc.collect()
+    _mark("clustered")
+
+    # clustered runs LAST among device sections: its fresh-delta growth
+    # transient is the one allocation that has ever OOMed this bench, and
+    # a first OOM poisons every later allocation in the process
+    try:
+        _bench_clustered()
+    except Exception as exc:
+        alt["clustered_error"] = repr(exc)[:120]
+    gc.collect()
 
     # ---- host baselines on a subsample (exact scan + IVF estimate)
     t0 = time.perf_counter()
