@@ -761,20 +761,27 @@ def main() -> None:
         for i in range(BATCH)
     ])
 
-    # ---- config 5: incremental delta upsert into the live store
-    # (first add pays the scatter-kernel compiles; the second is the number)
+    # ---- config 5: incremental delta upsert into the live store.
+    # The first add pays the scatter-kernel compiles + any capacity
+    # growth; the timed region amortizes DELTA_REPS adds behind ONE
+    # readback — a single add-with-readback can never beat the ~24-34 ms
+    # relay sync floor (R4_TPU_RESULTS5), which is tunnel, not work
+    # (batch1's 10.0 ms figure was the opposite artifact: no readback
+    # at all, so it timed only the async enqueue).
     try:
-        delta = np.asarray(gen_block(centers, jax.random.fold_in(kd, 1),
-                                     jax.random.fold_in(kd, 2),
-                                     2 * DELTA_ROWS))
-        store.add(delta[:DELTA_ROWS],
-                  [{"file_path": "warm.py"}] * DELTA_ROWS)
-        np.asarray(store._emb[0])
+        DELTA_REPS = 4
+        delta = np.asarray(gen_block(
+            centers, jax.random.fold_in(kd, 1), jax.random.fold_in(kd, 2),
+            (1 + DELTA_REPS) * DELTA_ROWS))
+        rows = store.add(delta[:DELTA_ROWS],
+                         [{"file_path": "warm.py"}] * DELTA_ROWS)
+        np.asarray(store._emb[rows[0]])
         t0 = time.perf_counter()
-        rows = store.add(delta[DELTA_ROWS:],
-                         [{"file_path": "delta.py"}] * DELTA_ROWS)
-        np.asarray(store._emb[rows[0]])  # a readback proves execution
-        delta_ms = (time.perf_counter() - t0) * 1000.0
+        for r in range(1, 1 + DELTA_REPS):
+            rows = store.add(delta[r * DELTA_ROWS:(r + 1) * DELTA_ROWS],
+                             [{"file_path": "delta.py"}] * DELTA_ROWS)
+        np.asarray(store._emb[rows[0]])  # one readback proves execution
+        delta_ms = (time.perf_counter() - t0) * 1000.0 / DELTA_REPS
         ivf_still_fresh = not store._ivf_dirty if store._ivf else None
     except Exception as exc:
         alt["delta_error"] = repr(exc)[:120]
@@ -823,7 +830,10 @@ def main() -> None:
         # readback at the end (the provider hands pooled blocks straight
         # to ChunkStore.add — per-call readbacks cost ~30%, R4 RESULTS2)
         t0 = time.perf_counter()
-        enc_iters = 4
+        # 12 iters: at 4, the one end-of-loop sync floor (~24-34 ms) was
+        # ~5% of the window and under-read throughput (661 vs 771 cps in
+        # R4_BENCH_FINAL3 vs R4_TPU_RESULTS5's drained 12-iter loops)
+        enc_iters = 12
         for _ in range(enc_iters):
             out_dev = enc_model.encode_device(ids, mask)
         float(out_dev[0, 0])
