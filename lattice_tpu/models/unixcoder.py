@@ -396,7 +396,25 @@ class UniXcoderModel:
         per-batch host readback of the pooled block costs ~30% of
         encoder throughput through the relay (798 vs 1130 chunks/s,
         R4_TPU_RESULTS2) — bulk ingestion hands this straight to
-        `ChunkStore.add`, which quantizes on device anyway."""
+        `ChunkStore.add`, which quantizes on device anyway.
+
+        Device-array inputs that already match a length bucket (and the
+        data-axis batch multiple) skip the host pad path entirely — a
+        host round-trip here re-uploads ~512 KB of ids+mask per batch,
+        ~25 ms through a 20 MB/s link, and callers that tokenize once
+        and loop (bulk ingestion, bench MFU loops) should pay it once."""
+        if (isinstance(input_ids, jax.Array)
+                and not isinstance(input_ids, np.ndarray)
+                and input_ids.ndim == 2
+                and input_ids.dtype == jnp.int32
+                and attention_mask is not None
+                and isinstance(attention_mask, jax.Array)
+                and attention_mask.shape == input_ids.shape
+                and input_ids.shape[1] == self.bucket_length(
+                    input_ids.shape[1])
+                and input_ids.shape[0] % self.data_shards == 0):
+            return self._forward(self.params, input_ids,
+                                 jnp.asarray(attention_mask, jnp.int32))
         ids = np.asarray(input_ids, dtype=np.int32)
         mask = np.asarray(attention_mask, dtype=np.int32)
         if ids.ndim == 1:

@@ -54,6 +54,24 @@ class TestUniXcoderModel:
         assert model.bucket_length(200) == 256
         assert model.bucket_length(9999) == 512
 
+    def test_encode_device_resident_fast_path(self, model):
+        """Pre-padded device-array inputs skip the host pad path and
+        match the host entry exactly (the bench MFU loop and bulk
+        ingestion rely on this staying resident — unixcoder.py
+        encode_device)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(3)
+        ids = rng.integers(5, 256, size=(4, 20)).astype(np.int32)
+        mask = np.ones((4, 20), dtype=np.int32)
+        host = model.encode(ids, mask)
+        bucket = model.bucket_length(20)
+        ids_p = np.pad(ids, ((0, 0), (0, bucket - 20)),
+                       constant_values=TINY.pad_token_id)
+        mask_p = np.pad(mask, ((0, 0), (0, bucket - 20)))
+        out = model.encode_device(jnp.asarray(ids_p), jnp.asarray(mask_p))
+        assert not isinstance(out, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(out), host)
+
 
 class TestUniXcoderProviderFraming:
     def test_mode_token_framing(self):
