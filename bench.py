@@ -850,20 +850,26 @@ def main() -> None:
         # feed over PCIe at GB/s). MFU is a chip-efficiency claim, so it
         # is computed from this loop (1130 cps / 0.554 in
         # R4_TPU_RESULTS2; encode_chunks_per_s keeps the e2e number).
-        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
-        out_dev = enc_model.encode_device(ids_d, mask_d)
-        np.asarray(out_dev)
-        t0 = time.perf_counter()
-        for _ in range(enc_iters):
+        # Own try: a late failure here (e.g. a poisoned allocation after
+        # an earlier OOM) must not clobber the two loops already timed.
+        encode_mfu = None
+        try:
+            ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
             out_dev = enc_model.encode_device(ids_d, mask_d)
-        float(out_dev[0, 0])
-        encode_dev_cps = (ENCODE_BATCH * enc_iters
-                          / (time.perf_counter() - t0))
-        alt["encode_device_resident_cps"] = round(encode_dev_cps, 1)
-        # model FLOPs/token: QKVO + FFN matmuls + two [L,L] attention
-        # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4: report MFU)
-        encode_mfu = (encode_dev_cps * length * flops_tok / 197e12
-                      if on_tpu else None)
+            np.asarray(out_dev)
+            t0 = time.perf_counter()
+            for _ in range(enc_iters):
+                out_dev = enc_model.encode_device(ids_d, mask_d)
+            float(out_dev[0, 0])
+            encode_dev_cps = (ENCODE_BATCH * enc_iters
+                              / (time.perf_counter() - t0))
+            alt["encode_device_resident_cps"] = round(encode_dev_cps, 1)
+            # model FLOPs/token: QKVO + FFN matmuls + two [L,L] attention
+            # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4: report MFU)
+            encode_mfu = (encode_dev_cps * length * flops_tok / 197e12
+                          if on_tpu else None)
+        except Exception as exc:
+            alt["encode_resident_error"] = repr(exc)[:160]
     except Exception as exc:
         alt["encode_error"] = repr(exc)[:160]
         encode_cps = encode_host_cps = 0.0

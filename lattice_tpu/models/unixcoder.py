@@ -404,17 +404,28 @@ class UniXcoderModel:
         ~25 ms through a 20 MB/s link, and callers that tokenize once
         and loop (bulk ingestion, bench MFU loops) should pay it once."""
         if (isinstance(input_ids, jax.Array)
-                and not isinstance(input_ids, np.ndarray)
                 and input_ids.ndim == 2
                 and input_ids.dtype == jnp.int32
-                and attention_mask is not None
                 and isinstance(attention_mask, jax.Array)
                 and attention_mask.shape == input_ids.shape
                 and input_ids.shape[1] == self.bucket_length(
                     input_ids.shape[1])
                 and input_ids.shape[0] % self.data_shards == 0):
-            return self._forward(self.params, input_ids,
-                                 jnp.asarray(attention_mask, jnp.int32))
+            mask_dev = jnp.asarray(attention_mask, jnp.int32)
+            if self.data_shards > 1:
+                # same invariant as the host path below: rows must be
+                # row-sharded over the data axis, or a committed input
+                # errors against the mesh-committed params (and an
+                # uncommitted one silently runs replicated)
+                input_ids = jax.device_put(input_ids, self._data_sharding)
+                mask_dev = jax.device_put(mask_dev, self._data_sharding)
+            return self._forward(self.params, input_ids, mask_dev)
+        return self._encode_device_host(input_ids, attention_mask)
+
+    def _encode_device_host(self, input_ids, attention_mask) -> "jax.Array":
+        """Host pad path: numpy conversion + bucket/batch padding +
+        upload. Split out so tests can pin that bucket-matched device
+        inputs never fall through to it."""
         ids = np.asarray(input_ids, dtype=np.int32)
         mask = np.asarray(attention_mask, dtype=np.int32)
         if ids.ndim == 1:

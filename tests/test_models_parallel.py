@@ -54,11 +54,13 @@ class TestUniXcoderModel:
         assert model.bucket_length(200) == 256
         assert model.bucket_length(9999) == 512
 
-    def test_encode_device_resident_fast_path(self, model):
+    def test_encode_device_resident_fast_path(self, model, monkeypatch):
         """Pre-padded device-array inputs skip the host pad path and
         match the host entry exactly (the bench MFU loop and bulk
         ingestion rely on this staying resident — unixcoder.py
-        encode_device)."""
+        encode_device). The host fallback is monkeypatched to raise so
+        a silently-regressed guard cannot pass on output equality alone
+        (the r2 lesson: forced-path tests must prove the path)."""
         import jax.numpy as jnp
         rng = np.random.default_rng(3)
         ids = rng.integers(5, 256, size=(4, 20)).astype(np.int32)
@@ -68,9 +70,43 @@ class TestUniXcoderModel:
         ids_p = np.pad(ids, ((0, 0), (0, bucket - 20)),
                        constant_values=TINY.pad_token_id)
         mask_p = np.pad(mask, ((0, 0), (0, bucket - 20)))
+
+        def _no_fallthrough(*a, **k):
+            raise AssertionError("bucket-matched device inputs fell "
+                                 "through to the host pad path")
+
+        monkeypatch.setattr(model, "_encode_device_host", _no_fallthrough)
         out = model.encode_device(jnp.asarray(ids_p), jnp.asarray(mask_p))
         assert not isinstance(out, np.ndarray)
         np.testing.assert_array_equal(np.asarray(out), host)
+        # a non-bucket length must still route to the host pad path
+        with pytest.raises(AssertionError, match="fell"):
+            model.encode_device(jnp.asarray(ids_p[:, :-1]),
+                                jnp.asarray(mask_p[:, :-1]))
+
+    def test_encode_device_fast_path_mesh_sharded(self):
+        """The fast path must re-place single-device-committed inputs
+        onto the data axis: params are mesh-committed after use_mesh, so
+        a committed-elsewhere input would error (or silently replicate)
+        without the device_put the host path performs."""
+        import jax
+        import jax.numpy as jnp
+        model = UniXcoderModel(TINY, seed=11)
+        ids = np.random.default_rng(4).integers(
+            5, 256, size=(8, 16)).astype(np.int32)
+        mask = np.ones_like(ids)
+        single = model.encode(ids, mask)
+        model.use_mesh(make_mesh(8))
+        bucket = model.bucket_length(16)
+        ids_p = np.pad(ids, ((0, 0), (0, bucket - 16)),
+                       constant_values=TINY.pad_token_id)
+        mask_p = np.pad(mask, ((0, 0), (0, bucket - 16)))
+        # commit to one device — the adversarial placement
+        dev0 = jax.devices()[0]
+        out = model.encode_device(jax.device_put(jnp.asarray(ids_p), dev0),
+                                  jax.device_put(jnp.asarray(mask_p), dev0))
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   single, atol=1e-4)
 
 
 class TestUniXcoderProviderFraming:
