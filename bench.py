@@ -770,9 +770,10 @@ def main() -> None:
     # at all, so it timed only the async enqueue).
     try:
         DELTA_REPS = 4
-        delta = np.asarray(gen_block(
+        delta_dev = gen_block(
             centers, jax.random.fold_in(kd, 1), jax.random.fold_in(kd, 2),
-            (1 + DELTA_REPS) * DELTA_ROWS))
+            (1 + 2 * DELTA_REPS) * DELTA_ROWS)
+        delta = np.asarray(delta_dev[:(1 + DELTA_REPS) * DELTA_ROWS])
         rows = store.add(delta[:DELTA_ROWS],
                          [{"file_path": "warm.py"}] * DELTA_ROWS)
         np.asarray(store._emb[rows[0]])
@@ -782,6 +783,20 @@ def main() -> None:
                              [{"file_path": "delta.py"}] * DELTA_ROWS)
         np.asarray(store._emb[rows[0]])  # one readback proves execution
         delta_ms = (time.perf_counter() - t0) * 1000.0 / DELTA_REPS
+        # device-resident variant: rows arrive as a device array (the
+        # real ingestion path — encode_device output feeds add directly).
+        # The host loop above is ~100% relay upload by arithmetic:
+        # 256×768×4 B = 786 KB/add at the measured ~0.017 GB/s ≈ 44 ms,
+        # vs 46.2 measured (R4_BENCH_FINAL4). This loop times the actual
+        # scatter + view-update work.
+        t0 = time.perf_counter()
+        for r in range(1 + DELTA_REPS, 1 + 2 * DELTA_REPS):
+            rows = store.add(delta_dev[r * DELTA_ROWS:(r + 1) * DELTA_ROWS],
+                             [{"file_path": "delta.py"}] * DELTA_ROWS)
+        np.asarray(store._emb[rows[0]])
+        alt["delta_upsert_device_ms_256rows"] = round(
+            (time.perf_counter() - t0) * 1000.0 / DELTA_REPS, 1)
+        del delta_dev
         ivf_still_fresh = not store._ivf_dirty if store._ivf else None
     except Exception as exc:
         alt["delta_error"] = repr(exc)[:120]
@@ -891,10 +906,16 @@ def main() -> None:
     gc.collect()
 
     # ---- host baselines on a subsample (exact scan + IVF estimate)
-    t0 = time.perf_counter()
-    host_scores = queries @ host_corpus.T
-    np.argpartition(-host_scores, min(K, sub - 1), axis=1)
-    host_sub_s = time.perf_counter() - t0
+    # best-of-3: a single rep on this 1-core box swings ~7x under
+    # contention (host_exact_qps_scaled 2.03 vs 15.15, FINAL3 vs FINAL4)
+    # and vs_baseline swings with it; min-time biases the baseline FAST,
+    # the conservative direction for the reported ratio.
+    host_sub_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        host_scores = queries @ host_corpus.T
+        np.argpartition(-host_scores, min(K, sub - 1), axis=1)
+        host_sub_s = min(host_sub_s, time.perf_counter() - t0)
     host_qps = BATCH / (host_sub_s * (N_ROWS / sub))
     try:
         host_ivf_qps = _host_ivf_estimate(host_corpus, queries, N_ROWS, K)
