@@ -615,6 +615,8 @@ def main() -> None:
                 best_f = min(best_f, time.perf_counter() - t0f)
         alt["frontend_concurrent64_ms_per_q"] = round(best_f / 64 * 1e3, 2)
         alt["frontend_mean_batch"] = round(fe.stats.mean_batch, 1)
+        del fe  # close() dropped its store ref; drop the object too so
+        # nothing pins the 1M store past this section's `del store`
     except Exception as exc:
         alt["frontend_error"] = repr(exc)[:120]
 

@@ -345,6 +345,31 @@ def run_watch(args: argparse.Namespace, settings: Settings) -> int:
     return asyncio.run(watch_repository(repo_path, settings))
 
 
+def run_serve(args: argparse.Namespace, settings: Settings) -> int:
+    """HTTP serving over the loaded index: concurrent requests coalesce
+    into batched device executions (`serving/http.py`). The reference
+    has no app-level network surface (its only servers are the backing
+    databases); this is the TPU deployment shape — many clients, one
+    chip, one micro-batching frontend."""
+    from lattice_tpu.serving.http import ServingHTTPServer
+    repo_path = Path(args.path).resolve()
+    engine, _ = _load_engine(repo_path, settings)
+    server = ServingHTTPServer(
+        engine.indexer.code, engine.vector_searcher.embedder.embed,
+        engine=engine, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    host, port = server.address
+    print(f"serving {len(engine.indexer.code)} chunks on "
+          f"http://{host}:{port} (POST /v1/search, /v1/query; "
+          f"GET /healthz, /v1/stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.shutdown()
+    return 0
+
+
 # ---- entry --------------------------------------------------------------
 
 
@@ -413,6 +438,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("mcp", help="run the MCP stdio server")
     p.add_argument("--path", default=".")
+
+    p = sub.add_parser("serve", help="HTTP serving: concurrent clients "
+                                     "coalesce into batched device calls")
+    p.add_argument("--path", default=".")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8463)
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--max-wait-ms", type=float, default=2.0)
     return parser
 
 
@@ -508,6 +541,7 @@ def main(argv: list[str] | None = None) -> int:
         "metadata": run_metadata,
         "train": run_train,
         "watch": run_watch,
+        "serve": run_serve,
     }
     from lattice_tpu.core.errors import LatticeError
     try:

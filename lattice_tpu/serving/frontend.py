@@ -129,6 +129,20 @@ class BatchingFrontend:
         self._closed = True
         self._queue.put(None)  # wake + stop sentinel
         self._worker.join(timeout=timeout)
+        # a submit() racing close() can pass the closed-check yet enqueue
+        # after the worker exits; fail those futures instead of hanging
+        while True:
+            try:
+                it = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None and not it.future.done():
+                it.future.set_exception(RuntimeError("frontend is closed"))
+        # drop the store reference: a closed frontend must not pin the
+        # corpus (a lingering frontend object kept a 1M-row store's HBM
+        # alive through the owner's `del store` + gc.collect() and OOMed
+        # the next big allocation — R4_BENCH_FINAL8)
+        self.store = None
 
     def __enter__(self) -> "BatchingFrontend":
         return self

@@ -1,0 +1,218 @@
+"""HTTP serving surface: concurrent search over the live index.
+
+The reference's only network surfaces are its backing databases
+(docker-compose Qdrant/Memgraph); the application itself answers one
+request at a time over CLI/MCP stdio (`src/lattice/mcp/server.py:259-295`).
+A production TPU deployment wants the opposite shape: many concurrent
+clients, ONE device, requests coalesced into large executions. This
+module is that deployment shape — a stdlib `ThreadingHTTPServer` (one
+thread per in-flight request) whose search endpoints all submit to a
+shared `BatchingFrontend`, so concurrency across HTTP clients becomes
+batch size on the chip.
+
+Endpoints (JSON in / JSON out):
+- ``GET  /healthz``           -> {"ok": true, "corpus": N}
+- ``GET  /v1/stats``          -> frontend + store counters
+- ``POST /v1/search``         {"query": str, "k"?: int}  (embeds, then
+  coalesced vector search; results carry payloads)
+- ``POST /v1/search_vector``  {"vector": [f32...], "k"?: int}
+- ``POST /v1/query``          {"query": str, "limit"?: int} — the full
+  engine path (plan -> graph ∥ vector -> rank -> answer); synthesis is
+  host/LLM work and is served per-request, not batched.
+
+Zero dependencies beyond the stdlib; built for tests and co-located
+sidecar serving, not as a hardened internet-facing server (no TLS/auth —
+put it behind a real ingress for that).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from lattice_tpu.serving.frontend import BatchingFrontend
+
+logger = logging.getLogger(__name__)
+
+MAX_BODY_BYTES = 1 << 20  # 1 MB: a 4096-dim f32 vector in JSON is ~100 KB
+
+
+class ServingHTTPServer:
+    """Owns the socket, the request threads, and the shared frontend.
+
+    Parameters
+    ----------
+    store:
+        `ChunkStore` serving the vector path.
+    embed_fn:
+        ``text -> np.ndarray[dim]`` for ``/v1/search`` (e.g.
+        ``Embedder.embed``). Optional — without it only the vector
+        endpoint works.
+    engine:
+        Optional `QueryEngine` for ``/v1/query`` (full answer path).
+    port:
+        0 picks a free port; read it back from ``.address``.
+    """
+
+    def __init__(self, store, embed_fn=None, *, engine=None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 256, max_wait_ms: float = 2.0,
+                 default_k: int = 10):
+        self.store = store
+        self.embed_fn = embed_fn
+        self.engine = engine
+        self.default_k = int(default_k)
+        self.frontend = BatchingFrontend(store, max_batch=max_batch,
+                                         max_wait_ms=max_wait_ms)
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.daemon_threads = True
+        self._httpd.app = self  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    # ---- lifecycle -------------------------------------------------------
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> "ServingHTTPServer":
+        """Serve on a background thread; returns self for chaining."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True,
+                                        name="lattice-serving-http")
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.frontend.close()
+
+    def __enter__(self) -> "ServingHTTPServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+    # ---- endpoint logic (handler threads call these) ---------------------
+
+    def handle(self, method: str, path: str, body: dict) -> tuple[int, dict]:
+        if method == "GET" and path == "/healthz":
+            return 200, {"ok": True, "corpus": len(self.store)}
+        if method == "GET" and path == "/v1/stats":
+            st = self.frontend.stats
+            return 200, {
+                "queries": st.queries, "batches": st.batches,
+                "mean_batch": round(st.mean_batch, 2),
+                "padded_rows": st.padded_rows, "errors": st.errors,
+                "corpus": len(self.store),
+            }
+        if method == "POST" and path == "/v1/search":
+            if self.embed_fn is None:
+                return 501, {"error": "no embedder configured"}
+            text = body.get("query")
+            if not isinstance(text, str) or not text.strip():
+                return 400, {"error": "missing 'query' string"}
+            vec = np.asarray(self.embed_fn(text), dtype=np.float32)
+            return self._vector_search(vec, body)
+        if method == "POST" and path == "/v1/search_vector":
+            raw = body.get("vector")
+            if not isinstance(raw, list) or not raw:
+                return 400, {"error": "missing 'vector' list"}
+            return self._vector_search(
+                np.asarray(raw, dtype=np.float32), body)
+        if method == "POST" and path == "/v1/query":
+            if self.engine is None:
+                return 501, {"error": "no engine configured"}
+            text = body.get("query")
+            if not isinstance(text, str) or not text.strip():
+                return 400, {"error": "missing 'query' string"}
+            res = self.engine.query_sync(text, body.get("limit"))
+            return 200, {
+                "answer": res.answer,
+                "results": [{
+                    "name": r.qualified_name, "kind": r.entity_type,
+                    "file_path": r.file_path, "line": r.start_line,
+                    "score": round(r.score, 4),
+                } for r in res.results],
+                "phase_times_ms": res.phase_times_ms,
+            }
+        return 404, {"error": f"no route {method} {path}"}
+
+    def _vector_search(self, vec: np.ndarray,
+                       body: dict) -> tuple[int, dict]:
+        k = body.get("k", self.default_k)
+        if not isinstance(k, int) or k < 1 or k > 1000:
+            return 400, {"error": "k must be an int in [1, 1000]"}
+        if vec.ndim != 1 or vec.shape[0] != self.store.dim:
+            return 400, {"error": f"vector must be [{self.store.dim}]"}
+        try:
+            scores, ids = self.frontend.submit(vec, k).result(timeout=300)
+        except Exception as exc:  # noqa: BLE001 — surface as a 500
+            logger.exception("search failed")
+            return 500, {"error": repr(exc)[:200]}
+        hits = []
+        for s, r in zip(scores.tolist(), ids.tolist()):
+            if r < 0:
+                continue  # k > live rows: kernel pads with -1
+            payload = self.store.payload(int(r)) or {}
+            hits.append({"row": int(r), "score": round(float(s), 4),
+                         "payload": payload})
+        return 200, {"hits": hits}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # one instance per request, on the request's own thread
+    protocol_version = "HTTP/1.1"
+
+    def _app(self) -> ServingHTTPServer:
+        return self.server.app  # type: ignore[attr-defined]
+
+    def _respond(self, status: int, payload: dict) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
+        try:
+            status, payload = self._app().handle("GET", self.path, {})
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("GET %s failed", self.path)
+            status, payload = 500, {"error": repr(exc)[:200]}
+        self._respond(status, payload)
+
+    def do_POST(self) -> None:  # noqa: N802
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+            if length > MAX_BODY_BYTES:
+                self._respond(413, {"error": "body too large"})
+                return
+            raw = self.rfile.read(length) if length else b"{}"
+            try:
+                body = json.loads(raw or b"{}")
+            except json.JSONDecodeError:
+                self._respond(400, {"error": "invalid JSON body"})
+                return
+            if not isinstance(body, dict):
+                self._respond(400, {"error": "body must be a JSON object"})
+                return
+            status, payload = self._app().handle("POST", self.path, body)
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("POST %s failed", self.path)
+            status, payload = 500, {"error": repr(exc)[:200]}
+        self._respond(status, payload)
+
+    def log_message(self, fmt: str, *args) -> None:  # quiet by default
+        logger.debug("http: " + fmt, *args)

@@ -152,3 +152,12 @@ class TestLifecycleAndErrors:
         with pytest.raises(RuntimeError, match="closed"):
             fe.submit(_queries(1)[0], k=3).result(timeout=5)
         fe.close()  # idempotent
+
+    def test_close_releases_store_reference(self, store):
+        """A closed frontend must not pin the corpus: a lingering
+        frontend object kept a 1M-row store's HBM alive through the
+        owner's del + gc.collect() (R4_BENCH_FINAL8 OOM)."""
+        fe = BatchingFrontend(store, max_wait_ms=10, method="flat")
+        fe.search(_queries(1, seed=9)[0], k=3)
+        fe.close()
+        assert fe.store is None

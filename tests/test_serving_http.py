@@ -1,0 +1,174 @@
+"""HTTP serving surface: routes, coalescing across request threads,
+error codes, lifecycle. Drives a real ThreadingHTTPServer on localhost
+with the real ChunkStore + hash embedder (offline default)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lattice_tpu.index.chunk_store import ChunkStore
+from lattice_tpu.ops import topk as topk_ops
+from lattice_tpu.providers.hash_provider import HashEmbedder
+from lattice_tpu.serving.http import ServingHTTPServer
+
+D = 64
+TEXTS = [f"def handler_{i}(request): return process_{i}(request)"
+         for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def server():
+    embedder = HashEmbedder(dimensions=D)
+    vecs = np.asarray([embedder.embed(t) for t in TEXTS], dtype=np.float32)
+    vecs = topk_ops.l2_normalize(vecs)
+    store = ChunkStore(dim=D)
+    store.add(vecs, [{"file_path": f"f{i}.py", "name": f"handler_{i}"}
+                     for i in range(len(TEXTS))])
+    with ServingHTTPServer(store, embedder.embed,
+                           max_wait_ms=30) as srv:
+        yield srv
+
+
+def _url(server, path):
+    host, port = server.address
+    return f"http://{host}:{port}{path}"
+
+
+def _get(server, path):
+    with urllib.request.urlopen(_url(server, path), timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        _url(server, path), data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestRoutes:
+    def test_healthz(self, server):
+        status, body = _get(server, "/healthz")
+        assert status == 200 and body["ok"] and body["corpus"] == 40
+
+    def test_text_search_finds_itself(self, server):
+        status, body = _post(server, "/v1/search",
+                             {"query": TEXTS[7], "k": 3})
+        assert status == 200
+        hits = body["hits"]
+        assert len(hits) == 3
+        assert hits[0]["payload"]["name"] == "handler_7"
+        assert hits[0]["score"] > hits[-1]["score"] - 1e-6
+
+    def test_vector_search(self, server):
+        emb = HashEmbedder(dimensions=D)
+        v = np.asarray(emb.embed(TEXTS[3]), dtype=np.float32)
+        v /= np.linalg.norm(v)
+        status, body = _post(server, "/v1/search_vector",
+                             {"vector": v.tolist(), "k": 2})
+        assert status == 200
+        assert body["hits"][0]["payload"]["name"] == "handler_3"
+
+    def test_stats_reflect_traffic(self, server):
+        status, body = _get(server, "/v1/stats")
+        assert status == 200
+        assert body["queries"] >= 1 and body["batches"] >= 1
+        assert body["corpus"] == 40
+
+    def test_concurrent_requests_coalesce(self, server):
+        before = server.frontend.stats.batches
+        results = [None] * 12
+        emb = HashEmbedder(dimensions=D)
+
+        def hit(i):
+            results[i] = _post(server, "/v1/search",
+                               {"query": TEXTS[i], "k": 1})
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(r[0] == 200 for r in results)
+        for i, (_, body) in enumerate(results):
+            assert body["hits"][0]["payload"]["name"] == f"handler_{i}"
+        # 12 concurrent requests must not take 12 device calls
+        assert server.frontend.stats.batches - before < 12
+
+
+class TestErrors:
+    def test_unknown_route_404(self, server):
+        status, body = _post(server, "/v1/nope", {})
+        assert status == 404
+
+    def test_bad_json_400(self, server):
+        req = urllib.request.Request(
+            _url(server, "/v1/search"), data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
+    def test_missing_query_400(self, server):
+        status, _ = _post(server, "/v1/search", {"k": 3})
+        assert status == 400
+
+    def test_wrong_dim_400(self, server):
+        status, body = _post(server, "/v1/search_vector",
+                             {"vector": [1.0] * (D + 5)})
+        assert status == 400 and "vector must be" in body["error"]
+
+    def test_bad_k_400(self, server):
+        status, _ = _post(server, "/v1/search",
+                          {"query": "x", "k": 0})
+        assert status == 400
+
+    def test_query_without_engine_501(self, server):
+        status, body = _post(server, "/v1/query", {"query": "who?"})
+        assert status == 501
+
+
+class TestFullEnginePath:
+    def test_query_endpoint_with_engine(self, tmp_path):
+        # index the tiny corpus through the real pipeline pieces
+        from lattice_tpu.embeddings.embedder import Embedder
+        from lattice_tpu.embeddings.indexer import VectorIndexer
+        from lattice_tpu.index.graph_store import GraphStore
+        from lattice_tpu.providers.hash_provider import (
+            HashEmbeddingProvider,
+        )
+        from lattice_tpu.query.engine import QueryEngine
+
+        from lattice_tpu.providers.base import ProviderConfig
+        embedder = Embedder(HashEmbeddingProvider(
+            ProviderConfig(name="hash", dimensions=D)))
+        indexer = VectorIndexer(embedder)
+        graph = GraphStore()
+        graph.finalize()
+        for i, t in enumerate(TEXTS[:8]):
+            v = np.asarray(embedder.embed(t), dtype=np.float32)
+            v /= np.linalg.norm(v)
+            indexer.code.add(v[None, :], [{
+                "file_path": f"f{i}.py", "name": f"handler_{i}",
+                "qualified_name": f"mod.handler_{i}", "node_type": "function",
+                "start_line": 1, "end_line": 2, "content": t,
+            }])
+        engine = QueryEngine(graph, indexer)
+        with ServingHTTPServer(indexer.code, embedder.embed,
+                               engine=engine, max_wait_ms=10) as srv:
+            status, body = _post(srv, "/v1/query",
+                                 {"query": "what does handler_3 do?"})
+        assert status == 200
+        assert "results" in body and "answer" in body
+        assert isinstance(body["phase_times_ms"], dict)
