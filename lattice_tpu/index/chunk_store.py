@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import threading
 from typing import Any, Sequence
 
 import jax
@@ -161,6 +162,12 @@ class ChunkStore:
         self._next = 0
         self._inverted: dict[str, dict[Any, set[int]]] = {f: {} for f in INDEXED_FIELDS}
         self._device_put = device_put
+        # serializes the lazy check-then-build of serving views (IVF /
+        # int8 / int4) and the plan cache: the HTTP serving surface
+        # drives searches from many threads (serving/http.py), and two
+        # threads racing a multi-second device build would both run it
+        # and interleave the dirty-flag mutations
+        self._serve_lock = threading.RLock()
         self._ivf = None           # lazily built IVF partition (ops/ivf.py)
         self._ivf_dirty = True
         self._ivf_mutations = 0    # rows churned since last build
@@ -739,10 +746,11 @@ class ChunkStore:
 
     def _quant_view(self):
         from lattice_tpu.ops.quant import QuantizedView
-        if self._quant is None or self._quant_dirty:
-            self._quant = QuantizedView(self._emb)  # device-side quantization
-            self._quant_dirty = False
-        return self._quant
+        with self._serve_lock:
+            if self._quant is None or self._quant_dirty:
+                self._quant = QuantizedView(self._emb)  # device quantization
+                self._quant_dirty = False
+            return self._quant
 
     def _search_view_two_stage(self, view, query_vectors: np.ndarray, k: int,
                                rescore: bool,
@@ -795,10 +803,11 @@ class ChunkStore:
 
     def _int4_view(self):
         from lattice_tpu.ops.quant import Int4View
-        if self._int4 is None or self._int4_dirty:
-            self._int4 = Int4View(self._emb)   # device-side quantization
-            self._int4_dirty = False
-        return self._int4
+        with self._serve_lock:
+            if self._int4 is None or self._int4_dirty:
+                self._int4 = Int4View(self._emb)   # device quantization
+                self._int4_dirty = False
+            return self._int4
 
     def search_int4(self, query_vectors: np.ndarray, k: int,
                     rescore: bool = True,
@@ -918,6 +927,12 @@ class ChunkStore:
     def _plan_search(self, batch: int, k_eff: int,
                      filters: dict[str, Any] | None,
                      method: str) -> str:
+        with self._serve_lock:
+            return self._plan_search_impl(batch, k_eff, filters, method)
+
+    def _plan_search_impl(self, batch: int, k_eff: int,
+                          filters: dict[str, Any] | None,
+                          method: str) -> str:
         """The dispatch decision table (VERDICT r1 #1). Returns one of
         "sharded" | "ivf" | "pq" | "quantized" | "pallas" | "flat".
 
@@ -1130,8 +1145,9 @@ class ChunkStore:
             # rather than launder the refusal into an oversized kernel
         queries = _normalize_queries(raw)
         if plan == "ivf":
-            if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
-                self.build_ivf()
+            with self._serve_lock:
+                if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
+                    self.build_ivf()
             return self._ivf.search_device(queries, k_eff,
                                            nprobe=IVF_AUTO_NPROBE, mask=mask)
         if plan == "pq":

@@ -23,13 +23,17 @@ batch chunking (`query/engine.py` DEEP_BATCH_CHUNK).
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -41,7 +45,8 @@ class FrontendStats:
     batches: int = 0
     padded_rows: int = 0
     errors: int = 0
-    batch_sizes: list[int] = field(default_factory=list)
+    # bounded: a long-lived server dispatches millions of batches
+    batch_sizes: deque = field(default_factory=lambda: deque(maxlen=1024))
 
     @property
     def mean_batch(self) -> float:
@@ -92,6 +97,10 @@ class BatchingFrontend:
         self.stats = FrontendStats()
         self._queue: queue.Queue[_Item | None] = queue.Queue()
         self._closed = False
+        # makes the closed-check + enqueue atomic against close(): without
+        # it a submit racing close() could enqueue after the worker exits
+        # and hang its future forever
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="lattice-serving-frontend")
         self._worker.start()
@@ -102,11 +111,8 @@ class BatchingFrontend:
         """Enqueue one query vector; resolves to (scores, ids) numpy
         arrays of length k (ids -1-padded when the corpus is smaller)."""
         fut: Future = Future()
-        if self._closed:
-            fut.set_exception(RuntimeError("frontend is closed"))
-            return fut
         v = np.asarray(vec, dtype=np.float32).reshape(-1)
-        dim = getattr(self.store, "dim", v.shape[0])
+        dim = getattr(self.store, "dim", None) or v.shape[0]
         if v.shape[0] != dim:
             fut.set_exception(ValueError(
                 f"dim mismatch: got {v.shape[0]}, store is {dim}"))
@@ -114,7 +120,11 @@ class BatchingFrontend:
         if k < 1:
             fut.set_exception(ValueError("k must be >= 1"))
             return fut
-        self._queue.put(_Item(v, int(k), fut))
+        with self._submit_lock:
+            if self._closed:
+                fut.set_exception(RuntimeError("frontend is closed"))
+                return fut
+            self._queue.put(_Item(v, int(k), fut))
         return fut
 
     def search(self, vec: np.ndarray, k: int = 10):
@@ -124,10 +134,11 @@ class BatchingFrontend:
     def close(self, timeout: float | None = 5.0) -> None:
         """Stop the worker after draining already-submitted queries.
         Idempotent; later `submit()` calls resolve to an error."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # wake + stop sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # wake + stop sentinel
         self._worker.join(timeout=timeout)
         # a submit() racing close() can pass the closed-check yet enqueue
         # after the worker exits; fail those futures instead of hanging
@@ -178,6 +189,16 @@ class BatchingFrontend:
         return batch
 
     def _dispatch(self, batch: list[_Item]) -> None:
+        # claim each future first: after set_running_or_notify_cancel()
+        # returns True, fut.cancel() can no longer succeed, so the
+        # set_result/set_exception below cannot raise InvalidStateError
+        # (a cancel() landing between a cancelled() check and set_result
+        # would otherwise kill the worker thread and hang every later
+        # submit)
+        batch = [it for it in batch
+                 if it.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         n = len(batch)
         k_max = max(it.k for it in batch)
         bucket = self._bucket(n, self.max_batch)
@@ -191,19 +212,24 @@ class BatchingFrontend:
                 q, k_max, filters=self.filters, method=self.method)
             scores = np.asarray(scores, dtype=np.float32)
             ids = np.asarray(ids)
+            if ids.shape[1] < k_max:
+                # the kernel clamps k to the store capacity; keep the
+                # documented contract (length-k, -1-padded)
+                pad = k_max - ids.shape[1]
+                ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                scores = np.pad(scores, ((0, 0), (0, pad)),
+                                constant_values=-np.inf)
         except Exception as exc:        # noqa: BLE001 — fan the failure out
             self.stats.errors += 1
             for it in batch:
-                if not it.future.cancelled():
-                    it.future.set_exception(exc)
+                it.future.set_exception(exc)
             return
         self.stats.batches += 1
         self.stats.queries += n
         self.stats.padded_rows += bucket - n
         self.stats.batch_sizes.append(n)
         for i, it in enumerate(batch):
-            if not it.future.cancelled():
-                it.future.set_result((scores[i, :it.k], ids[i, :it.k]))
+            it.future.set_result((scores[i, :it.k], ids[i, :it.k]))
 
     def _run(self) -> None:
         while True:
@@ -218,7 +244,10 @@ class BatchingFrontend:
                         break
                     if it is not None:
                         leftovers.append(it)
-                if leftovers:
-                    self._dispatch(leftovers)
+                for i in range(0, len(leftovers), self.max_batch):
+                    self._dispatch(leftovers[i:i + self.max_batch])
                 return
-            self._dispatch(self._drain(item))
+            try:
+                self._dispatch(self._drain(item))
+            except Exception:  # noqa: BLE001 — the worker must survive
+                logger.exception("frontend dispatch failed")

@@ -96,6 +96,14 @@ class ServingHTTPServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
         self.frontend.close()
+        # break the server<->handler cycle and drop the corpus refs: a
+        # lingering server object must not pin the store's HBM past the
+        # owner's del (the exact OOM mode frontend.close() guards —
+        # R4_BENCH_FINAL8)
+        self._httpd.app = None  # type: ignore[attr-defined]
+        self.store = None
+        self.engine = None
+        self.embed_fn = None
 
     def __enter__(self) -> "ServingHTTPServer":
         return self.start()
@@ -136,7 +144,11 @@ class ServingHTTPServer:
             text = body.get("query")
             if not isinstance(text, str) or not text.strip():
                 return 400, {"error": "missing 'query' string"}
-            res = self.engine.query_sync(text, body.get("limit"))
+            limit = body.get("limit")
+            if limit is not None and (
+                    not isinstance(limit, int) or not 1 <= limit <= 1000):
+                return 400, {"error": "limit must be an int in [1, 1000]"}
+            res = self.engine.query_sync(text, limit)
             return 200, {
                 "answer": res.answer,
                 "results": [{
@@ -197,6 +209,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length") or 0)
             if length > MAX_BODY_BYTES:
+                # the unread body would desync this keep-alive stream;
+                # drop the connection after responding
+                self.close_connection = True
                 self._respond(413, {"error": "body too large"})
                 return
             raw = self.rfile.read(length) if length else b"{}"

@@ -68,7 +68,7 @@ class TestCoalescing:
             # a 10 s max_wait must NOT gate a full batch
             assert time.monotonic() - t0 < 8.0
         assert fe.stats.batches == 2
-        assert fe.stats.batch_sizes == [8, 8]
+        assert list(fe.stats.batch_sizes) == [8, 8]
 
     def test_mixed_k_per_query(self, store):
         qs = _queries(3, seed=3)
@@ -152,6 +152,27 @@ class TestLifecycleAndErrors:
         with pytest.raises(RuntimeError, match="closed"):
             fe.submit(_queries(1)[0], k=3).result(timeout=5)
         fe.close()  # idempotent
+
+    def test_cancelled_future_does_not_kill_worker(self, store):
+        """A future cancelled before dispatch must be skipped, not crash
+        the worker with InvalidStateError (which would hang every later
+        submit)."""
+        with BatchingFrontend(store, max_wait_ms=150, method="flat") as fe:
+            f1 = fe.submit(_queries(1, seed=10)[0], k=3)
+            f1.cancel()  # races the worker's claim; either is fine
+            f2 = fe.submit(_queries(1, seed=11)[0], k=3)
+            scores, ids = f2.result(timeout=30)
+            assert ids.shape == (3,)
+        assert f1.cancelled() or f1.done()
+
+    def test_k_beyond_capacity_pads_to_contract(self, store):
+        """search_device clamps k to capacity; the frontend must keep
+        its documented length-k, -1-padded contract."""
+        big_k = store._cap + 7
+        with BatchingFrontend(store, max_wait_ms=20, method="flat") as fe:
+            scores, ids = fe.search(_queries(1, seed=12)[0], k=big_k)
+        assert ids.shape == (big_k,) and scores.shape == (big_k,)
+        assert (ids[-7:] == -1).all()
 
     def test_close_releases_store_reference(self, store):
         """A closed frontend must not pin the corpus: a lingering
