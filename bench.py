@@ -345,11 +345,15 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
         np.asarray(rows)
 
     batch_query()
-    t0 = time.perf_counter()
-    for _ in range(4):
-        batch_query()
+    best_hb = float("inf")
+    for _ in range(2):  # best-of-2 windows (queue transients: this key
+        # read 5.2-21.6 ms across identical-code runs)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            batch_query()
+        best_hb = min(best_hb, time.perf_counter() - t0)
     alt["hybrid_batch16_amortized_ms"] = round(
-        (time.perf_counter() - t0) * 1000.0 / (4 * QB), 2)
+        best_hb * 1000.0 / (4 * QB), 2)
 
     # the device fuse's own cost (graph evidence precomputed)
     f_ids, f_d = graph._host_bfs([7], EdgeType.CALLS, 5)
@@ -376,13 +380,16 @@ def _bench_hybrid(alt: dict, graph, store, queries_f32) -> None:
     alt["hybrid_fuse_ms"] = round(_p50(times), 2)
     # pipelined: the device's actual fuse service time (the sequential
     # number above is dominated by the relay round trip)
-    t0 = time.perf_counter()
-    for _ in range(12):
-        _, rows = fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree, vec,
-                                         match, quality, weights, 50)
-    np.asarray(rows)
-    alt["hybrid_fuse_amortized_ms"] = round(
-        (time.perf_counter() - t0) * 1000.0 / 12, 2)
+    best_hf = float("inf")
+    for _ in range(2):  # best-of-2 windows (queue transients)
+        t0 = time.perf_counter()
+        for _ in range(12):
+            _, rows = fused_rank_rows_sparse(ids_d, dep_d, rel_d, degree,
+                                             vec, match, quality, weights,
+                                             50)
+        np.asarray(rows)
+        best_hf = min(best_hf, time.perf_counter() - t0)
+    alt["hybrid_fuse_amortized_ms"] = round(best_hf * 1000.0 / 12, 2)
 
 
 def _host_ivf_estimate(host_corpus: np.ndarray, queries: np.ndarray,
