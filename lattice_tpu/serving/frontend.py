@@ -47,19 +47,29 @@ class FrontendStats:
     errors: int = 0
     # bounded: a long-lived server dispatches millions of batches
     batch_sizes: deque = field(default_factory=lambda: deque(maxlen=1024))
+    # submit->result wall clock of recent queries, milliseconds
+    latencies_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
 
     @property
     def mean_batch(self) -> float:
         return (self.queries / self.batches) if self.batches else 0.0
 
+    def latency_percentile(self, pct: float) -> float | None:
+        """p50/p95/... over the recent-latency window, or None before
+        any traffic."""
+        if not self.latencies_ms:
+            return None
+        return float(np.percentile(np.asarray(self.latencies_ms), pct))
+
 
 class _Item:
-    __slots__ = ("vec", "k", "future")
+    __slots__ = ("vec", "k", "future", "t_submit")
 
     def __init__(self, vec: np.ndarray, k: int, future: Future):
         self.vec = vec
         self.k = k
         self.future = future
+        self.t_submit = time.monotonic()
 
 
 class BatchingFrontend:
@@ -228,7 +238,9 @@ class BatchingFrontend:
         self.stats.queries += n
         self.stats.padded_rows += bucket - n
         self.stats.batch_sizes.append(n)
+        t_done = time.monotonic()
         for i, it in enumerate(batch):
+            self.stats.latencies_ms.append((t_done - it.t_submit) * 1e3)
             it.future.set_result((scores[i, :it.k], ids[i, :it.k]))
 
     def _run(self) -> None:

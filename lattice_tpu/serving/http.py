@@ -118,10 +118,14 @@ class ServingHTTPServer:
             return 200, {"ok": True, "corpus": len(self.store)}
         if method == "GET" and path == "/v1/stats":
             st = self.frontend.stats
+            p50 = st.latency_percentile(50)
+            p95 = st.latency_percentile(95)
             return 200, {
                 "queries": st.queries, "batches": st.batches,
                 "mean_batch": round(st.mean_batch, 2),
                 "padded_rows": st.padded_rows, "errors": st.errors,
+                "latency_p50_ms": round(p50, 2) if p50 is not None else None,
+                "latency_p95_ms": round(p95, 2) if p95 is not None else None,
                 "corpus": len(self.store),
             }
         if method == "POST" and path == "/v1/search":

@@ -153,6 +153,16 @@ class TestLifecycleAndErrors:
             fe.submit(_queries(1)[0], k=3).result(timeout=5)
         fe.close()  # idempotent
 
+    def test_latency_percentiles_populate(self, store):
+        with BatchingFrontend(store, max_wait_ms=20, method="flat") as fe:
+            assert fe.stats.latency_percentile(50) is None
+            for q in _queries(6, seed=13):
+                fe.search(q, k=3)
+        p50, p95 = (fe.stats.latency_percentile(50),
+                    fe.stats.latency_percentile(95))
+        assert p50 is not None and p95 is not None and p95 >= p50 > 0
+        assert len(fe.stats.latencies_ms) == 6
+
     def test_cancelled_future_does_not_kill_worker(self, store):
         """A future cancelled before dispatch must be skipped, not crash
         the worker with InvalidStateError (which would hang every later
@@ -173,6 +183,40 @@ class TestLifecycleAndErrors:
             scores, ids = fe.search(_queries(1, seed=12)[0], k=big_k)
         assert ids.shape == (big_k,) and scores.shape == (big_k,)
         assert (ids[-7:] == -1).all()
+
+    def test_stress_submit_racing_close_never_hangs(self, store):
+        """Submitters racing close(): every future must terminate — with
+        a result or a frontend-closed error — never hang (the pre-fix
+        race stranded futures enqueued behind the stop sentinel)."""
+        fe = BatchingFrontend(store, max_wait_ms=5, method="flat")
+        qs = _queries(8, seed=14)
+        futs: list = []
+        stop = threading.Event()
+
+        def submitter():
+            i = 0
+            while not stop.is_set():
+                futs.append(fe.submit(qs[i % 8], k=2))
+                i += 1
+
+        threads = [threading.Thread(target=submitter) for _ in range(3)]
+        for t in threads:
+            t.start()
+        time.sleep(0.15)
+        fe.close()
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert futs
+        served = 0
+        for f in futs:
+            try:
+                scores, ids = f.result(timeout=10)
+                assert ids.shape == (2,)
+                served += 1
+            except RuntimeError as exc:
+                assert "closed" in str(exc)
+        assert served > 0  # traffic before close was actually served
 
     def test_close_releases_store_reference(self, store):
         """A closed frontend must not pin the corpus: a lingering
