@@ -288,44 +288,61 @@ class ChunkStore:
         else:
             normed = topk_ops.l2_normalize(vectors)
             normed_dev = jnp.asarray(normed.astype(np.float32))
-        top = max(rows)
-        kept = {"emb": self._emb, "valid": self._valid}
-        donated: dict[str, jax.Array] = {}
-        fuse_q = (self._quant is not None and not self._quant_dirty
-                  and top < self._quant.n)
-        if fuse_q:
-            donated.update(q_values=self._quant.values,
-                           q_scales=self._quant.scales,
-                           q_col=self._quant._scales_col)
-        fuse_i4 = (self._int4 is not None and not self._int4_dirty
-                   and top < self._int4.n)
-        if fuse_i4:
-            donated.update(i4_values=self._int4.values,
-                           i4_scales=self._int4.scales,
-                           i4_col=self._int4._scales_col)
-        out_k, out_d = _fused_delta(kept, donated, idx, normed_dev)
-        self._emb, self._valid = out_k["emb"], out_k["valid"]
-        if fuse_q:
-            self._quant.values = out_d["q_values"]
-            self._quant.scales = out_d["q_scales"]
-            self._quant._scales_col = pallas_ops.relayout_col(out_d["q_col"])
-        if fuse_i4:
-            self._int4.values = out_d["i4_values"]
-            self._int4.scales = out_d["i4_scales"]
-            self._int4._scales_col = pallas_ops.relayout_col(out_d["i4_col"])
-        for row, payload in zip(rows, payloads):
-            self._valid_host[row] = True
-            self._payloads[row] = dict(payload)
-            _index_payload(self._inverted, row, payload)
-        self._size += n
-        self._mutate_views(rows, normed_dev, quant_done=fuse_q,
-                           int4_done=fuse_i4)
+        # under the serve lock: a builder thread snapshotting _emb must
+        # not interleave with this read-modify-write of the view shadows
+        # (a build finishing after a concurrent add would stamp
+        # dirty=False over the add's dirty=True and the rows would be
+        # silently absent from the served view until 20% churn)
+        with self._serve_lock:
+            top = max(rows)
+            kept = {"emb": self._emb, "valid": self._valid}
+            donated: dict[str, jax.Array] = {}
+            fuse_q = (self._quant is not None and not self._quant_dirty
+                      and top < self._quant.n)
+            if fuse_q:
+                donated.update(q_values=self._quant.values,
+                               q_scales=self._quant.scales,
+                               q_col=self._quant._scales_col)
+            fuse_i4 = (self._int4 is not None and not self._int4_dirty
+                       and top < self._int4.n)
+            if fuse_i4:
+                donated.update(i4_values=self._int4.values,
+                               i4_scales=self._int4.scales,
+                               i4_col=self._int4._scales_col)
+            out_k, out_d = _fused_delta(kept, donated, idx, normed_dev)
+            self._emb, self._valid = out_k["emb"], out_k["valid"]
+            if fuse_q:
+                self._quant.values = out_d["q_values"]
+                self._quant.scales = out_d["q_scales"]
+                self._quant._scales_col = pallas_ops.relayout_col(
+                    out_d["q_col"])
+            if fuse_i4:
+                self._int4.values = out_d["i4_values"]
+                self._int4.scales = out_d["i4_scales"]
+                self._int4._scales_col = pallas_ops.relayout_col(
+                    out_d["i4_col"])
+            for row, payload in zip(rows, payloads):
+                self._valid_host[row] = True
+                self._payloads[row] = dict(payload)
+                _index_payload(self._inverted, row, payload)
+            self._size += n
+            self._mutate_views(rows, normed_dev, quant_done=fuse_q,
+                               int4_done=fuse_i4)
         return rows
 
     def _mutate_views(self, rows: list[int],
                       normed_dev: jax.Array | None,
                       quant_done: bool = False,
                       int4_done: bool = False) -> None:
+        with self._serve_lock:  # RLock: add() already holds it; remove/
+            # delete paths enter here directly
+            return self._mutate_views_impl(rows, normed_dev, quant_done,
+                                           int4_done)
+
+    def _mutate_views_impl(self, rows: list[int],
+                           normed_dev: jax.Array | None,
+                           quant_done: bool = False,
+                           int4_done: bool = False) -> None:
         """O(delta) maintenance of the IVF/int8 serving views.
 
         `normed_dev` is the new normalized rows for inserts, None for
@@ -506,6 +523,8 @@ class ChunkStore:
     def _reset_views(self) -> None:
         """Drop every derived serving view (IVF/quant/sharded/rank
         columns); the next search rebuilds lazily."""
+        self._serve_lock.acquire()  # paired release below; a builder
+        # mid-flight must finish before the views it builds are dropped
         self._ivf = None
         self._ivf_dirty = True
         self._ivf_mutations = 0
@@ -523,6 +542,7 @@ class ChunkStore:
         self._rank_cols = None
         self._rank_cols_dirty = True
         self._sharded_rank = None
+        self._serve_lock.release()
 
     def clear(self) -> None:
         self._valid = jnp.zeros((self._cap,), dtype=bool)
@@ -553,6 +573,11 @@ class ChunkStore:
 
         graph._ensure_final()
         gen = getattr(graph, "generation", 0)
+        with self._serve_lock:
+            return self._rank_cols_locked(graph, gen)
+
+    def _rank_cols_locked(self, graph, gen: int) -> "RankColumns":
+        from lattice_tpu.core.types import EdgeType
         cached = self._rank_cols
         if (cached is None or self._rank_cols_dirty
                 or cached.generation != gen):
@@ -661,11 +686,13 @@ class ChunkStore:
         the bucket id table as a row mask (filtered rows score -inf)."""
         if self._size == 0:
             return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
-        if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
-            self.build_ivf()
+        with self._serve_lock:
+            if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
+                self.build_ivf()
+            ivf = self._ivf
         mask = self.filter_mask(filters)
-        scores, ids = self._ivf.search(np.atleast_2d(query_vectors), k,
-                                       nprobe, mask=mask)
+        scores, ids = ivf.search(np.atleast_2d(query_vectors), k,
+                                 nprobe, mask=mask)
         out: list[list[tuple[int, float, dict[str, Any]]]] = []
         for qi in range(len(scores)):
             hits = []
@@ -738,10 +765,12 @@ class ChunkStore:
         resident, so the winners rescore exactly — PQ here buys scan
         bandwidth, not capacity, and recall returns to the storage
         ceiling (same design as QuantizedView's two-stage path)."""
-        if self._pq is None or self._pq_dirty:
-            self.build_pq()
+        with self._serve_lock:
+            if self._pq is None or self._pq_dirty:
+                self.build_pq()
+            pq = self._pq
         k1 = min(max(k_eff, 32), self._cap)
-        s1, c1 = self._pq.search_device(queries, k1, mask=mask)
+        s1, c1 = pq.search_device(queries, k1, mask=mask)
         return pallas_ops._exact_rescore(queries, self._emb, s1, c1, k_eff)
 
     def _quant_view(self):
@@ -896,16 +925,17 @@ class ChunkStore:
         """The live multi-chip view under the memory rule, (re)built only
         when dirty."""
         bits = self._sharded_quant_bits()
-        if bits < 16:
-            if (self._shardedq is None or self._shardedq_dirty
-                    or self._shardedq.bits != bits):
-                self._shardedq = self.to_sharded_quantized(bits=bits)
-                self._shardedq_dirty = False
-            return self._shardedq
-        if self._sharded is None or self._sharded_dirty:
-            self._sharded = self.to_sharded()
-            self._sharded_dirty = False
-        return self._sharded
+        with self._serve_lock:
+            if bits < 16:
+                if (self._shardedq is None or self._shardedq_dirty
+                        or self._shardedq.bits != bits):
+                    self._shardedq = self.to_sharded_quantized(bits=bits)
+                    self._shardedq_dirty = False
+                return self._shardedq
+            if self._sharded is None or self._sharded_dirty:
+                self._sharded = self.to_sharded()
+                self._sharded_dirty = False
+            return self._sharded
 
     def _valid_col(self):
         """Kernel-layout validity ([cap, 1] int8), converted once per
@@ -927,6 +957,10 @@ class ChunkStore:
     def _plan_search(self, batch: int, k_eff: int,
                      filters: dict[str, Any] | None,
                      method: str) -> str:
+        if method in ("flat", "pallas", "refined", "ivf", "pq", "quantized",
+                      "int4", "sharded"):
+            return method  # forced plans never build views here; don't
+            # stall them behind another thread's in-lock IVF build
         with self._serve_lock:
             return self._plan_search_impl(batch, k_eff, filters, method)
 
@@ -1148,8 +1182,10 @@ class ChunkStore:
             with self._serve_lock:
                 if self._ivf is None or self._ivf_dirty or self._ivf.hollow:
                     self.build_ivf()
-            return self._ivf.search_device(queries, k_eff,
-                                           nprobe=IVF_AUTO_NPROBE, mask=mask)
+                ivf = self._ivf  # capture under the lock: a concurrent
+                # compact()/clear() nulls self._ivf via _reset_views
+            return ivf.search_device(queries, k_eff,
+                                     nprobe=IVF_AUTO_NPROBE, mask=mask)
         if plan == "pq":
             return self._search_pq_device(queries, k_eff, mask)
         if plan == "refined":

@@ -150,6 +150,13 @@ class BatchingFrontend:
             self._closed = True
             self._queue.put(None)  # wake + stop sentinel
         self._worker.join(timeout=timeout)
+        if self._worker.is_alive():
+            # a large backlog can outlive the timeout; the drain is
+            # finite (the closed flag stops new submits), so wait it out
+            # rather than nulling the store under the worker's feet
+            logger.warning("frontend still draining after %.1fs; waiting",
+                           timeout or 0.0)
+            self._worker.join()
         # a submit() racing close() can pass the closed-check yet enqueue
         # after the worker exits; fail those futures instead of hanging
         while True:
@@ -209,15 +216,19 @@ class BatchingFrontend:
                  if it.future.set_running_or_notify_cancel()]
         if not batch:
             return
-        n = len(batch)
-        k_max = max(it.k for it in batch)
-        bucket = self._bucket(n, self.max_batch)
-        q = np.zeros((bucket, batch[0].vec.shape[0]), dtype=np.float32)
-        for i, it in enumerate(batch):
-            q[i] = it.vec
-        if bucket > n:                  # pad rows repeat a real query so
-            q[n:] = q[0]                # normalization never sees zeros
         try:
+            # EVERYTHING from here on is guarded: the futures are claimed,
+            # so an exception anywhere (batch assembly included — e.g. a
+            # mixed-dim batch when the store exposes no `dim`) must fan
+            # out to them or their callers hang forever
+            n = len(batch)
+            k_max = max(it.k for it in batch)
+            bucket = self._bucket(n, self.max_batch)
+            q = np.zeros((bucket, batch[0].vec.shape[0]), dtype=np.float32)
+            for i, it in enumerate(batch):
+                q[i] = it.vec
+            if bucket > n:              # pad rows repeat a real query so
+                q[n:] = q[0]            # normalization never sees zeros
             scores, ids = self.store.search_device(
                 q, k_max, filters=self.filters, method=self.method)
             scores = np.asarray(scores, dtype=np.float32)
@@ -232,7 +243,8 @@ class BatchingFrontend:
         except Exception as exc:        # noqa: BLE001 — fan the failure out
             self.stats.errors += 1
             for it in batch:
-                it.future.set_exception(exc)
+                if not it.future.done():
+                    it.future.set_exception(exc)
             return
         self.stats.batches += 1
         self.stats.queries += n
@@ -257,7 +269,10 @@ class BatchingFrontend:
                     if it is not None:
                         leftovers.append(it)
                 for i in range(0, len(leftovers), self.max_batch):
-                    self._dispatch(leftovers[i:i + self.max_batch])
+                    try:
+                        self._dispatch(leftovers[i:i + self.max_batch])
+                    except Exception:  # noqa: BLE001 — drain the rest
+                        logger.exception("close-drain dispatch failed")
                 return
             try:
                 self._dispatch(self._drain(item))

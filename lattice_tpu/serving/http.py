@@ -150,7 +150,8 @@ class ServingHTTPServer:
                 return 400, {"error": "missing 'query' string"}
             limit = body.get("limit")
             if limit is not None and (
-                    not isinstance(limit, int) or not 1 <= limit <= 1000):
+                    isinstance(limit, bool) or not isinstance(limit, int)
+                    or not 1 <= limit <= 1000):
                 return 400, {"error": "limit must be an int in [1, 1000]"}
             res = self.engine.query_sync(text, limit)
             return 200, {
@@ -167,7 +168,8 @@ class ServingHTTPServer:
     def _vector_search(self, vec: np.ndarray,
                        body: dict) -> tuple[int, dict]:
         k = body.get("k", self.default_k)
-        if not isinstance(k, int) or k < 1 or k > 1000:
+        if isinstance(k, bool) or not isinstance(k, int) \
+                or k < 1 or k > 1000:
             return 400, {"error": "k must be an int in [1, 1000]"}
         if vec.ndim != 1 or vec.shape[0] != self.store.dim:
             return 400, {"error": f"vector must be [{self.store.dim}]"}
@@ -202,14 +204,24 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
+        app = self._app()
+        if app is None or app.store is None:  # shutdown mid-flight
+            self.close_connection = True
+            self._respond(503, {"error": "server is shutting down"})
+            return
         try:
-            status, payload = self._app().handle("GET", self.path, {})
+            status, payload = app.handle("GET", self.path, {})
         except Exception as exc:  # noqa: BLE001
             logger.exception("GET %s failed", self.path)
             status, payload = 500, {"error": repr(exc)[:200]}
         self._respond(status, payload)
 
     def do_POST(self) -> None:  # noqa: N802
+        app = self._app()
+        if app is None or app.store is None:  # shutdown mid-flight
+            self.close_connection = True
+            self._respond(503, {"error": "server is shutting down"})
+            return
         try:
             length = int(self.headers.get("Content-Length") or 0)
             if length > MAX_BODY_BYTES:
@@ -227,7 +239,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(body, dict):
                 self._respond(400, {"error": "body must be a JSON object"})
                 return
-            status, payload = self._app().handle("POST", self.path, body)
+            status, payload = app.handle("POST", self.path, body)
         except Exception as exc:  # noqa: BLE001
             logger.exception("POST %s failed", self.path)
             status, payload = 500, {"error": repr(exc)[:200]}
