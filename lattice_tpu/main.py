@@ -357,7 +357,8 @@ def run_serve(args: argparse.Namespace, settings: Settings) -> int:
     server = ServingHTTPServer(
         engine.indexer.code, engine.vector_searcher.embedder.embed,
         engine=engine, host=args.host, port=args.port,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue, max_configs=args.max_configs)
     host, port = server.address
     print(f"serving {len(engine.indexer.code)} chunks on "
           f"http://{host}:{port} (POST /v1/search, /v1/query; "
@@ -446,6 +447,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8463)
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="shed load (HTTP 429) past this queue depth")
+    p.add_argument("--max-configs", type=int, default=8,
+                   help="distinct (filters, method) frontends kept live")
     return parser
 
 

@@ -1,9 +1,18 @@
 """Serving-side components: dynamic micro-batching over the device store
 and the HTTP surface that exposes it to concurrent clients."""
 
-from lattice_tpu.serving.frontend import BatchingFrontend, FrontendStats
+from lattice_tpu.serving.frontend import (
+    BatchingFrontend,
+    DeadlineExceeded,
+    FrontendStats,
+    Overloaded,
+)
+from lattice_tpu.serving.router import FrontendRouter
 
-__all__ = ["BatchingFrontend", "FrontendStats", "ServingHTTPServer"]
+__all__ = [
+    "BatchingFrontend", "FrontendStats", "FrontendRouter",
+    "DeadlineExceeded", "Overloaded", "ServingHTTPServer",
+]
 
 
 def __getattr__(name):

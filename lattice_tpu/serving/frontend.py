@@ -36,6 +36,20 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class DeadlineExceeded(RuntimeError):
+    """The request's deadline passed before the worker dispatched it."""
+
+
+class Overloaded(RuntimeError):
+    """The frontend's queue is at max_queue depth; shed load upstream."""
+
+
+# log2 histogram bucket upper bounds, milliseconds: 0.25 ms .. 8.192 s,
+# plus a +inf overflow bucket. 17 counters cover the whole latency range a
+# serving process can see (relay sync floor ~24 ms sits in bucket 32).
+HIST_BOUNDS_MS: tuple[float, ...] = tuple(0.25 * 2 ** i for i in range(16))
+
+
 @dataclass
 class FrontendStats:
     """Counters a serving harness can scrape (reference keeps analogous
@@ -45,14 +59,30 @@ class FrontendStats:
     batches: int = 0
     padded_rows: int = 0
     errors: int = 0
+    deadline_expired: int = 0
+    rejected_overload: int = 0
     # bounded: a long-lived server dispatches millions of batches
     batch_sizes: deque = field(default_factory=lambda: deque(maxlen=1024))
     # submit->result wall clock of recent queries, milliseconds
     latencies_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
+    # LIFETIME log2-bucketed latency counts: hist[i] counts latencies
+    # <= HIST_BOUNDS_MS[i]; the final slot is the +inf overflow. Unlike
+    # the deque window this never forgets — a long-lived server's tail
+    # behaviour stays visible in /v1/stats after millions of queries.
+    latency_hist: list = field(
+        default_factory=lambda: [0] * (len(HIST_BOUNDS_MS) + 1))
 
     @property
     def mean_batch(self) -> float:
         return (self.queries / self.batches) if self.batches else 0.0
+
+    def observe_latency(self, ms: float) -> None:
+        self.latencies_ms.append(ms)
+        for i, bound in enumerate(HIST_BOUNDS_MS):
+            if ms <= bound:
+                self.latency_hist[i] += 1
+                return
+        self.latency_hist[-1] += 1
 
     def latency_percentile(self, pct: float) -> float | None:
         """p50/p95/... over the recent-latency window, or None before
@@ -61,15 +91,45 @@ class FrontendStats:
             return None
         return float(np.percentile(np.asarray(self.latencies_ms), pct))
 
+    def histogram(self) -> dict[str, int]:
+        """Lifetime latency histogram as {upper_bound_ms: count}, only
+        non-empty buckets (the overflow bucket keys as "+inf")."""
+        out: dict[str, int] = {}
+        for i, bound in enumerate(HIST_BOUNDS_MS):
+            if self.latency_hist[i]:
+                out[f"{bound:g}"] = self.latency_hist[i]
+        if self.latency_hist[-1]:
+            out["+inf"] = self.latency_hist[-1]
+        return out
+
+    def lifetime_percentile(self, pct: float) -> float | None:
+        """Percentile estimated from the lifetime histogram (bucket upper
+        bound, so it over-reports by at most one log2 step)."""
+        total = sum(self.latency_hist)
+        if not total:
+            return None
+        target = total * pct / 100.0
+        running = 0
+        for i, bound in enumerate(HIST_BOUNDS_MS):
+            running += self.latency_hist[i]
+            if running >= target:
+                return bound
+        return float("inf")
+
 
 class _Item:
-    __slots__ = ("vec", "k", "future", "t_submit")
+    __slots__ = ("vec", "k", "future", "t_submit", "deadline")
 
-    def __init__(self, vec: np.ndarray, k: int, future: Future):
+    def __init__(self, vec: np.ndarray, k: int, future: Future,
+                 deadline: float | None = None):
         self.vec = vec
         self.k = k
         self.future = future
         self.t_submit = time.monotonic()
+        self.deadline = deadline  # absolute monotonic seconds, or None
+
+    def expired(self, now: float) -> bool:
+        return self.deadline is not None and now >= self.deadline
 
 
 class BatchingFrontend:
@@ -90,22 +150,34 @@ class BatchingFrontend:
         1-2 ms.
     filters / method:
         Forwarded to `search_device`. One frontend serves one (filters,
-        method) configuration; run several frontends for several.
+        method) configuration; run several frontends for several (or use
+        `FrontendRouter`, which manages one per configuration).
+    max_queue:
+        Backpressure bound: when more than this many queries are already
+        waiting, `submit()` fails fast with `Overloaded` instead of
+        growing the queue without limit (a stalled device would otherwise
+        accumulate every client's requests in host memory while their
+        deadlines silently rot). None disables the bound.
     """
 
     def __init__(self, store, *, max_batch: int = 256,
                  max_wait_ms: float = 2.0,
                  filters: dict | None = None,
-                 method: str = "auto"):
+                 method: str = "auto",
+                 max_queue: int | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError("max_queue must be >= 1 or None")
         self.store = store
         self.max_batch = int(max_batch)
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
         self.filters = filters
         self.method = method
+        self.max_queue = max_queue
         self.stats = FrontendStats()
         self._queue: queue.Queue[_Item | None] = queue.Queue()
+        self._pending = 0  # queued-but-not-dispatched, guarded by _submit_lock
         self._closed = False
         # makes the closed-check + enqueue atomic against close(): without
         # it a submit racing close() could enqueue after the worker exits
@@ -117,9 +189,17 @@ class BatchingFrontend:
 
     # ---- client side ----------------------------------------------------
 
-    def submit(self, vec: np.ndarray, k: int = 10) -> Future:
+    def submit(self, vec: np.ndarray, k: int = 10,
+               deadline_ms: float | None = None) -> Future:
         """Enqueue one query vector; resolves to (scores, ids) numpy
-        arrays of length k (ids -1-padded when the corpus is smaller)."""
+        arrays of length k (ids -1-padded when the corpus is smaller).
+
+        deadline_ms bounds how long the request may WAIT: if the worker
+        has not started dispatching it within that budget it fails with
+        `DeadlineExceeded` instead of riding a batch whose result nobody
+        wants anymore. (A dispatch already in flight is never aborted —
+        the device call is shared with other requests.)
+        """
         fut: Future = Future()
         v = np.asarray(vec, dtype=np.float32).reshape(-1)
         dim = getattr(self.store, "dim", None) or v.shape[0]
@@ -130,11 +210,23 @@ class BatchingFrontend:
         if k < 1:
             fut.set_exception(ValueError("k must be >= 1"))
             return fut
+        if deadline_ms is not None and deadline_ms <= 0:
+            fut.set_exception(ValueError("deadline_ms must be > 0"))
+            return fut
+        deadline = (time.monotonic() + deadline_ms / 1000.0
+                    if deadline_ms is not None else None)
         with self._submit_lock:
             if self._closed:
                 fut.set_exception(RuntimeError("frontend is closed"))
                 return fut
-            self._queue.put(_Item(v, int(k), fut))
+            if self.max_queue is not None and self._pending >= self.max_queue:
+                self.stats.rejected_overload += 1
+                fut.set_exception(Overloaded(
+                    f"queue depth {self._pending} >= max_queue "
+                    f"{self.max_queue}"))
+                return fut
+            self._pending += 1
+            self._queue.put(_Item(v, int(k), fut, deadline))
         return fut
 
     def search(self, vec: np.ndarray, k: int = 10):
@@ -164,8 +256,10 @@ class BatchingFrontend:
                 it = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if it is not None and not it.future.done():
-                it.future.set_exception(RuntimeError("frontend is closed"))
+            if it is not None:
+                self._dec_pending(1)
+                if not it.future.done():
+                    it.future.set_exception(RuntimeError("frontend is closed"))
         # drop the store reference: a closed frontend must not pin the
         # corpus (a lingering frontend object kept a 1M-row store's HBM
         # alive through the owner's `del store` + gc.collect() and OOMed
@@ -205,7 +299,14 @@ class BatchingFrontend:
             batch.append(item)
         return batch
 
+    def _dec_pending(self, n: int) -> None:
+        if n:
+            with self._submit_lock:
+                self._pending -= n
+
     def _dispatch(self, batch: list[_Item]) -> None:
+        # these items leave the backpressure window now, whatever happens
+        self._dec_pending(len(batch))
         # claim each future first: after set_running_or_notify_cancel()
         # returns True, fut.cancel() can no longer succeed, so the
         # set_result/set_exception below cannot raise InvalidStateError
@@ -214,6 +315,19 @@ class BatchingFrontend:
         # submit)
         batch = [it for it in batch
                  if it.future.set_running_or_notify_cancel()]
+        # expire overdue requests BEFORE paying for the device call: by
+        # now their caller has given up (HTTP thread timed out), so a
+        # slot in the batch would compute a result nobody reads
+        now = time.monotonic()
+        live: list[_Item] = []
+        for it in batch:
+            if it.expired(now):
+                self.stats.deadline_expired += 1
+                it.future.set_exception(DeadlineExceeded(
+                    f"waited {(now - it.t_submit) * 1e3:.1f} ms"))
+            else:
+                live.append(it)
+        batch = live
         if not batch:
             return
         try:
@@ -252,7 +366,7 @@ class BatchingFrontend:
         self.stats.batch_sizes.append(n)
         t_done = time.monotonic()
         for i, it in enumerate(batch):
-            self.stats.latencies_ms.append((t_done - it.t_submit) * 1e3)
+            self.stats.observe_latency((t_done - it.t_submit) * 1e3)
             it.future.set_result((scores[i, :it.k], ids[i, :it.k]))
 
     def _run(self) -> None:

@@ -12,10 +12,17 @@ batch size on the chip.
 
 Endpoints (JSON in / JSON out):
 - ``GET  /healthz``           -> {"ok": true, "corpus": N}
-- ``GET  /v1/stats``          -> frontend + store counters
-- ``POST /v1/search``         {"query": str, "k"?: int}  (embeds, then
-  coalesced vector search; results carry payloads)
-- ``POST /v1/search_vector``  {"vector": [f32...], "k"?: int}
+- ``GET  /v1/stats``          -> frontend + store counters, lifetime
+  latency histogram, per-configuration rollups
+- ``POST /v1/search``         {"query": str, "k"?: int, "filters"?: obj,
+  "method"?: str, "deadline_ms"?: num}  (embeds, then coalesced vector
+  search; results carry payloads)
+- ``POST /v1/search_vector``  {"vector": [f32...], same options}
+
+Requests naming ``filters``/``method`` route through a `FrontendRouter`
+to a per-configuration frontend (each batch must share its filter mask
+and kernel plan); ``deadline_ms`` bounds queue wait (exceeded -> 504);
+a saturated queue sheds load with 429.
 - ``POST /v1/query``          {"query": str, "limit"?: int} — the full
   engine path (plan -> graph ∥ vector -> rank -> answer); synthesis is
   host/LLM work and is served per-request, not batched.
@@ -34,7 +41,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from lattice_tpu.serving.frontend import BatchingFrontend
+from lattice_tpu.ops import topk as topk_ops
+from lattice_tpu.serving.frontend import DeadlineExceeded, Overloaded
+from lattice_tpu.serving.router import FrontendRouter
 
 logger = logging.getLogger(__name__)
 
@@ -61,19 +70,31 @@ class ServingHTTPServer:
     def __init__(self, store, embed_fn=None, *, engine=None,
                  host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
-                 default_k: int = 10):
+                 default_k: int = 10, max_queue: int | None = None,
+                 max_configs: int = 8):
         self.store = store
         self.embed_fn = embed_fn
         self.engine = engine
         self.default_k = int(default_k)
-        self.frontend = BatchingFrontend(store, max_batch=max_batch,
-                                         max_wait_ms=max_wait_ms)
+        self.router = FrontendRouter(store, max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms,
+                                     max_queue=max_queue,
+                                     max_configs=max_configs)
+        # eagerly create the default-configuration frontend so the
+        # common no-filter path never pays first-request setup
+        self.router.frontend()
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.daemon_threads = True
         self._httpd.app = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     # ---- lifecycle -------------------------------------------------------
+
+    @property
+    def frontend(self):
+        """The default-configuration frontend (resolved through the
+        router every time: the LRU can evict and re-mint it)."""
+        return self.router.frontend()
 
     @property
     def address(self) -> tuple[str, int]:
@@ -95,7 +116,7 @@ class ServingHTTPServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
-        self.frontend.close()
+        self.router.close()
         # break the server<->handler cycle and drop the corpus refs: a
         # lingering server object must not pin the store's HBM past the
         # owner's del (the exact OOM mode frontend.close() guards —
@@ -120,12 +141,18 @@ class ServingHTTPServer:
             st = self.frontend.stats
             p50 = st.latency_percentile(50)
             p95 = st.latency_percentile(95)
+            life_p99 = st.lifetime_percentile(99)
             return 200, {
                 "queries": st.queries, "batches": st.batches,
                 "mean_batch": round(st.mean_batch, 2),
                 "padded_rows": st.padded_rows, "errors": st.errors,
+                "deadline_expired": st.deadline_expired,
+                "rejected_overload": st.rejected_overload,
                 "latency_p50_ms": round(p50, 2) if p50 is not None else None,
                 "latency_p95_ms": round(p95, 2) if p95 is not None else None,
+                "latency_hist_ms": st.histogram(),
+                "lifetime_p99_ms": life_p99,
+                "configs": self.router.stats(),
                 "corpus": len(self.store),
             }
         if method == "POST" and path == "/v1/search":
@@ -173,15 +200,38 @@ class ServingHTTPServer:
             return 400, {"error": "k must be an int in [1, 1000]"}
         if vec.ndim != 1 or vec.shape[0] != self.store.dim:
             return 400, {"error": f"vector must be [{self.store.dim}]"}
+        filters = body.get("filters")
+        if filters is not None and not isinstance(filters, dict):
+            return 400, {"error": "filters must be a JSON object"}
+        srch_method = body.get("method", "auto")
+        if not isinstance(srch_method, str) or not srch_method:
+            return 400, {"error": "method must be a non-empty string"}
+        deadline_ms = body.get("deadline_ms")
+        if deadline_ms is not None and (
+                isinstance(deadline_ms, bool)
+                or not isinstance(deadline_ms, (int, float))
+                or not 0 < deadline_ms <= 600_000):
+            return 400, {"error": "deadline_ms must be in (0, 600000]"}
         try:
-            scores, ids = self.frontend.submit(vec, k).result(timeout=300)
+            fut = self.router.submit(vec, k, filters=filters,
+                                     method=srch_method,
+                                     deadline_ms=deadline_ms)
+            scores, ids = fut.result(timeout=300)
+        except DeadlineExceeded as exc:
+            return 504, {"error": f"deadline exceeded: {exc}"}
+        except Overloaded as exc:
+            return 429, {"error": f"overloaded: {exc}"}
         except Exception as exc:  # noqa: BLE001 — surface as a 500
             logger.exception("search failed")
             return 500, {"error": repr(exc)[:200]}
         hits = []
         for s, r in zip(scores.tolist(), ids.tolist()):
-            if r < 0:
-                continue  # k > live rows: kernel pads with -1
+            if r < 0 or s <= topk_ops.NEG_INF / 2:
+                # k > live rows pads ids with -1; a filter matching
+                # fewer than k rows pads SCORES with the kernel's -1e30
+                # sentinel on arbitrary rows — strip both, same contract
+                # as the host search paths (chunk_store.py:700)
+                continue
             payload = self.store.payload(int(r)) or {}
             hits.append({"row": int(r), "score": round(float(s), 4),
                          "payload": payload})

@@ -1,0 +1,201 @@
+"""Route queries to per-configuration batching frontends.
+
+A `BatchingFrontend` coalesces queries into one device call, so every
+query in a batch must share the call's (filters, method) configuration —
+the filter mask and kernel plan are baked into the execution. Real
+deployments serve several configurations at once (per-language filters,
+an int8 tier next to the default, ...); this router owns one frontend
+per distinct configuration, created lazily on first use, and fans
+`submit()` out by a canonical configuration key. Queries for the SAME
+configuration still coalesce across all callers; queries for different
+configurations ride different batches, as they must.
+
+Reference parity note: the reference has no analogous component — its
+Qdrant client applies filters per single-query HTTP request
+(`src/lattice/index/vector/search.py:141-166`), so "routing" is free
+there. On TPU the configuration IS the compiled execution, hence this
+explicit coalescing boundary.
+
+The number of distinct configurations is capped (`max_configs`): each
+frontend owns a worker thread and a handful of compiled shapes, so an
+attacker (or a buggy client) cycling filter values must not mint
+unbounded threads. Over the cap, `submit()` fails with `Overloaded`
+unless an idle frontend can be evicted (closed + replaced).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+from lattice_tpu.serving.frontend import BatchingFrontend, Overloaded
+
+logger = logging.getLogger(__name__)
+
+
+def config_key(filters: dict | None, method: str) -> str:
+    """Canonical string key for a (filters, method) configuration.
+
+    Filters are JSON objects of scalars/lists (the store's payload
+    filter language); sort_keys makes semantically-equal dicts equal
+    keys. Non-serializable values raise TypeError at the submit
+    boundary, where the caller can map it to a 400.
+    """
+    return json.dumps({"m": method, "f": filters}, sort_keys=True)
+
+
+class FrontendRouter:
+    """Lazily-created `BatchingFrontend` per (filters, method) config.
+
+    Parameters mirror `BatchingFrontend`; they apply to every frontend
+    the router creates. `max_configs` bounds how many distinct
+    configurations may be live at once; least-recently-used idle
+    frontends are evicted (closed) to make room, and if every frontend
+    is busy the submit fails with `Overloaded`.
+    """
+
+    def __init__(self, store, *, max_batch: int = 256,
+                 max_wait_ms: float = 2.0,
+                 max_queue: int | None = None,
+                 max_configs: int = 8):
+        if max_configs < 1:
+            raise ValueError("max_configs must be >= 1")
+        self.store = store
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.max_queue = max_queue
+        self.max_configs = int(max_configs)
+        self._frontends: dict[str, BatchingFrontend] = {}
+        self._last_used: dict[str, float] = {}
+        self._lock = threading.Lock()
+        self._closed = False
+
+    # ---- client side ----------------------------------------------------
+
+    def submit(self, vec: np.ndarray, k: int = 10, *,
+               filters: dict | None = None, method: str = "auto",
+               deadline_ms: float | None = None) -> Future:
+        """Enqueue one query on the frontend matching (filters, method)."""
+        fut: Future = Future()
+        for _ in range(2):
+            try:
+                fe = self.frontend(filters=filters, method=method)
+            except Exception as exc:  # noqa: BLE001 — keep the Future contract
+                fut.set_exception(exc)
+                return fut
+            fut = fe.submit(vec, k, deadline_ms=deadline_ms)
+            # an eviction can close this frontend between our lookup and
+            # the enqueue; its key is already gone from the table, so one
+            # retry mints a fresh frontend for the same configuration
+            if not (fut.done() and isinstance(fut.exception(), RuntimeError)
+                    and "closed" in str(fut.exception())):
+                return fut
+        return fut
+
+    def search(self, vec: np.ndarray, k: int = 10, **kw):
+        """Blocking convenience wrapper around `submit`."""
+        return self.submit(vec, k, **kw).result()
+
+    def frontend(self, *, filters: dict | None = None,
+                 method: str = "auto") -> BatchingFrontend:
+        """The live frontend for this configuration (created on first
+        use). Raises `Overloaded` when max_configs frontends are live
+        and none is idle enough to evict."""
+        key = config_key(filters, method)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("router is closed")
+            fe = self._frontends.get(key)
+            if fe is not None:
+                self._last_used[key] = time.monotonic()
+                return fe
+            if len(self._frontends) >= self.max_configs:
+                self._evict_idle_locked()
+            if len(self._frontends) >= self.max_configs:
+                raise Overloaded(
+                    f"{len(self._frontends)} configurations live "
+                    f"(max_configs={self.max_configs}) and none idle")
+            fe = BatchingFrontend(
+                self.store, max_batch=self.max_batch,
+                max_wait_ms=self.max_wait_ms, max_queue=self.max_queue,
+                filters=filters, method=method)
+            self._frontends[key] = fe
+            self._last_used[key] = time.monotonic()
+            return fe
+
+    def _evict_idle_locked(self) -> None:
+        """Close the least-recently-used frontend with no queued work.
+        Caller holds `_lock`. Eviction is safe: `close()` drains queued
+        items before stopping, and in-flight futures resolve normally."""
+        for key in sorted(self._frontends, key=lambda k: self._last_used[k]):
+            fe = self._frontends[key]
+            if fe._pending == 0:
+                del self._frontends[key]
+                del self._last_used[key]
+                # close outside would be nicer, but close() drains an
+                # EMPTY queue (pending==0) so this join is near-instant
+                fe.close()
+                logger.info("evicted idle frontend %s", key)
+                return
+
+    # ---- introspection ---------------------------------------------------
+
+    def stats(self) -> dict[str, dict]:
+        """Per-configuration counters keyed by config_key, plus an
+        '_aggregate' rollup the stats endpoint can report directly."""
+        with self._lock:
+            items = list(self._frontends.items())
+        out: dict[str, dict] = {}
+        agg = {"queries": 0, "batches": 0, "errors": 0,
+               "deadline_expired": 0, "rejected_overload": 0}
+        for key, fe in items:
+            st = fe.stats
+            out[key] = {
+                "queries": st.queries, "batches": st.batches,
+                "mean_batch": round(st.mean_batch, 2),
+                "errors": st.errors,
+                "deadline_expired": st.deadline_expired,
+                "rejected_overload": st.rejected_overload,
+                "latency_p50_ms": st.latency_percentile(50),
+                "latency_p95_ms": st.latency_percentile(95),
+                "latency_hist_ms": st.histogram(),
+            }
+            for k in agg:
+                agg[k] += out[key][k]
+        out["_aggregate"] = agg
+        return out
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._frontends)
+
+    # ---- lifecycle -------------------------------------------------------
+
+    def close(self, timeout: float | None = 5.0) -> None:
+        """Close every frontend (draining queued work) and drop the
+        store reference. Idempotent."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            frontends = list(self._frontends.values())
+            self._frontends.clear()
+            self._last_used.clear()
+        for fe in frontends:
+            try:
+                fe.close(timeout=timeout)
+            except Exception:  # noqa: BLE001 — close the rest regardless
+                logger.exception("frontend close failed")
+        # same HBM-pinning discipline as BatchingFrontend.close
+        self.store = None
+
+    def __enter__(self) -> "FrontendRouter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -172,3 +172,51 @@ class TestFullEnginePath:
         assert status == 200
         assert "results" in body and "answer" in body
         assert isinstance(body["phase_times_ms"], dict)
+
+
+class TestRoutedOptions:
+    """filters/method/deadline_ms ride the request body and route through
+    the per-configuration FrontendRouter (`serving/router.py`)."""
+
+    def test_filtered_search_routes_and_filters(self, server):
+        emb = HashEmbedder(dimensions=D)
+        v = np.asarray(emb.embed(TEXTS[3]), dtype=np.float32)
+        v /= np.linalg.norm(v)
+        configs_before = len(server.router)
+        status, body = _post(server, "/v1/search_vector",
+                             {"vector": v.tolist(), "k": 5,
+                              "filters": {"file_path": "f5.py"},
+                              "method": "flat"})
+        assert status == 200
+        assert [h["payload"]["file_path"] for h in body["hits"]] == ["f5.py"]
+        assert len(server.router) > configs_before  # a new config frontend
+
+    def test_bad_filters_400(self, server):
+        status, body = _post(server, "/v1/search_vector",
+                             {"vector": [0.1] * D, "filters": ["nope"]})
+        assert status == 400 and "filters" in body["error"]
+
+    def test_bad_method_400(self, server):
+        status, _ = _post(server, "/v1/search_vector",
+                          {"vector": [0.1] * D, "method": ""})
+        assert status == 400
+
+    def test_bad_deadline_400(self, server):
+        status, body = _post(server, "/v1/search_vector",
+                             {"vector": [0.1] * D, "deadline_ms": -5})
+        assert status == 400 and "deadline_ms" in body["error"]
+
+    def test_generous_deadline_200(self, server):
+        status, body = _post(server, "/v1/search_vector",
+                             {"vector": [0.1] * D, "k": 2,
+                              "deadline_ms": 60000})
+        assert status == 200 and len(body["hits"]) == 2
+
+    def test_stats_carry_histogram_and_configs(self, server):
+        _post(server, "/v1/search", {"query": TEXTS[0], "k": 1})
+        status, body = _get(server, "/v1/stats")
+        assert status == 200
+        assert sum(body["latency_hist_ms"].values()) == body["queries"]
+        assert "_aggregate" in body["configs"]
+        assert body["configs"]["_aggregate"]["queries"] >= body["queries"]
+        assert body["deadline_expired"] == 0

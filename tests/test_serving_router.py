@@ -1,0 +1,234 @@
+"""FrontendRouter + frontend hardening: per-request deadlines, queue
+backpressure, lifetime latency histograms, per-config routing/eviction.
+
+These are the TPU serving concerns the reference never has (its Qdrant
+filters ride each single-query HTTP request; a coalesced device batch
+must share one filter mask/kernel plan — `src/lattice/index/vector/
+search.py:141-166` vs `lattice_tpu/serving/router.py`).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from lattice_tpu.index.chunk_store import ChunkStore
+from lattice_tpu.ops import topk as topk_ops
+from lattice_tpu.serving import (
+    BatchingFrontend,
+    DeadlineExceeded,
+    FrontendRouter,
+    Overloaded,
+)
+from lattice_tpu.serving.router import config_key
+
+N, D = 256, 32
+
+
+@pytest.fixture(scope="module")
+def store():
+    rng = np.random.default_rng(7)
+    emb = topk_ops.l2_normalize(
+        rng.standard_normal((N, D)).astype(np.float32))
+    st = ChunkStore(dim=D)
+    st.add(emb, [{"file_path": f"f{i}.py",
+                  "language": "python" if i % 2 else "go"}
+                 for i in range(N)])
+    return st
+
+
+def _q(seed=3):
+    rng = np.random.default_rng(seed)
+    return topk_ops.l2_normalize(
+        rng.standard_normal((1, D)).astype(np.float32))[0]
+
+
+class _GatedStore:
+    """Wraps a store so every search blocks until the gate opens —
+    deterministic control over when the worker's dispatch completes."""
+
+    def __init__(self, inner, gate: threading.Event):
+        self._inner = inner
+        self._gate = gate
+        self.dim = inner.dim
+
+    def search_device(self, q, k, **kw):
+        assert self._gate.wait(timeout=30), "gate never opened"
+        return self._inner.search_device(q, k, **kw)
+
+
+class TestDeadlines:
+    def test_expired_in_queue_fails_fast(self, store):
+        gate = threading.Event()
+        gated = _GatedStore(store, gate)
+        fe = BatchingFrontend(gated, max_batch=1, max_wait_ms=0)
+        try:
+            # first item occupies the worker inside the blocked dispatch
+            f_block = fe.submit(_q(1), k=3)
+            time.sleep(0.05)
+            # second item waits in the queue with a 1 ms budget
+            f_late = fe.submit(_q(2), k=3, deadline_ms=1.0)
+            time.sleep(0.05)  # let the deadline rot while the gate holds
+            gate.set()
+            with pytest.raises(DeadlineExceeded):
+                f_late.result(timeout=30)
+            f_block.result(timeout=30)  # the blocker still succeeds
+            assert fe.stats.deadline_expired == 1
+        finally:
+            gate.set()
+            fe.close()
+
+    def test_generous_deadline_succeeds(self, store):
+        with BatchingFrontend(store, max_wait_ms=0) as fe:
+            scores, ids = fe.submit(_q(), k=5,
+                                    deadline_ms=60_000).result(timeout=30)
+            assert ids.shape == (5,)
+        assert fe.stats.deadline_expired == 0
+
+    def test_nonpositive_deadline_rejected(self, store):
+        with BatchingFrontend(store, max_wait_ms=0) as fe:
+            with pytest.raises(ValueError):
+                fe.submit(_q(), k=5, deadline_ms=0).result(timeout=5)
+
+
+class TestBackpressure:
+    def test_overflow_submit_rejected(self, store):
+        gate = threading.Event()
+        fe = BatchingFrontend(_GatedStore(store, gate),
+                              max_batch=1, max_wait_ms=0, max_queue=2)
+        try:
+            f0 = fe.submit(_q(0), k=3)       # dispatched, blocks on gate
+            time.sleep(0.05)                 # worker takes f0 off queue
+            f1 = fe.submit(_q(1), k=3)       # queued (pending 1)
+            f2 = fe.submit(_q(2), k=3)       # queued (pending 2 = max)
+            f3 = fe.submit(_q(3), k=3)       # over: shed
+            with pytest.raises(Overloaded):
+                f3.result(timeout=5)
+            assert fe.stats.rejected_overload == 1
+            gate.set()
+            for f in (f0, f1, f2):
+                f.result(timeout=30)         # queued work still completes
+            # the counter drains back to zero -> new submits accepted
+            fe.submit(_q(4), k=3).result(timeout=30)
+        finally:
+            gate.set()
+            fe.close()
+
+    def test_bad_max_queue_rejected(self, store):
+        with pytest.raises(ValueError):
+            BatchingFrontend(store, max_queue=0)
+
+
+class TestHistogram:
+    def test_lifetime_histogram_counts_all_queries(self, store):
+        with BatchingFrontend(store, max_wait_ms=0) as fe:
+            for i in range(8):
+                fe.submit(_q(i), k=3).result(timeout=30)
+        hist = fe.stats.histogram()
+        assert sum(hist.values()) == 8
+        assert fe.stats.lifetime_percentile(50) is not None
+        # deque window agrees on the total
+        assert len(fe.stats.latencies_ms) == 8
+
+    def test_histogram_bucketing_is_log2(self):
+        from lattice_tpu.serving.frontend import FrontendStats
+        st = FrontendStats()
+        st.observe_latency(0.1)    # <= 0.25 bucket
+        st.observe_latency(3.0)    # <= 4 bucket
+        st.observe_latency(1e9)    # overflow
+        h = st.histogram()
+        assert h["0.25"] == 1 and h["4"] == 1 and h["+inf"] == 1
+        assert st.lifetime_percentile(1) == 0.25
+        assert st.lifetime_percentile(99) == float("inf")
+
+
+class TestRouter:
+    def test_same_config_reuses_frontend(self, store):
+        with FrontendRouter(store, max_wait_ms=0) as r:
+            a = r.frontend(filters={"language": "python"}, method="flat")
+            b = r.frontend(filters={"language": "python"}, method="flat")
+            assert a is b
+            assert len(r) == 1
+
+    def test_distinct_configs_get_distinct_frontends(self, store):
+        with FrontendRouter(store, max_wait_ms=0) as r:
+            a = r.frontend(filters=None, method="flat")
+            b = r.frontend(filters={"language": "go"}, method="flat")
+            assert a is not b
+            assert len(r) == 2
+
+    def test_config_key_canonicalizes_dict_order(self):
+        assert config_key({"a": 1, "b": 2}, "flat") == \
+            config_key({"b": 2, "a": 1}, "flat")
+        assert config_key({"a": 1}, "flat") != config_key({"a": 1}, "int8")
+
+    def test_filtered_route_respects_filters(self, store):
+        with FrontendRouter(store, max_wait_ms=0) as r:
+            _, ids = r.search(_q(), k=10,
+                              filters={"language": "go"}, method="flat")
+            langs = {store.payload(int(i))["language"]
+                     for i in ids if i >= 0}
+            assert langs == {"go"}
+
+    def test_unfiltered_route_matches_direct_frontend(self, store):
+        with FrontendRouter(store, max_wait_ms=0) as r:
+            s_r, i_r = r.search(_q(), k=5, method="flat")
+        with BatchingFrontend(store, max_wait_ms=0, method="flat") as fe:
+            s_f, i_f = fe.search(_q(), k=5)
+        np.testing.assert_array_equal(i_r, i_f)
+        np.testing.assert_allclose(s_r, s_f)
+
+    def test_eviction_over_max_configs(self, store):
+        with FrontendRouter(store, max_wait_ms=0, max_configs=2) as r:
+            r.search(_q(), k=3, filters={"language": "python"},
+                     method="flat")
+            r.search(_q(), k=3, filters={"language": "go"}, method="flat")
+            assert len(r) == 2
+            # a third config evicts the least-recently-used idle one
+            r.search(_q(), k=3, method="flat")
+            assert len(r) == 2
+
+    def test_no_evictable_frontend_raises_overloaded(self, store):
+        gate = threading.Event()
+        gated = _GatedStore(store, gate)
+        r = FrontendRouter(gated, max_wait_ms=0, max_configs=1,
+                           max_batch=1)
+        try:
+            f0 = r.submit(_q(0), k=3, method="flat")
+            time.sleep(0.05)               # dispatched, blocked on gate
+            f1 = r.submit(_q(1), k=3, method="flat")  # queued: pending=1
+            # a second config now finds the only slot busy (pending > 0)
+            with pytest.raises(Overloaded):
+                r.frontend(method="int8")
+            gate.set()
+            f0.result(timeout=30)
+            f1.result(timeout=30)
+        finally:
+            gate.set()
+            r.close()
+
+    def test_stats_aggregate(self, store):
+        with FrontendRouter(store, max_wait_ms=0) as r:
+            r.search(_q(1), k=3, method="flat")
+            r.search(_q(2), k=3, filters={"language": "go"},
+                     method="flat")
+            st = r.stats()
+        assert st["_aggregate"]["queries"] == 2
+        per_cfg = [v for k, v in st.items() if k != "_aggregate"]
+        assert sum(v["queries"] for v in per_cfg) == 2
+        assert all(isinstance(v["latency_hist_ms"], dict)
+                   for v in per_cfg)
+
+    def test_close_rejects_and_releases_store(self, store):
+        r = FrontendRouter(store, max_wait_ms=0)
+        r.search(_q(), k=3, method="flat")
+        r.close()
+        assert r.store is None
+        with pytest.raises(RuntimeError):
+            r.frontend()
+        # submit surfaces the closed error through the future
+        with pytest.raises(RuntimeError):
+            r.submit(_q(), k=3).result(timeout=5)
