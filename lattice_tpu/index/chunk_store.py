@@ -35,6 +35,11 @@ from lattice_tpu.ops import pallas_topk as pallas_ops
 
 # Payload fields with inverted indexes (reference `embeddings/client.py:103-113`
 # plus graph_node_id, the vector->graph join key used by the context builder).
+# every method string _plan_search_impl accepts; surfaces (HTTP, MCP)
+# validate requests against this before minting per-config serving state
+SEARCH_METHODS = ("auto", "flat", "pallas", "refined", "ivf", "pq",
+                  "quantized", "int4", "sharded")
+
 INDEXED_FIELDS = ("file_path", "entity_type", "language", "content_hash",
                   "project_name", "graph_node_id")
 
@@ -957,8 +962,7 @@ class ChunkStore:
     def _plan_search(self, batch: int, k_eff: int,
                      filters: dict[str, Any] | None,
                      method: str) -> str:
-        if method in ("flat", "pallas", "refined", "ivf", "pq", "quantized",
-                      "int4", "sharded"):
+        if method != "auto" and method in SEARCH_METHODS:
             return method  # forced plans never build views here; don't
             # stall them behind another thread's in-lock IVF build
         with self._serve_lock:
@@ -1000,8 +1004,7 @@ class ChunkStore:
                       exact-at-storage insertion scan (29k / 0.9996)
         7. flat     — the XLA fallback, always correct
         """
-        if method in ("flat", "pallas", "refined", "ivf", "pq", "quantized",
-                      "int4", "sharded"):
+        if method != "auto" and method in SEARCH_METHODS:
             return method
         if method != "auto":
             raise VectorStoreError(f"unknown search method {method!r}")

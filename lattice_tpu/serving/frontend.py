@@ -164,7 +164,8 @@ class BatchingFrontend:
                  max_wait_ms: float = 2.0,
                  filters: dict | None = None,
                  method: str = "auto",
-                 max_queue: int | None = None):
+                 max_queue: int | None = None,
+                 stats: FrontendStats | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if max_queue is not None and max_queue < 1:
@@ -175,9 +176,13 @@ class BatchingFrontend:
         self.filters = filters
         self.method = method
         self.max_queue = max_queue
-        self.stats = FrontendStats()
+        # callers may hand in an existing FrontendStats so lifetime
+        # counters survive frontend recycling (FrontendRouter eviction
+        # re-mints a config's frontend around the same stats object)
+        self.stats = stats if stats is not None else FrontendStats()
         self._queue: queue.Queue[_Item | None] = queue.Queue()
         self._pending = 0  # queued-but-not-dispatched, guarded by _submit_lock
+        self._busy = False  # worker inside _dispatch (device call in flight)
         self._closed = False
         # makes the closed-check + enqueue atomic against close(): without
         # it a submit racing close() could enqueue after the worker exits
@@ -304,7 +309,21 @@ class BatchingFrontend:
             with self._submit_lock:
                 self._pending -= n
 
+    @property
+    def idle(self) -> bool:
+        """No queued work AND no dispatch in flight. `_pending` alone is
+        not idleness — it is decremented when a batch LEAVES the queue,
+        which is exactly when the (possibly long) device call begins."""
+        return self._pending == 0 and not self._busy
+
     def _dispatch(self, batch: list[_Item]) -> None:
+        self._busy = True
+        try:
+            self._dispatch_inner(batch)
+        finally:
+            self._busy = False
+
+    def _dispatch_inner(self, batch: list[_Item]) -> None:
         # these items leave the backpressure window now, whatever happens
         self._dec_pending(len(batch))
         # claim each future first: after set_running_or_notify_cancel()

@@ -37,12 +37,18 @@ from __future__ import annotations
 import json
 import logging
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from lattice_tpu.index import chunk_store
 from lattice_tpu.ops import topk as topk_ops
-from lattice_tpu.serving.frontend import DeadlineExceeded, Overloaded
+from lattice_tpu.serving.frontend import (
+    DeadlineExceeded,
+    FrontendStats,
+    Overloaded,
+)
 from lattice_tpu.serving.router import FrontendRouter
 
 logger = logging.getLogger(__name__)
@@ -138,10 +144,21 @@ class ServingHTTPServer:
         if method == "GET" and path == "/healthz":
             return 200, {"ok": True, "corpus": len(self.store)}
         if method == "GET" and path == "/v1/stats":
-            st = self.frontend.stats
+            # read-only: peek never mints a frontend (a monitoring
+            # scrape must not evict live configs or hit Overloaded);
+            # the default config can only be absent after LRU eviction,
+            # in which case its retained stats ride in "configs"
+            fe = self.router.peek()
+            st = fe.stats if fe is not None else FrontendStats()
             p50 = st.latency_percentile(50)
             p95 = st.latency_percentile(95)
             life_p99 = st.lifetime_percentile(99)
+            if life_p99 == float("inf"):
+                # >1% of lifetime queries overflowed the top bucket;
+                # bare Infinity is not valid JSON — report the overflow
+                # bucket itself ("+inf" count in latency_hist_ms tells
+                # the rest of the story)
+                life_p99 = None
             return 200, {
                 "queries": st.queries, "batches": st.batches,
                 "mean_batch": round(st.mean_batch, 2),
@@ -204,21 +221,33 @@ class ServingHTTPServer:
         if filters is not None and not isinstance(filters, dict):
             return 400, {"error": "filters must be a JSON object"}
         srch_method = body.get("method", "auto")
-        if not isinstance(srch_method, str) or not srch_method:
-            return 400, {"error": "method must be a non-empty string"}
+        if not isinstance(srch_method, str) \
+                or srch_method not in chunk_store.SEARCH_METHODS:
+            # validate BEFORE routing: an unknown method would otherwise
+            # mint a dead-on-arrival frontend config (worker thread +
+            # LRU slot) whose every dispatch 500s
+            return 400, {"error": "method must be one of "
+                                  f"{list(chunk_store.SEARCH_METHODS)}"}
         deadline_ms = body.get("deadline_ms")
         if deadline_ms is not None and (
                 isinstance(deadline_ms, bool)
                 or not isinstance(deadline_ms, (int, float))
                 or not 0 < deadline_ms <= 600_000):
             return 400, {"error": "deadline_ms must be in (0, 600000]"}
+        # the result wait must outlast any accepted deadline: deadline_ms
+        # bounds QUEUE time, after which the request still rides a device
+        # call — give that call the usual 300 s on top
+        timeout_s = 300.0 if deadline_ms is None \
+            else deadline_ms / 1000.0 + 300.0
         try:
             fut = self.router.submit(vec, k, filters=filters,
                                      method=srch_method,
                                      deadline_ms=deadline_ms)
-            scores, ids = fut.result(timeout=300)
+            scores, ids = fut.result(timeout=timeout_s)
         except DeadlineExceeded as exc:
             return 504, {"error": f"deadline exceeded: {exc}"}
+        except FuturesTimeout:
+            return 504, {"error": f"no result within {timeout_s:.0f}s"}
         except Overloaded as exc:
             return 429, {"error": f"overloaded: {exc}"}
         except Exception as exc:  # noqa: BLE001 — surface as a 500

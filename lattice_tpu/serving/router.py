@@ -33,7 +33,11 @@ from concurrent.futures import Future
 
 import numpy as np
 
-from lattice_tpu.serving.frontend import BatchingFrontend, Overloaded
+from lattice_tpu.serving.frontend import (
+    BatchingFrontend,
+    FrontendStats,
+    Overloaded,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -43,10 +47,13 @@ def config_key(filters: dict | None, method: str) -> str:
 
     Filters are JSON objects of scalars/lists (the store's payload
     filter language); sort_keys makes semantically-equal dicts equal
-    keys. Non-serializable values raise TypeError at the submit
-    boundary, where the caller can map it to a 400.
+    keys, and an empty dict keys as None (the store treats them
+    identically — `chunk_store.filter_mask` returns None for both, so
+    they must coalesce into one frontend). Non-serializable values
+    raise TypeError at the submit boundary, where the caller can map it
+    to a 400.
     """
-    return json.dumps({"m": method, "f": filters}, sort_keys=True)
+    return json.dumps({"m": method, "f": filters or None}, sort_keys=True)
 
 
 class FrontendRouter:
@@ -72,6 +79,11 @@ class FrontendRouter:
         self.max_configs = int(max_configs)
         self._frontends: dict[str, BatchingFrontend] = {}
         self._last_used: dict[str, float] = {}
+        # evicted configs keep their FrontendStats here; re-minting the
+        # same config hands the object back to the new frontend, so the
+        # lifetime histogram/counters really are lifetime (never reset
+        # by LRU churn) and stats aggregates stay monotonic
+        self._retired_stats: dict[str, FrontendStats] = {}
         self._lock = threading.Lock()
         self._closed = False
 
@@ -107,6 +119,7 @@ class FrontendRouter:
         use). Raises `Overloaded` when max_configs frontends are live
         and none is idle enough to evict."""
         key = config_key(filters, method)
+        filters = filters or None  # {} and None are the same config
         with self._lock:
             if self._closed:
                 raise RuntimeError("router is closed")
@@ -123,23 +136,43 @@ class FrontendRouter:
             fe = BatchingFrontend(
                 self.store, max_batch=self.max_batch,
                 max_wait_ms=self.max_wait_ms, max_queue=self.max_queue,
-                filters=filters, method=method)
+                filters=filters, method=method,
+                stats=self._retired_stats.pop(key, None))
             self._frontends[key] = fe
             self._last_used[key] = time.monotonic()
             return fe
 
+    def peek(self, *, filters: dict | None = None,
+             method: str = "auto") -> BatchingFrontend | None:
+        """The live frontend for this configuration, or None — never
+        creates one. Read paths (stats endpoints) use this so a scrape
+        cannot mint workers, evict live configs, or hit Overloaded."""
+        with self._lock:
+            return self._frontends.get(config_key(filters, method))
+
     def _evict_idle_locked(self) -> None:
-        """Close the least-recently-used frontend with no queued work.
-        Caller holds `_lock`. Eviction is safe: `close()` drains queued
-        items before stopping, and in-flight futures resolve normally."""
+        """Retire the least-recently-used idle frontend. Caller holds
+        `_lock`; the CLOSE runs on its own thread because close() drains
+        queued work and joins the worker — with a device call in flight
+        that join can take as long as the call (relay stalls run
+        seconds-to-minutes), and holding the router lock through it
+        would freeze every configuration's submits. The frontend leaves
+        the table immediately; its stats object is retained so the
+        config's lifetime counters survive re-minting."""
         for key in sorted(self._frontends, key=lambda k: self._last_used[k]):
             fe = self._frontends[key]
-            if fe._pending == 0:
+            if fe.idle:
                 del self._frontends[key]
                 del self._last_used[key]
-                # close outside would be nicer, but close() drains an
-                # EMPTY queue (pending==0) so this join is near-instant
-                fe.close()
+                self._retired_stats[key] = fe.stats
+                # bound the tombstone table: a client cycling filter
+                # values must not grow host memory without limit (the
+                # oldest-evicted configs' counters are the ones dropped)
+                while len(self._retired_stats) > 8 * self.max_configs:
+                    self._retired_stats.pop(next(iter(self._retired_stats)))
+                threading.Thread(
+                    target=fe.close, daemon=True,
+                    name="lattice-frontend-evict").start()
                 logger.info("evicted idle frontend %s", key)
                 return
 
@@ -147,14 +180,19 @@ class FrontendRouter:
 
     def stats(self) -> dict[str, dict]:
         """Per-configuration counters keyed by config_key, plus an
-        '_aggregate' rollup the stats endpoint can report directly."""
+        '_aggregate' rollup the stats endpoint can report directly.
+        Evicted configs report from their retained stats (flagged
+        "retired"), so the rollup never moves backwards across LRU
+        churn."""
         with self._lock:
-            items = list(self._frontends.items())
+            items = [(key, fe.stats, False)
+                     for key, fe in self._frontends.items()]
+            items += [(key, st, True)
+                      for key, st in self._retired_stats.items()]
         out: dict[str, dict] = {}
         agg = {"queries": 0, "batches": 0, "errors": 0,
                "deadline_expired": 0, "rejected_overload": 0}
-        for key, fe in items:
-            st = fe.stats
+        for key, st, retired in items:
             out[key] = {
                 "queries": st.queries, "batches": st.batches,
                 "mean_batch": round(st.mean_batch, 2),
@@ -165,6 +203,8 @@ class FrontendRouter:
                 "latency_p95_ms": st.latency_percentile(95),
                 "latency_hist_ms": st.histogram(),
             }
+            if retired:
+                out[key]["retired"] = True
             for k in agg:
                 agg[k] += out[key][k]
         out["_aggregate"] = agg

@@ -232,3 +232,53 @@ class TestRouter:
         # submit surfaces the closed error through the future
         with pytest.raises(RuntimeError):
             r.submit(_q(), k=3).result(timeout=5)
+
+
+class TestReviewRegressions:
+    """Pinned fixes from this round's serving review pass."""
+
+    def test_empty_filters_key_equals_none(self):
+        # the store treats {} and None identically (filter_mask -> None);
+        # they must coalesce into ONE frontend, not split batches
+        assert config_key({}, "flat") == config_key(None, "flat")
+
+    def test_peek_never_creates(self, store):
+        with FrontendRouter(store, max_wait_ms=0) as r:
+            assert r.peek(method="int4") is None
+            assert len(r) == 0
+            fe = r.frontend(method="flat")
+            assert r.peek(method="flat") is fe
+
+    def test_busy_frontend_is_not_evictable(self, store):
+        # _pending drops to 0 the moment a batch enters dispatch; a
+        # frontend blocked inside a device call must NOT be evicted
+        # (closing it would stall on the in-flight call)
+        gate = threading.Event()
+        r = FrontendRouter(_GatedStore(store, gate), max_wait_ms=0,
+                           max_configs=1, max_batch=1)
+        try:
+            f0 = r.submit(_q(0), k=3, method="flat")
+            time.sleep(0.05)  # worker now blocked in dispatch, pending=0
+            with pytest.raises(Overloaded):
+                r.frontend(method="int8")
+            gate.set()
+            f0.result(timeout=30)
+        finally:
+            gate.set()
+            r.close()
+
+    def test_eviction_preserves_lifetime_stats(self, store):
+        with FrontendRouter(store, max_wait_ms=0, max_configs=1) as r:
+            r.search(_q(1), k=3, method="flat")
+            r.search(_q(2), k=3, method="flat")
+            key = config_key(None, "flat")
+            assert r.stats()[key]["queries"] == 2
+            # mint a second config: evicts the first, retains its stats
+            r.search(_q(3), k=3, filters={"language": "go"},
+                     method="flat")
+            st = r.stats()
+            assert st[key]["queries"] == 2 and st[key].get("retired")
+            assert st["_aggregate"]["queries"] == 3  # never goes backwards
+            # re-minting the config resumes the SAME lifetime counters
+            r.search(_q(4), k=3, method="flat")
+            assert r.stats()[config_key(None, "flat")]["queries"] == 3
