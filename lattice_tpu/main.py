@@ -362,12 +362,24 @@ def run_serve(args: argparse.Namespace, settings: Settings) -> int:
     host, port = server.address
     print(f"serving {len(engine.indexer.code)} chunks on "
           f"http://{host}:{port} (POST /v1/search, /v1/query; "
-          f"GET /healthz, /v1/stats)")
+          f"GET /healthz, /v1/stats, /metrics)")
+
+    # orchestrators stop containers with SIGTERM; drain in-flight work
+    # instead of dying mid-batch. The handler only raises — shutdown()
+    # from inside a signal handler would deadlock serve_forever's poll
+    # loop (it waits for the very loop the handler interrupted).
+    import signal
+
+    def _sigterm(_signo, _frame):
+        raise KeyboardInterrupt
+    prev = signal.signal(signal.SIGTERM, _sigterm)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         print("shutting down")
         server.shutdown()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
     return 0
 
 

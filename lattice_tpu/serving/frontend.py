@@ -71,6 +71,8 @@ class FrontendStats:
     # behaviour stays visible in /v1/stats after millions of queries.
     latency_hist: list = field(
         default_factory=lambda: [0] * (len(HIST_BOUNDS_MS) + 1))
+    # lifetime sum of observed latencies (Prometheus histogram `_sum`)
+    latency_sum_ms: float = 0.0
 
     @property
     def mean_batch(self) -> float:
@@ -78,6 +80,7 @@ class FrontendStats:
 
     def observe_latency(self, ms: float) -> None:
         self.latencies_ms.append(ms)
+        self.latency_sum_ms += ms
         for i, bound in enumerate(HIST_BOUNDS_MS):
             if ms <= bound:
                 self.latency_hist[i] += 1

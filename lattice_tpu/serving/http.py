@@ -14,6 +14,9 @@ Endpoints (JSON in / JSON out):
 - ``GET  /healthz``           -> {"ok": true, "corpus": N}
 - ``GET  /v1/stats``          -> frontend + store counters, lifetime
   latency histogram, per-configuration rollups
+- ``GET  /metrics``           -> the same counters in Prometheus text
+  exposition format (the log2 latency histogram maps directly onto a
+  Prometheus histogram's cumulative ``le`` buckets)
 - ``POST /v1/search``         {"query": str, "k"?: int, "filters"?: obj,
   "method"?: str, "deadline_ms"?: num}  (embeds, then coalesced vector
   search; results carry payloads)
@@ -209,6 +212,63 @@ class ServingHTTPServer:
             }
         return 404, {"error": f"no route {method} {path}"}
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (version 0.0.4) over the router's
+        per-configuration counters. The lifetime log2 histogram IS a
+        Prometheus histogram: cumulative counts per `le` bound plus
+        `_count`/`_sum`. Retired (LRU-evicted) configs keep reporting —
+        counters must never move backwards between scrapes."""
+        from lattice_tpu.serving.frontend import HIST_BOUNDS_MS
+
+        def esc(s: str) -> str:
+            return (s.replace("\\", "\\\\").replace('"', '\\"')
+                    .replace("\n", "\\n"))
+
+        items = self.router.iter_stats()
+        out: list[str] = []
+        counters = [
+            ("lattice_queries_total", "Queries served", "queries"),
+            ("lattice_batches_total", "Device batches dispatched",
+             "batches"),
+            ("lattice_padded_rows_total", "Pad rows wasted on bucket "
+             "rounding", "padded_rows"),
+            ("lattice_errors_total", "Batches whose dispatch failed",
+             "errors"),
+            ("lattice_deadline_expired_total",
+             "Requests expired before dispatch", "deadline_expired"),
+            ("lattice_rejected_overload_total",
+             "Requests shed at max_queue depth", "rejected_overload"),
+        ]
+        for name, help_, attr in counters:
+            out.append(f"# HELP {name} {help_}")
+            out.append(f"# TYPE {name} counter")
+            for key, st, _retired in items:
+                out.append(f'{name}{{config="{esc(key)}"}} '
+                           f'{getattr(st, attr)}')
+        out.append("# HELP lattice_request_latency_ms Submit-to-result "
+                   "latency")
+        out.append("# TYPE lattice_request_latency_ms histogram")
+        for key, st, _retired in items:
+            label = f'config="{esc(key)}"'
+            cum = 0
+            for i, bound in enumerate(HIST_BOUNDS_MS):
+                cum += st.latency_hist[i]
+                out.append(f'lattice_request_latency_ms_bucket{{{label},'
+                           f'le="{bound:g}"}} {cum}')
+            cum += st.latency_hist[-1]
+            out.append(f'lattice_request_latency_ms_bucket{{{label},'
+                       f'le="+Inf"}} {cum}')
+            out.append(f'lattice_request_latency_ms_count{{{label}}} {cum}')
+            out.append(f'lattice_request_latency_ms_sum{{{label}}} '
+                       f'{st.latency_sum_ms:.3f}')
+        out.append("# HELP lattice_corpus_rows Live rows in the store")
+        out.append("# TYPE lattice_corpus_rows gauge")
+        out.append(f"lattice_corpus_rows {len(self.store)}")
+        out.append("# HELP lattice_live_configs Frontends currently live")
+        out.append("# TYPE lattice_live_configs gauge")
+        out.append(f"lattice_live_configs {len(self.router)}")
+        return "\n".join(out) + "\n"
+
     def _vector_search(self, vec: np.ndarray,
                        body: dict) -> tuple[int, dict]:
         k = body.get("k", self.default_k)
@@ -282,6 +342,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _respond_text(self, status: int, text: str,
+                      content_type: str) -> None:
+        data = text.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
         app = self._app()
         if app is None or app.store is None:  # shutdown mid-flight
@@ -289,6 +358,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond(503, {"error": "server is shutting down"})
             return
         try:
+            if self.path == "/metrics":
+                self._respond_text(
+                    200, app.metrics_text(),
+                    "text/plain; version=0.0.4; charset=utf-8")
+                return
             status, payload = app.handle("GET", self.path, {})
         except Exception as exc:  # noqa: BLE001
             logger.exception("GET %s failed", self.path)

@@ -178,17 +178,23 @@ class FrontendRouter:
 
     # ---- introspection ---------------------------------------------------
 
+    def iter_stats(self) -> list[tuple[str, FrontendStats, bool]]:
+        """(config_key, stats, retired) for every live and retired
+        configuration — the raw feed for stats()/metrics exporters."""
+        with self._lock:
+            items = [(key, fe.stats, False)
+                     for key, fe in self._frontends.items()]
+            items += [(key, st, True)
+                      for key, st in self._retired_stats.items()]
+        return items
+
     def stats(self) -> dict[str, dict]:
         """Per-configuration counters keyed by config_key, plus an
         '_aggregate' rollup the stats endpoint can report directly.
         Evicted configs report from their retained stats (flagged
         "retired"), so the rollup never moves backwards across LRU
         churn."""
-        with self._lock:
-            items = [(key, fe.stats, False)
-                     for key, fe in self._frontends.items()]
-            items += [(key, st, True)
-                      for key, st in self._retired_stats.items()]
+        items = self.iter_stats()
         out: dict[str, dict] = {}
         agg = {"queries": 0, "batches": 0, "errors": 0,
                "deadline_expired": 0, "rejected_overload": 0}

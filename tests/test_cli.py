@@ -217,3 +217,47 @@ class TestDeepSearchFlag:
         assert results
         names = [r["name"] for r in results]
         assert any("validate_email_format" in n for n in names)
+
+
+class TestServeLifecycle:
+    def test_sigterm_drains_and_exits_cleanly(self, repo, capsys, tmp_path):
+        """`lattice serve` must drain on SIGTERM (orchestrator stop) —
+        exit 0 through the shutdown path, not a mid-batch kill."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+        import urllib.request
+
+        root, env = repo
+        assert run(["index", str(root), "--project", "serve-term"],
+                   env) == 0
+        capsys.readouterr()
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "lattice_tpu.main", "--env", str(env),
+             "serve", "--path", str(root), "--port", "0"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+            env={**os.environ, "LATTICE_PLATFORM": "cpu",
+                 "JAX_PLATFORMS": "cpu"})
+        try:
+            # skip XLA AOT-loader warnings etc.; the banner is the first
+            # line that names the listening address
+            line = ""
+            for _ in range(50):
+                line = proc.stdout.readline()
+                if "serving" in line and "http://" in line:
+                    break
+            assert "serving" in line and "http://" in line
+            url = line.split("http://")[1].split()[0]
+            with urllib.request.urlopen(f"http://{url}/healthz",
+                                        timeout=30) as r:
+                assert r.status == 200
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=60)
+            assert proc.returncode == 0, out
+            assert "shutting down" in out
+        finally:
+            if proc.poll() is None:
+                proc.kill()

@@ -220,3 +220,44 @@ class TestRoutedOptions:
         assert "_aggregate" in body["configs"]
         assert body["configs"]["_aggregate"]["queries"] >= body["queries"]
         assert body["deadline_expired"] == 0
+
+
+class TestMetrics:
+    def test_prometheus_exposition(self, server):
+        # drive some traffic first
+        _post(server, "/v1/search", {"query": TEXTS[1], "k": 2})
+        host, port = server.address
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/metrics", timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE lattice_queries_total counter" in text
+        assert "# TYPE lattice_request_latency_ms histogram" in text
+        assert 'le="+Inf"' in text
+        assert "lattice_corpus_rows 40" in text
+        # cumulative buckets: +Inf count equals the histogram _count
+        import re
+        inf = re.findall(
+            r'lattice_request_latency_ms_bucket\{config="(.*?)",'
+            r'le="\+Inf"\} (\d+)', text)
+        counts = dict(re.findall(
+            r'lattice_request_latency_ms_count\{config="(.*?)"\} (\d+)',
+            text))
+        assert inf and all(counts[cfg] == n for cfg, n in inf)
+        # label values escape the config-key JSON's quotes
+        assert 'config="{\\"f\\": null' in text
+
+    def test_bucket_cumulativity_monotone(self, server):
+        host, port = server.address
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/metrics", timeout=30) as r:
+            text = r.read().decode()
+        import re
+        per_cfg = {}
+        for cfg, le, n in re.findall(
+                r'lattice_request_latency_ms_bucket\{config="(.*?)",'
+                r'le="([^"]+)"\} (\d+)', text):
+            per_cfg.setdefault(cfg, []).append(int(n))
+        for counts in per_cfg.values():
+            assert counts == sorted(counts)  # cumulative => monotone
