@@ -354,11 +354,15 @@ def run_serve(args: argparse.Namespace, settings: Settings) -> int:
     from lattice_tpu.serving.http import ServingHTTPServer
     repo_path = Path(args.path).resolve()
     engine, _ = _load_engine(repo_path, settings)
+    if args.warmup:
+        print("warming pad buckets (first compiles take 20-40 s each "
+              "on a cold cache)...")
     server = ServingHTTPServer(
         engine.indexer.code, engine.vector_searcher.embedder.embed,
         engine=engine, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_queue=args.max_queue, max_configs=args.max_configs)
+        max_queue=args.max_queue, max_configs=args.max_configs,
+        warmup=args.warmup)
     host, port = server.address
     print(f"serving {len(engine.indexer.code)} chunks on "
           f"http://{host}:{port} (POST /v1/search, /v1/query; "
@@ -463,6 +467,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shed load (HTTP 429) past this queue depth")
     p.add_argument("--max-configs", type=int, default=8,
                    help="distinct (filters, method) frontends kept live")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile every pad-bucket shape before taking "
+                        "traffic (healthz reports warm=true after)")
     return parser
 
 

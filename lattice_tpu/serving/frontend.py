@@ -241,6 +241,44 @@ class BatchingFrontend:
         """Blocking convenience wrapper around `submit`."""
         return self.submit(vec, k).result()
 
+    def warmup(self, k: int = 10, buckets=None) -> int:
+        """Precompile every pad-bucket jit key this frontend will serve.
+
+        Each distinct padded batch shape is its own XLA compilation —
+        on a relay-attached chip a cold compile costs 20-40 s, so the
+        FIRST request landing on each bucket pays it as tail latency
+        unless the server warms the shapes before taking traffic (the
+        reference never needs this: Qdrant probes don't compile,
+        `src/lattice/embeddings/client.py:93-113`). Runs the store's
+        real search path at this frontend's (filters, method) config for
+        every power-of-two bucket up to max_batch (or the `buckets`
+        given), forcing a host readback per shape — on the relay only a
+        readback proves execution. Returns the number of shapes warmed.
+        """
+        store = self.store
+        if self._closed or store is None:
+            raise RuntimeError("frontend is closed")
+        dim = getattr(store, "dim", None)
+        if not dim:
+            return 0
+        if buckets is None:
+            buckets, b = [], 1
+            while b < self.max_batch:
+                buckets.append(b)
+                b <<= 1
+            buckets.append(self.max_batch)
+        rng = np.random.default_rng(0)
+        unit = rng.standard_normal(dim).astype(np.float32)
+        unit /= np.linalg.norm(unit)
+        warmed = 0
+        for b in sorted({int(x) for x in buckets}):
+            q = np.broadcast_to(unit, (b, dim)).copy()
+            _, ids = store.search_device(q, int(k), filters=self.filters,
+                                         method=self.method)
+            np.asarray(ids)
+            warmed += 1
+        return warmed
+
     def close(self, timeout: float | None = 5.0) -> None:
         """Stop the worker after draining already-submitted queries.
         Idempotent; later `submit()` calls resolve to an error."""

@@ -11,7 +11,9 @@ shared `BatchingFrontend`, so concurrency across HTTP clients becomes
 batch size on the chip.
 
 Endpoints (JSON in / JSON out):
-- ``GET  /healthz``           -> {"ok": true, "corpus": N}
+- ``GET  /healthz``           -> {"ok": true, "corpus": N, "warm": bool}
+  (``warm`` flips true once startup warmup precompiled the default
+  config's pad buckets — readiness probes gate on it)
 - ``GET  /v1/stats``          -> frontend + store counters, lifetime
   latency histogram, per-configuration rollups
 - ``GET  /metrics``           -> the same counters in Prometheus text
@@ -80,7 +82,7 @@ class ServingHTTPServer:
                  host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
                  default_k: int = 10, max_queue: int | None = None,
-                 max_configs: int = 8):
+                 max_configs: int = 8, warmup: bool = False):
         self.store = store
         self.embed_fn = embed_fn
         self.engine = engine
@@ -91,7 +93,14 @@ class ServingHTTPServer:
                                      max_configs=max_configs)
         # eagerly create the default-configuration frontend so the
         # common no-filter path never pays first-request setup
-        self.router.frontend()
+        fe = self.router.frontend()
+        # warm=True means every default-config pad bucket is precompiled:
+        # readiness probes should gate on it when warmup was requested
+        # (a cold bucket's first request pays a 20-40 s relay compile)
+        self.warm = False
+        if warmup:
+            fe.warmup(k=self.default_k)
+            self.warm = True
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.daemon_threads = True
         self._httpd.app = self  # type: ignore[attr-defined]
@@ -145,7 +154,8 @@ class ServingHTTPServer:
 
     def handle(self, method: str, path: str, body: dict) -> tuple[int, dict]:
         if method == "GET" and path == "/healthz":
-            return 200, {"ok": True, "corpus": len(self.store)}
+            return 200, {"ok": True, "corpus": len(self.store),
+                         "warm": self.warm}
         if method == "GET" and path == "/v1/stats":
             # read-only: peek never mints a frontend (a monitoring
             # scrape must not evict live configs or hit Overloaded);

@@ -226,3 +226,55 @@ class TestLifecycleAndErrors:
         fe.search(_queries(1, seed=9)[0], k=3)
         fe.close()
         assert fe.store is None
+
+
+class TestWarmup:
+    """warmup() precompiles the pad-bucket jit keys before traffic —
+    a cold bucket's first request pays a 20-40 s relay compile."""
+
+    def test_warms_each_power_of_two_bucket_once(self, store,
+                                                 monkeypatch):
+        shapes: list[tuple[int, int]] = []
+        orig = store.search_device
+
+        def spy(q, k, **kw):
+            shapes.append((int(q.shape[0]), int(k)))
+            return orig(q, k, **kw)
+
+        monkeypatch.setattr(store, "search_device", spy)
+        with BatchingFrontend(store, max_batch=8, method="flat") as fe:
+            n = fe.warmup(k=4)
+        assert n == 4
+        assert shapes == [(1, 4), (2, 4), (4, 4), (8, 4)]
+
+    def test_custom_buckets_dedup_and_sort(self, store, monkeypatch):
+        shapes: list[int] = []
+        orig = store.search_device
+
+        def spy(q, k, **kw):
+            shapes.append(int(q.shape[0]))
+            return orig(q, k, **kw)
+
+        monkeypatch.setattr(store, "search_device", spy)
+        with BatchingFrontend(store, max_batch=64, method="flat") as fe:
+            n = fe.warmup(k=3, buckets=[16, 4, 16, 1])
+        assert n == 3 and shapes == [1, 4, 16]
+
+    def test_warmup_then_search_matches_oracle(self, store):
+        qs = _queries(4, seed=21)
+        with BatchingFrontend(store, max_batch=8, max_wait_ms=100,
+                              method="flat") as fe:
+            fe.warmup(k=5)
+            futs = [fe.submit(q, k=5) for q in qs]
+            results = [f.result(timeout=30) for f in futs]
+        emb, valid = store.device_arrays
+        _, o_ids = topk_ops.topk_oracle(qs, np.asarray(emb),
+                                        np.asarray(valid), 5)
+        for i, (_, ids) in enumerate(results):
+            assert set(ids.tolist()) == set(np.asarray(o_ids)[i].tolist())
+
+    def test_warmup_on_closed_frontend_raises(self, store):
+        fe = BatchingFrontend(store, method="flat")
+        fe.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            fe.warmup()

@@ -261,3 +261,23 @@ class TestMetrics:
             per_cfg.setdefault(cfg, []).append(int(n))
         for counts in per_cfg.values():
             assert counts == sorted(counts)  # cumulative => monotone
+
+
+class TestWarmupFlag:
+    def test_healthz_cold_by_default(self, server):
+        status, body = _get(server, "/healthz")
+        assert status == 200 and body["warm"] is False
+
+    def test_server_warmup_precompiles_and_reports_warm(self):
+        rng = np.random.default_rng(5)
+        vecs = topk_ops.l2_normalize(
+            rng.standard_normal((16, D)).astype(np.float32))
+        store = ChunkStore(dim=D)
+        store.add(vecs, [{"file_path": f"w{i}.py"} for i in range(16)])
+        with ServingHTTPServer(store, max_batch=4, max_wait_ms=5,
+                               warmup=True) as srv:
+            status, body = _get(srv, "/healthz")
+            assert status == 200 and body["warm"] is True
+            # warmup traffic must not pollute the served-query counters
+            _, stats = _get(srv, "/v1/stats")
+            assert stats["queries"] == 0
