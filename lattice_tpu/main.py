@@ -355,8 +355,8 @@ def run_serve(args: argparse.Namespace, settings: Settings) -> int:
     repo_path = Path(args.path).resolve()
     engine, _ = _load_engine(repo_path, settings)
     if args.warmup:
-        print("warming pad buckets (first compiles take 20-40 s each "
-              "on a cold cache)...")
+        print("warming pad buckets in the background (20-40 s/compile "
+              "on a cold cache); /healthz reports warm=true when done")
     server = ServingHTTPServer(
         engine.indexer.code, engine.vector_searcher.embedder.embed,
         engine=engine, host=args.host, port=args.port,
@@ -468,8 +468,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-configs", type=int, default=8,
                    help="distinct (filters, method) frontends kept live")
     p.add_argument("--warmup", action="store_true",
-                   help="precompile every pad-bucket shape before taking "
-                        "traffic (healthz reports warm=true after)")
+                   help="precompile the default config's pad-bucket shapes "
+                        "on a background thread (healthz reports warm=true "
+                        "when done)")
     return parser
 
 

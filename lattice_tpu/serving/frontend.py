@@ -261,17 +261,23 @@ class BatchingFrontend:
         dim = getattr(store, "dim", None)
         if not dim:
             return 0
+        try:
+            if len(store) == 0:
+                return 0  # empty store has no device path to warm
+        except TypeError:
+            pass
         if buckets is None:
-            buckets, b = [], 1
-            while b < self.max_batch:
-                buckets.append(b)
-                b <<= 1
-            buckets.append(self.max_batch)
+            # derive from the dispatch-time policy so the warmed shapes
+            # can never desync from what _dispatch actually pads to
+            buckets = {self._bucket(n, self.max_batch)
+                       for n in range(1, self.max_batch + 1)}
         rng = np.random.default_rng(0)
         unit = rng.standard_normal(dim).astype(np.float32)
         unit /= np.linalg.norm(unit)
         warmed = 0
         for b in sorted({int(x) for x in buckets}):
+            if self._closed or self.store is None:
+                break  # shutdown mid-warm: stop at the bucket boundary
             q = np.broadcast_to(unit, (b, dim)).copy()
             _, ids = store.search_device(q, int(k), filters=self.filters,
                                          method=self.method)

@@ -12,8 +12,9 @@ batch size on the chip.
 
 Endpoints (JSON in / JSON out):
 - ``GET  /healthz``           -> {"ok": true, "corpus": N, "warm": bool}
-  (``warm`` flips true once startup warmup precompiled the default
-  config's pad buckets — readiness probes gate on it)
+  (``warm`` flips true once background startup warmup has precompiled
+  the default config's pad buckets — readiness probes gate on it; the
+  socket serves from the start, so early requests just compile inline)
 - ``GET  /v1/stats``          -> frontend + store counters, lifetime
   latency histogram, per-configuration rollups
 - ``GET  /metrics``           -> the same counters in Prometheus text
@@ -94,17 +95,27 @@ class ServingHTTPServer:
         # eagerly create the default-configuration frontend so the
         # common no-filter path never pays first-request setup
         fe = self.router.frontend()
-        # warm=True means every default-config pad bucket is precompiled:
-        # readiness probes should gate on it when warmup was requested
-        # (a cold bucket's first request pays a 20-40 s relay compile)
-        self.warm = False
-        if warmup:
-            fe.warmup(k=self.default_k)
-            self.warm = True
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.daemon_threads = True
         self._httpd.app = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
+        # warm=True means the DEFAULT config's pad buckets at default_k
+        # are precompiled (other (filters, method, k) combinations still
+        # compile on first use). Warming runs on a background thread so
+        # the socket serves immediately and readiness probes observe the
+        # cold->warm transition instead of connection-refused for the
+        # whole compile window (9 buckets x 20-40 s on a cold relay).
+        self.warm = False
+        self._warm_thread: threading.Thread | None = None
+        if warmup:
+            def _warm() -> None:
+                try:
+                    self.warm = fe.warmup(k=self.default_k) > 0
+                except Exception:  # noqa: BLE001 — serve cold, don't die
+                    logger.exception("startup warmup failed; serving cold")
+            self._warm_thread = threading.Thread(
+                target=_warm, daemon=True, name="lattice-serving-warmup")
+            self._warm_thread.start()
 
     # ---- lifecycle -------------------------------------------------------
 
@@ -135,6 +146,11 @@ class ServingHTTPServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
         self.router.close()
+        # closing the router closed the frontend, which stops warmup at
+        # its next bucket boundary; an in-flight compile can outlive the
+        # join (daemon thread — it only pins the store until it returns)
+        if self._warm_thread is not None:
+            self._warm_thread.join(timeout=5)
         # break the server<->handler cycle and drop the corpus refs: a
         # lingering server object must not pin the store's HBM past the
         # owner's del (the exact OOM mode frontend.close() guards —

@@ -278,3 +278,27 @@ class TestWarmup:
         fe.close()
         with pytest.raises(RuntimeError, match="closed"):
             fe.warmup()
+
+    def test_warmup_empty_store_is_noop(self):
+        st = ChunkStore(dim=16)
+        with BatchingFrontend(st, method="flat") as fe:
+            assert fe.warmup() == 0
+
+    def test_warmup_buckets_match_dispatch_policy(self, store,
+                                                  monkeypatch):
+        """The warmed shapes are DERIVED from _bucket(), so the two
+        copies of the padding policy cannot desync — here with a
+        non-power-of-two max_batch where the cap truncates the ladder."""
+        shapes: list[int] = []
+        orig = store.search_device
+
+        def spy(q, k, **kw):
+            shapes.append(int(q.shape[0]))
+            return orig(q, k, **kw)
+
+        monkeypatch.setattr(store, "search_device", spy)
+        with BatchingFrontend(store, max_batch=12, method="flat") as fe:
+            fe.warmup(k=3)
+        expected = sorted({BatchingFrontend._bucket(n, 12)
+                           for n in range(1, 13)})
+        assert shapes == expected == [1, 2, 4, 8, 12]

@@ -269,6 +269,7 @@ class TestWarmupFlag:
         assert status == 200 and body["warm"] is False
 
     def test_server_warmup_precompiles_and_reports_warm(self):
+        import time
         rng = np.random.default_rng(5)
         vecs = topk_ops.l2_normalize(
             rng.standard_normal((16, D)).astype(np.float32))
@@ -276,8 +277,17 @@ class TestWarmupFlag:
         store.add(vecs, [{"file_path": f"w{i}.py"} for i in range(16)])
         with ServingHTTPServer(store, max_batch=4, max_wait_ms=5,
                                warmup=True) as srv:
-            status, body = _get(srv, "/healthz")
-            assert status == 200 and body["warm"] is True
+            # warmup runs on a background thread: the socket serves from
+            # the start and readiness probes observe the transition
+            deadline = time.monotonic() + 120
+            body = None
+            while time.monotonic() < deadline:
+                status, body = _get(srv, "/healthz")
+                assert status == 200
+                if body["warm"]:
+                    break
+                time.sleep(0.05)
+            assert body is not None and body["warm"] is True
             # warmup traffic must not pollute the served-query counters
             _, stats = _get(srv, "/v1/stats")
             assert stats["queries"] == 0
