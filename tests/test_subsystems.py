@@ -204,6 +204,60 @@ class TestInotifyWatcher:
         assert ("created", "app/newpkg/mod.py") in [
             (e.kind, e.relative_path) for e in events]
 
+    def test_recursive_move_of_deep_tree(self, inotify_watcher):
+        """Recursive-move stress (the round-2 leftover): a nested package
+        (3x3 dirs, 27 files) moves in ONE rename(2). The kernel emits no
+        per-file events for the children — correctness rides on
+        IN_MOVED_TO's recursive watch-tree walk plus the IN_MOVED_FROM /
+        IN_MOVE_SELF full-rescan degrade (`pipeline/inotify.py:179-193`),
+        and every old module must leave the graph + vector store while
+        every new one registers (reference watcher parity,
+        `src/lattice/pipeline/watcher.py:21-99`)."""
+        import shutil
+        workspace, ctx, watcher = inotify_watcher
+        store = ctx.graph_builder.store
+        root = workspace / "app" / "bigpkg"
+        for a in range(3):
+            for b in range(3):
+                d = root / f"l{a}" / f"m{b}"
+                d.mkdir(parents=True, exist_ok=True)
+                for c in range(3):
+                    (d / f"mod{c}.py").write_text(
+                        f"def fn_{a}_{b}_{c}():\n    return {a + b + c}\n")
+        # two drains cover dir-create vs watch-registration ordering
+        events = watcher.detect_once() + watcher.detect_once()
+        created = {e.relative_path for e in events if e.kind == "created"}
+        assert len(created) == 27
+        asyncio.run(watcher.process_events(events))
+        assert store.id_of("app.bigpkg.l2.m2.mod2.fn_2_2_2") is not None
+
+        shutil.move(str(root), str(workspace / "app" / "movedpkg"))
+        events = watcher.detect_once() + watcher.detect_once()
+        seen = {(e.kind, e.relative_path) for e in events}
+        for a in range(3):
+            for b in range(3):
+                for c in range(3):
+                    old = f"app/bigpkg/l{a}/m{b}/mod{c}.py"
+                    new = f"app/movedpkg/l{a}/m{b}/mod{c}.py"
+                    assert ("deleted", old) in seen
+                    assert ("created", new) in seen
+        asyncio.run(watcher.process_events(events))
+        assert store.id_of("app.bigpkg.l1.m1.mod1.fn_1_1_1") is None
+        assert store.id_of("app.movedpkg.l1.m1.mod1.fn_1_1_1") is not None
+        assert ctx.indexer.code.scroll(
+            {"file_path": "app/bigpkg/l0/m0/mod0.py"}) == []
+        assert ctx.indexer.code.scroll(
+            {"graph_node_id": "app.movedpkg.l0.m0.mod0.fn_0_0_0"})
+        # the moved tree is still WATCHED under its new root: a write
+        # there must surface without a full rescan
+        tweak = workspace / "app" / "movedpkg" / "l0" / "m0" / "mod0.py"
+        tweak.write_text(tweak.read_text() + "\ndef late_fn():\n"
+                                             "    return 9\n")
+        kinds = [(e.kind, e.relative_path) for e in watcher.detect_once()]
+        assert ("changed", "app/movedpkg/l0/m0/mod0.py") in kinds
+        # steady state afterwards
+        assert watcher.detect_once() == []
+
     def test_poll_backend_forced(self, indexed_ws):
         workspace, ctx = indexed_ws
         watcher = FileWatcher(workspace, ctx.graph_builder, ctx.indexer,
