@@ -236,7 +236,8 @@ class TestServeLifecycle:
         capsys.readouterr()
         proc = subprocess.Popen(
             [sys.executable, "-m", "lattice_tpu.main", "--env", str(env),
-             "serve", "--path", str(root), "--port", "0"],
+             "serve", "--path", str(root), "--port", "0",
+             "--max-batch", "4", "--warmup"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd="/root/repo",
             env={**os.environ, "LATTICE_PLATFORM": "cpu",
@@ -254,6 +255,18 @@ class TestServeLifecycle:
             with urllib.request.urlopen(f"http://{url}/healthz",
                                         timeout=30) as r:
                 assert r.status == 200
+            # --warmup runs on a background thread; healthz must flip
+            # warm=true once the pad buckets are compiled
+            import json
+            deadline = time.monotonic() + 120
+            warm = False
+            while time.monotonic() < deadline and not warm:
+                with urllib.request.urlopen(f"http://{url}/healthz",
+                                            timeout=30) as r:
+                    warm = json.loads(r.read())["warm"]
+                if not warm:
+                    time.sleep(0.2)
+            assert warm, "--warmup never reported warm=true"
             proc.send_signal(signal.SIGTERM)
             out, _ = proc.communicate(timeout=60)
             assert proc.returncode == 0, out
