@@ -359,14 +359,15 @@ def run_serve(args: argparse.Namespace, settings: Settings) -> int:
               "on a cold cache); /healthz reports warm=true when done")
     server = ServingHTTPServer(
         engine.indexer.code, engine.vector_searcher.embedder.embed,
+        embed_batch_fn=engine.vector_searcher.embedder.embed_batch,
         engine=engine, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue, max_configs=args.max_configs,
         warmup=args.warmup)
     host, port = server.address
     print(f"serving {len(engine.indexer.code)} chunks on "
-          f"http://{host}:{port} (POST /v1/search, /v1/query; "
-          f"GET /healthz, /v1/stats, /metrics)")
+          f"http://{host}:{port} (POST /v1/search, /v1/search_batch, "
+          f"/v1/query; GET /healthz, /v1/stats, /metrics)")
 
     # orchestrators stop containers with SIGTERM; drain in-flight work
     # instead of dying mid-batch. The handler only raises — shutdown()

@@ -24,6 +24,11 @@ Endpoints (JSON in / JSON out):
   "method"?: str, "deadline_ms"?: num}  (embeds, then coalesced vector
   search; results carry payloads)
 - ``POST /v1/search_vector``  {"vector": [f32...], same options}
+- ``POST /v1/search_batch``   {"queries": [str...], same options} — many
+  queries in one HTTP round trip; each submits through the same router,
+  so the batch coalesces with everyone else's traffic, and per-item
+  failures (deadline/overload) report per item
+- ``POST /v1/search_vector_batch`` {"vectors": [[f32...]...], same}
 
 Requests naming ``filters``/``method`` route through a `FrontendRouter`
 to a per-configuration frontend (each batch must share its filter mask
@@ -80,12 +85,17 @@ class ServingHTTPServer:
     """
 
     def __init__(self, store, embed_fn=None, *, engine=None,
+                 embed_batch_fn=None,
                  host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
                  default_k: int = 10, max_queue: int | None = None,
                  max_configs: int = 8, warmup: bool = False):
         self.store = store
         self.embed_fn = embed_fn
+        # texts -> [n, dim]; /v1/search_batch prefers it (the encoder
+        # embeds a batch in one device call); falls back to embed_fn
+        # per item when absent
+        self.embed_batch_fn = embed_batch_fn
         self.engine = engine
         self.default_k = int(default_k)
         self.router = FrontendRouter(store, max_batch=max_batch,
@@ -158,6 +168,9 @@ class ServingHTTPServer:
         self._httpd.app = None  # type: ignore[attr-defined]
         self.store = None
         self.engine = None
+        # embed closures pin the encoder's params; drop them too
+        self.embed_fn = None
+        self.embed_batch_fn = None
         self.embed_fn = None
 
     def __enter__(self) -> "ServingHTTPServer":
@@ -215,6 +228,35 @@ class ServingHTTPServer:
                 return 400, {"error": "missing 'vector' list"}
             return self._vector_search(
                 np.asarray(raw, dtype=np.float32), body)
+        if method == "POST" and path == "/v1/search_batch":
+            if self.embed_fn is None:
+                return 501, {"error": "no embedder configured"}
+            texts = body.get("queries")
+            if (not isinstance(texts, list) or not texts
+                    or not all(isinstance(t, str) and t.strip()
+                               for t in texts)):
+                return 400, {"error": "missing 'queries': list of "
+                                      "non-empty strings"}
+            if len(texts) > self.MAX_BATCH_ITEMS:
+                return 400, {"error": "queries must carry 1.."
+                                      f"{self.MAX_BATCH_ITEMS} items"}
+            if self.embed_batch_fn is not None:
+                vecs = np.asarray(self.embed_batch_fn(texts),
+                                  dtype=np.float32)
+            else:
+                vecs = np.asarray([self.embed_fn(t) for t in texts],
+                                  dtype=np.float32)
+            return self._vector_search_batch(vecs, body)
+        if method == "POST" and path == "/v1/search_vector_batch":
+            raw = body.get("vectors")
+            if not isinstance(raw, list) or not raw:
+                return 400, {"error": "missing 'vectors' list of lists"}
+            try:
+                vecs = np.asarray(raw, dtype=np.float32)
+            except (ValueError, TypeError):
+                return 400, {"error": "vectors must be a rectangular "
+                                      "list of float lists"}
+            return self._vector_search_batch(vecs, body)
         if method == "POST" and path == "/v1/query":
             if self.engine is None:
                 return 501, {"error": "no engine configured"}
@@ -295,36 +337,48 @@ class ServingHTTPServer:
         out.append(f"lattice_live_configs {len(self.router)}")
         return "\n".join(out) + "\n"
 
-    def _vector_search(self, vec: np.ndarray,
-                       body: dict) -> tuple[int, dict]:
+    def _search_opts(self, body: dict):
+        """Validate the shared search options out of a request body.
+        Returns (error_response | None, (k, filters, method, deadline_ms,
+        timeout_s))."""
         k = body.get("k", self.default_k)
         if isinstance(k, bool) or not isinstance(k, int) \
                 or k < 1 or k > 1000:
-            return 400, {"error": "k must be an int in [1, 1000]"}
-        if vec.ndim != 1 or vec.shape[0] != self.store.dim:
-            return 400, {"error": f"vector must be [{self.store.dim}]"}
+            return (400, {"error": "k must be an int in [1, 1000]"}), None
         filters = body.get("filters")
         if filters is not None and not isinstance(filters, dict):
-            return 400, {"error": "filters must be a JSON object"}
+            return (400, {"error": "filters must be a JSON object"}), None
         srch_method = body.get("method", "auto")
         if not isinstance(srch_method, str) \
                 or srch_method not in chunk_store.SEARCH_METHODS:
             # validate BEFORE routing: an unknown method would otherwise
             # mint a dead-on-arrival frontend config (worker thread +
             # LRU slot) whose every dispatch 500s
-            return 400, {"error": "method must be one of "
-                                  f"{list(chunk_store.SEARCH_METHODS)}"}
+            return (400, {"error": "method must be one of "
+                                   f"{list(chunk_store.SEARCH_METHODS)}"}), \
+                None
         deadline_ms = body.get("deadline_ms")
         if deadline_ms is not None and (
                 isinstance(deadline_ms, bool)
                 or not isinstance(deadline_ms, (int, float))
                 or not 0 < deadline_ms <= 600_000):
-            return 400, {"error": "deadline_ms must be in (0, 600000]"}
+            return (400, {"error": "deadline_ms must be in "
+                                   "(0, 600000]"}), None
         # the result wait must outlast any accepted deadline: deadline_ms
         # bounds QUEUE time, after which the request still rides a device
         # call — give that call the usual 300 s on top
         timeout_s = 300.0 if deadline_ms is None \
             else deadline_ms / 1000.0 + 300.0
+        return None, (k, filters, srch_method, deadline_ms, timeout_s)
+
+    def _vector_search(self, vec: np.ndarray,
+                       body: dict) -> tuple[int, dict]:
+        err, opts = self._search_opts(body)
+        if err is not None:
+            return err
+        k, filters, srch_method, deadline_ms, timeout_s = opts
+        if vec.ndim != 1 or vec.shape[0] != self.store.dim:
+            return 400, {"error": f"vector must be [{self.store.dim}]"}
         try:
             fut = self.router.submit(vec, k, filters=filters,
                                      method=srch_method,
@@ -339,6 +393,9 @@ class ServingHTTPServer:
         except Exception as exc:  # noqa: BLE001 — surface as a 500
             logger.exception("search failed")
             return 500, {"error": repr(exc)[:200]}
+        return 200, {"hits": self._hits(scores, ids)}
+
+    def _hits(self, scores: np.ndarray, ids: np.ndarray) -> list[dict]:
         hits = []
         for s, r in zip(scores.tolist(), ids.tolist()):
             if r < 0 or s <= topk_ops.NEG_INF / 2:
@@ -350,7 +407,51 @@ class ServingHTTPServer:
             payload = self.store.payload(int(r)) or {}
             hits.append({"row": int(r), "score": round(float(s), 4),
                          "payload": payload})
-        return 200, {"hits": hits}
+        return hits
+
+    # one HTTP round trip can carry this many queries; each still rides
+    # the router's max_queue backpressure individually
+    MAX_BATCH_ITEMS = 1024
+
+    def _vector_search_batch(self, vecs: np.ndarray,
+                             body: dict) -> tuple[int, dict]:
+        """Many queries in one HTTP request. Each query submits through
+        the SAME router/frontend as single requests, so a batch coalesces
+        into padded device executions with everyone else's traffic (and a
+        lone batch IS the batch). Per-item failures (deadline, overload)
+        report per item; one bad item never voids its neighbours."""
+        err, opts = self._search_opts(body)
+        if err is not None:
+            return err
+        k, filters, srch_method, deadline_ms, timeout_s = opts
+        if vecs.ndim != 2 or vecs.shape[1] != self.store.dim:
+            return 400, {"error": f"vectors must be [n, {self.store.dim}]"}
+        if not 1 <= vecs.shape[0] <= self.MAX_BATCH_ITEMS:
+            return 400, {"error": "vectors must carry 1.."
+                                  f"{self.MAX_BATCH_ITEMS} rows"}
+        futs = [self.router.submit(v, k, filters=filters,
+                                   method=srch_method,
+                                   deadline_ms=deadline_ms)
+                for v in vecs]
+        results: list[dict] = []
+        for fut in futs:
+            try:
+                scores, ids = fut.result(timeout=timeout_s)
+                results.append({"hits": self._hits(scores, ids)})
+            except DeadlineExceeded as exc:
+                results.append({"error": f"deadline exceeded: {exc}",
+                                "status": 504})
+            except FuturesTimeout:
+                results.append({"error": f"no result within "
+                                         f"{timeout_s:.0f}s",
+                                "status": 504})
+            except Overloaded as exc:
+                results.append({"error": f"overloaded: {exc}",
+                                "status": 429})
+            except Exception as exc:  # noqa: BLE001 — per-item 500
+                logger.exception("batch item failed")
+                results.append({"error": repr(exc)[:200], "status": 500})
+        return 200, {"results": results}
 
 
 class _Handler(BaseHTTPRequestHandler):

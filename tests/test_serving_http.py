@@ -291,3 +291,86 @@ class TestWarmupFlag:
             # warmup traffic must not pollute the served-query counters
             _, stats = _get(srv, "/v1/stats")
             assert stats["queries"] == 0
+
+
+class TestBatchEndpoints:
+    """/v1/search_batch + /v1/search_vector_batch: many queries in one
+    HTTP round trip, coalescing through the same router as singles."""
+
+    def test_text_batch_matches_singles(self, server):
+        texts = [TEXTS[3], TEXTS[11], TEXTS[29]]
+        status, body = _post(server, "/v1/search_batch",
+                             {"queries": texts, "k": 3})
+        assert status == 200
+        results = body["results"]
+        assert len(results) == 3
+        for t, item in zip(texts, results):
+            assert "hits" in item and len(item["hits"]) == 3
+            _, single = _post(server, "/v1/search", {"query": t, "k": 3})
+            assert [h["row"] for h in item["hits"]] == \
+                [h["row"] for h in single["hits"]]
+
+    def test_vector_batch_matches_store_search(self, server):
+        rng = np.random.default_rng(17)
+        vecs = topk_ops.l2_normalize(
+            rng.standard_normal((5, D)).astype(np.float32))
+        status, body = _post(
+            server, "/v1/search_vector_batch",
+            {"vectors": [[float(x) for x in v] for v in vecs], "k": 4})
+        assert status == 200
+        flat = server.store.search(vecs, k=4)
+        for qi, item in enumerate(body["results"]):
+            assert [h["row"] for h in item["hits"]] == \
+                [r for r, _, _ in flat[qi]]
+
+    def test_batch_coalesces_into_few_device_batches(self, server):
+        before = server.frontend.stats.batches
+        rng = np.random.default_rng(18)
+        vecs = topk_ops.l2_normalize(
+            rng.standard_normal((12, D)).astype(np.float32))
+        status, body = _post(
+            server, "/v1/search_vector_batch",
+            {"vectors": [[float(x) for x in v] for v in vecs], "k": 2})
+        assert status == 200 and len(body["results"]) == 12
+        # 12 queries submitted back-to-back coalesce (max_wait 30 ms)
+        assert server.frontend.stats.batches - before <= 3
+
+    def test_batch_validation_errors(self, server):
+        cases = [
+            ("/v1/search_batch", {"queries": []}),
+            ("/v1/search_batch", {"queries": ["ok", ""]}),
+            ("/v1/search_batch", {"queries": "not a list"}),
+            ("/v1/search_vector_batch", {"vectors": [[0.1], [0.2, 0.3]]}),
+            ("/v1/search_vector_batch", {"vectors": []}),
+            ("/v1/search_vector_batch",
+             {"vectors": [[0.0] * D], "method": "nope"}),
+        ]
+        for path, body in cases:
+            status, resp = _post(server, path, body)
+            assert status == 400, (path, body, resp)
+        status, _ = _post(server, "/v1/search_batch",
+                          {"queries": ["x"] * 1025})
+        assert status == 400
+
+    def test_embed_batch_fn_preferred(self):
+        rng = np.random.default_rng(19)
+        vecs = topk_ops.l2_normalize(
+            rng.standard_normal((8, D)).astype(np.float32))
+        store = ChunkStore(dim=D)
+        store.add(vecs, [{"file_path": f"b{i}.py"} for i in range(8)])
+        calls = {"single": 0, "batch": 0}
+
+        def embed(t):
+            calls["single"] += 1
+            return vecs[0]
+
+        def embed_batch(ts):
+            calls["batch"] += 1
+            return np.stack([vecs[hash(t) % 8] for t in ts])
+
+        with ServingHTTPServer(store, embed, embed_batch_fn=embed_batch,
+                               max_wait_ms=5) as srv:
+            status, body = _post(srv, "/v1/search_batch",
+                                 {"queries": ["a", "b", "c"], "k": 2})
+        assert status == 200 and len(body["results"]) == 3
+        assert calls["batch"] == 1 and calls["single"] == 0
