@@ -275,7 +275,12 @@ class BatchingFrontend:
         unit = rng.standard_normal(dim).astype(np.float32)
         unit /= np.linalg.norm(unit)
         warmed = 0
-        for b in sorted({int(x) for x in buckets}):
+        # caller-supplied buckets are clamped to shapes dispatch can
+        # actually produce: 0/negatives would build a (0, dim) query
+        # batch, and anything past max_batch warms a shape no dispatch
+        # will ever use
+        for b in sorted({int(x) for x in buckets
+                         if 1 <= int(x) <= self.max_batch}):
             if self._closed or self.store is None:
                 break  # shutdown mid-warm: stop at the bucket boundary
             q = np.broadcast_to(unit, (b, dim)).copy()

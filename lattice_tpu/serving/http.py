@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -65,6 +66,10 @@ from lattice_tpu.serving.router import FrontendRouter
 logger = logging.getLogger(__name__)
 
 MAX_BODY_BYTES = 1 << 20  # 1 MB: a 4096-dim f32 vector in JSON is ~100 KB
+# the batch endpoints carry up to MAX_BATCH_ITEMS vectors — 1024 x 768
+# floats in JSON is ~8 MB, so the single-request cap would 413 every
+# documented-size batch before validation ever saw it
+MAX_BATCH_BODY_BYTES = 32 << 20
 
 
 class ServingHTTPServer:
@@ -120,7 +125,11 @@ class ServingHTTPServer:
         if warmup:
             def _warm() -> None:
                 try:
-                    self.warm = fe.warmup(k=self.default_k) > 0
+                    fe.warmup(k=self.default_k)
+                    # "nothing to warm" (empty store / no dim) IS warm:
+                    # readiness probes gate on this flag, and a valid-
+                    # but-empty index must not wedge a deploy NotReady
+                    self.warm = True
                 except Exception:  # noqa: BLE001 — serve cold, don't die
                     logger.exception("startup warmup failed; serving cold")
             self._warm_thread = threading.Thread(
@@ -171,7 +180,6 @@ class ServingHTTPServer:
         # embed closures pin the encoder's params; drop them too
         self.embed_fn = None
         self.embed_batch_fn = None
-        self.embed_fn = None
 
     def __enter__(self) -> "ServingHTTPServer":
         return self.start()
@@ -433,10 +441,17 @@ class ServingHTTPServer:
                                    method=srch_method,
                                    deadline_ms=deadline_ms)
                 for v in vecs]
+        # one absolute deadline for the WHOLE batch: the items share
+        # device batches, so waiting a fresh timeout_s per item would
+        # let a wedged device call pin this handler thread for up to
+        # n * timeout_s (85 h at 1024 items) instead of the single-
+        # request bound
+        wait_until = time.monotonic() + timeout_s
         results: list[dict] = []
         for fut in futs:
             try:
-                scores, ids = fut.result(timeout=timeout_s)
+                scores, ids = fut.result(
+                    timeout=max(0.0, wait_until - time.monotonic()))
                 results.append({"hits": self._hits(scores, ids)})
             except DeadlineExceeded as exc:
                 results.append({"error": f"deadline exceeded: {exc}",
@@ -504,7 +519,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length") or 0)
-            if length > MAX_BODY_BYTES:
+            cap = (MAX_BATCH_BODY_BYTES if self.path.endswith("_batch")
+                   else MAX_BODY_BYTES)
+            if length > cap:
                 # the unread body would desync this keep-alive stream;
                 # drop the connection after responding
                 self.close_connection = True

@@ -260,6 +260,22 @@ class TestWarmup:
             n = fe.warmup(k=3, buckets=[16, 4, 16, 1])
         assert n == 3 and shapes == [1, 4, 16]
 
+    def test_invalid_buckets_are_filtered(self, store, monkeypatch):
+        """Caller-supplied buckets outside 1..max_batch never reach the
+        store: 0/negatives would build a (0, dim) batch and oversized
+        ones warm shapes dispatch can never produce (advisor r4)."""
+        shapes: list[int] = []
+        orig = store.search_device
+
+        def spy(q, k, **kw):
+            shapes.append(int(q.shape[0]))
+            return orig(q, k, **kw)
+
+        monkeypatch.setattr(store, "search_device", spy)
+        with BatchingFrontend(store, max_batch=8, method="flat") as fe:
+            n = fe.warmup(k=3, buckets=[0, -4, 2, 8, 10**9])
+        assert n == 2 and shapes == [2, 8]
+
     def test_warmup_then_search_matches_oracle(self, store):
         qs = _queries(4, seed=21)
         with BatchingFrontend(store, max_batch=8, max_wait_ms=100,

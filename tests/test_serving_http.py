@@ -352,6 +352,45 @@ class TestBatchEndpoints:
                           {"queries": ["x"] * 1025})
         assert status == 400
 
+    def test_batch_body_above_1mb_is_accepted(self, server):
+        """The single-request 1 MB body cap would 413 every documented-
+        size batch (1024 x 768-d vectors in JSON is ~8 MB); the batch
+        endpoints get their own cap (advisor r4)."""
+        rng = np.random.default_rng(23)
+        # float64 reprs (~20 chars each) push 1024 x 64 dims past 1 MB
+        vecs = rng.standard_normal((1024, D))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        body = {"vectors": [v.tolist() for v in vecs], "k": 1}
+        assert len(json.dumps(body).encode()) > 1 << 20
+        status, resp = _post(server, "/v1/search_vector_batch", body)
+        assert status == 200 and len(resp["results"]) == 1024
+
+    def test_single_endpoint_keeps_1mb_cap(self, server):
+        big = {"vector": [0.0] * D, "pad": "x" * ((1 << 20) + 1)}
+        try:
+            status, resp = _post(server, "/v1/search_vector", big)
+        except urllib.error.URLError:
+            # the server responds 413 and drops the connection without
+            # reading the oversized body — the client can hit a broken
+            # pipe mid-send before it ever sees the status line
+            return
+        assert status == 413
+
+    def test_warmup_on_empty_store_reports_warm(self):
+        """'Nothing to warm' IS warm: readiness probes gate on the flag,
+        and a valid-but-empty index must not wedge a deploy NotReady
+        (advisor r4)."""
+        import time
+        with ServingHTTPServer(ChunkStore(dim=D), warmup=True) as srv:
+            deadline = time.monotonic() + 60
+            body = None
+            while time.monotonic() < deadline:
+                _, body = _get(srv, "/healthz")
+                if body["warm"]:
+                    break
+                time.sleep(0.02)
+            assert body is not None and body["warm"] is True
+
     def test_embed_batch_fn_preferred(self):
         rng = np.random.default_rng(19)
         vecs = topk_ops.l2_normalize(
