@@ -52,8 +52,87 @@ from __future__ import annotations
 import gc
 import json
 import os
+import signal
 import sys
+import threading
 import time
+
+# ---- survivability (VERDICT r4 #1) -----------------------------------------
+# Round 4's driver-captured bench TIMED OUT mid-run and, because the one
+# JSON line printed only at the very end, every number already measured
+# was erased (BENCH_r04.json: rc=124, parsed=null). The contract now:
+# results accumulate into RESULT as sections complete, and the line is
+# emitted (a) at normal completion, (b) on SIGTERM (GNU timeout's first
+# signal), (c) by a hard-deadline watchdog THREAD (a Python signal
+# handler cannot run while the main thread is wedged inside a C call to
+# a stuck relay; a daemon thread can still print and _exit), and (d) a
+# soft per-section budget skips optional sections when the run is late.
+RESULT: dict = {
+    "metric": None,
+    "value": None,
+    "unit": "queries/s",
+    "vs_baseline": None,
+    "extra": {},
+}
+_BENCH_T0 = time.monotonic()
+SOFT_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "960"))
+HARD_BUDGET_S = float(os.environ.get("BENCH_HARD_BUDGET_S", "1500"))
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _BENCH_T0
+
+
+def _emit(truncated: bool = False, why: str | None = None) -> None:
+    """Print the one JSON line exactly once (thread/signal safe)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    if truncated:
+        RESULT["extra"]["truncated"] = True
+        if why:
+            RESULT["extra"]["truncated_why"] = why
+        RESULT["extra"]["elapsed_s"] = round(_elapsed(), 1)
+    print(json.dumps(RESULT), flush=True)
+
+
+def _install_guards() -> None:
+    def on_term(signum, frame):  # noqa: ARG001
+        _emit(truncated=True, why=f"signal {signum}")
+        os._exit(0)  # flushing already done by _emit; exit NOW
+
+    try:
+        signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGINT, on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / exotic host: watchdog still covers us
+
+    def watchdog():
+        time.sleep(max(HARD_BUDGET_S - _elapsed(), 1.0))
+        _emit(truncated=True, why=f"hard budget {HARD_BUDGET_S:.0f}s")
+        os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True,
+                     name="bench-watchdog").start()
+
+
+class _SectionSkipped(Exception):
+    """Raised inside a section's try to bail without recording an error."""
+
+
+def _skip_if_late(section: str) -> bool:
+    """Soft budget: optional sections are skipped once the run is late —
+    a partial-but-parsed record beats a complete-but-killed one."""
+    if _elapsed() <= SOFT_BUDGET_S:
+        return False
+    RESULT["extra"].setdefault("skipped_sections", []).append(section)
+    _mark(f"SKIP {section} (soft budget {SOFT_BUDGET_S:.0f}s, "
+          f"elapsed {_elapsed():.0f}s)")
+    return True
 
 
 def _mark(section: str) -> None:
@@ -159,9 +238,28 @@ def _bench_graph(alt: dict) -> "GraphStore | None":
     n = int(os.environ.get("BENCH_GRAPH_NODES", 1 << 20))
     e = int(os.environ.get("BENCH_GRAPH_EDGES", 10_000_000))
     rng = np.random.default_rng(1)
+    # graph_build_s swung 16.7 -> 90.2 s between identical-code runs
+    # (FINAL9 vs FINAL10) with no way to attribute it (VERDICT r4 #5).
+    # Split the phases: host build (python-list appends on a 1-core box
+    # — contention-bound), CSR finalize (np argsort of 10M edges;
+    # best-of-2 since it is re-runnable), and the first device-cache
+    # materialization (relay-upload-bound: ~80 MB of edges at ~20 MB/s).
     t0 = time.perf_counter()
     g = _build_bench_graph(n, e)
-    alt["graph_build_s"] = round(time.perf_counter() - t0, 1)
+    host_and_final = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    g._finalized = False
+    g.finalize()  # second run: same inputs, re-sorts the same arrays
+    fin2 = time.perf_counter() - t0
+    alt["graph_finalize_s"] = round(fin2, 1)
+    alt["graph_host_build_s"] = round(max(host_and_final - fin2, 0.0), 1)
+    alt["graph_build_s"] = round(host_and_final, 1)  # legacy total
+    try:
+        t0 = time.perf_counter()
+        np.asarray(g.device_degree(EdgeType.CALLS))
+        alt["graph_device_upload_s"] = round(time.perf_counter() - t0, 1)
+    except Exception as exc:
+        alt["graph_upload_error"] = repr(exc)[:120]
     alt["graph_nodes"] = n
     alt["graph_edges"] = e
 
@@ -427,6 +525,11 @@ def main() -> None:
 
     import jax
 
+    RESULT["metric"] = f"serving_qps_{N_ROWS // 1000}k_{DIM}d"
+    alt = RESULT["extra"]  # every section writes straight into the
+    # emitted record, so a mid-run kill still reports what completed
+    _install_guards()
+
     # BENCH_CPU=1: smoke-test the full bench flow on the host CPU (the
     # site hook pins JAX_PLATFORMS to the TPU plugin, so the env var
     # alone cannot) — used to validate bench changes without queueing a
@@ -465,21 +568,19 @@ def main() -> None:
                 stale = json.load(f).get("serving", {})
         except Exception:
             pass
-        print(json.dumps({
-            "metric": "serving_qps_1000k_768d",
-            "value": None,
-            "unit": "queries/s",
-            "vs_baseline": None,
-            "extra": {
-                "relay_outage": True,
-                "attach_timeout_s": attach_timeout,
-                "last_self_measured": stale,
-                "source": ("R4_SELF_BENCH.json — pre-outage chip "
-                           "measurements; NOT fresh numbers"),
-            },
-        }), flush=True)   # os._exit skips stdio flushing; a piped
-        os._exit(2)       # stdout would otherwise swallow the line
+        alt.update({
+            "relay_outage": True,
+            "attach_timeout_s": attach_timeout,
+            "last_self_measured": stale,
+            "source": ("R4_SELF_BENCH.json — pre-outage chip "
+                       "measurements; NOT fresh numbers"),
+        })
+        _emit()           # os._exit skips stdio flushing; _emit flushes
+        os._exit(2)
     device = attached[0][0]
+    alt["device"] = str(device)
+    alt["batch"] = BATCH
+    alt["k"] = K
 
     # ---- clustered corpus on device (code embeddings cluster; this is the
     # regime the IVF serving path is built for — BASELINE config 3)
@@ -536,6 +637,10 @@ def main() -> None:
     plan_ms = (time.perf_counter() - t0) * 1000.0  # ~= IVF build when taken
     ivf_recall = (store._ivf.measured_recall
                   if store._ivf is not None else None)
+    alt["dispatcher_plan"] = plan
+    alt["plan_ms_incl_ivf_build"] = round(plan_ms, 1)
+    alt["ivf_self_recall"] = (round(ivf_recall, 4)
+                              if ivf_recall is not None else None)
 
     def timed(fn):
         # best of two windows: relay queue transients depress a single
@@ -557,9 +662,43 @@ def main() -> None:
     with trace_cm:
         headline_qps, idx_np = timed(
             lambda: store.search_device(q_f32, K))
+    RESULT["value"] = round(headline_qps, 1)
 
-    # alternate kernels for visibility (not the headline)
-    alt = {}
+    # ---- complete the CORE record immediately (headline + recall +
+    # vs-host baselines): everything after this point is extras, so a
+    # mid-run kill still leaves a meaningful contract line
+    recall = np.mean([
+        len(set(idx_np[i].tolist()) & set(exact_i[i].tolist())) / K
+        for i in range(BATCH)
+    ])
+    alt["recall_at_10_vs_exact"] = round(float(recall), 4)
+    # host baselines on a subsample (exact scan + IVF estimate).
+    # best-of-3: a single rep on this 1-core box swings ~7x under
+    # contention (host_exact_qps_scaled 2.03 vs 15.15, FINAL3 vs FINAL4)
+    # and vs_baseline swings with it; min-time biases the baseline FAST,
+    # the conservative direction for the reported ratio.
+    host_sub_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        host_scores = queries @ host_corpus.T
+        np.argpartition(-host_scores, min(K, sub - 1), axis=1)
+        host_sub_s = min(host_sub_s, time.perf_counter() - t0)
+    del host_scores
+    host_qps = BATCH / (host_sub_s * (N_ROWS / sub))
+    try:
+        host_ivf_qps = _host_ivf_estimate(host_corpus, queries, N_ROWS, K)
+    except Exception:
+        host_ivf_qps = None
+    RESULT["vs_baseline"] = round(headline_qps / host_qps, 2)
+    # renamed from vs_baseline (VERDICT r2 #7): this is a scaled
+    # single-core NumPy exact scan, not Qdrant
+    alt["vs_host_exact_scan"] = round(headline_qps / host_qps, 2)
+    alt["vs_host_ivf_est"] = (round(headline_qps / host_ivf_qps, 1)
+                              if host_ivf_qps else None)
+    alt["host_ivf_qps_est"] = (round(host_ivf_qps, 1)
+                               if host_ivf_qps else None)
+    alt["host_exact_qps_scaled"] = round(host_qps, 2)
+    _mark(f"core record complete at {_elapsed():.0f}s")
     # small-batch serving latency, flat/isotropic regime (VERDICT r2 #5)
     try:
         alt.update(_bench_latency(store, q_f32, K))
@@ -687,6 +826,8 @@ def main() -> None:
     # kernel-layout columns + no per-call query upload, R4_TPU_RESULTS5/7);
     # carrying it here keeps the fix under the bench contract.
     try:
+        if _skip_if_late("sharded"):
+            raise _SectionSkipped
         from lattice_tpu.parallel.sharded_index import ShardedQuantizedIndex
         rng_sh = np.random.default_rng(42)
         host_sh = rng_sh.standard_normal((N_ROWS, DIM), dtype=np.float32)
@@ -714,6 +855,8 @@ def main() -> None:
             for i in range(BATCH)])), 4)
         del sq
         gc.collect()
+    except _SectionSkipped:
+        pass
     except Exception as exc:
         alt["sharded_error"] = repr(exc)[:120]
         sq = host_sh = out_sh = i_sh = i_or = None  # noqa: F841
@@ -803,12 +946,6 @@ def main() -> None:
             alt["clustered_fresh_error"] = repr(exc)[:120]
         del emb_c, store_c
 
-    # ---- recall vs device-exact f32 (oracle computed up front)
-    recall = np.mean([
-        len(set(idx_np[i].tolist()) & set(exact_i[i].tolist())) / K
-        for i in range(BATCH)
-    ])
-
     # ---- config 5: incremental delta upsert into the live store.
     # The first add pays the scatter-kernel compiles + any capacity
     # growth; the timed region amortizes DELTA_REPS adds behind ONE
@@ -836,7 +973,8 @@ def main() -> None:
                     [{"file_path": "delta.py"}] * DELTA_ROWS)
             np.asarray(store._emb[rows[0]])  # readback proves execution
             best_d = min(best_d, time.perf_counter() - t0)
-        delta_ms = best_d * 1000.0 / DELTA_REPS
+        alt["delta_upsert_ms_256rows"] = round(
+            best_d * 1000.0 / DELTA_REPS, 1)
         # device-resident variant: rows arrive as a device array (the
         # real ingestion path — encode_device output feeds add directly).
         # The host loop above is ~100% relay upload by arithmetic:
@@ -858,15 +996,15 @@ def main() -> None:
         alt["delta_upsert_device_ms_256rows"] = round(
             (time.perf_counter() - t0) * 1000.0 / DELTA_REPS, 1)
         del delta_dev
-        ivf_still_fresh = not store._ivf_dirty if store._ivf else None
+        alt["ivf_fresh_after_delta"] = (
+            not store._ivf_dirty if store._ivf else None)
     except Exception as exc:
         alt["delta_error"] = repr(exc)[:120]
-        delta_ms = None
-        ivf_still_fresh = None
     _mark("graph+hybrid")
 
     # ---- BASELINE config 4 + hybrid query path (VERDICT r2 #1/#3)
-    if os.environ.get("BENCH_GRAPH", "1") == "1":
+    if os.environ.get("BENCH_GRAPH", "1") == "1" \
+            and not _skip_if_late("graph+hybrid"):
         try:
             bench_graph = _bench_graph(alt)
             _bench_hybrid(alt, bench_graph, store, np.asarray(queries))
@@ -889,6 +1027,8 @@ def main() -> None:
     flops_tok = 2 * nl * (4 * h * h + 2 * h * ff) + 2 * nl * 2 * length * h
     on_tpu = device.platform.lower() in ("tpu", "axon")
     try:
+        if _skip_if_late("encoder"):
+            raise _SectionSkipped
         from lattice_tpu.models.unixcoder import (UniXcoderConfig,
                                                   UniXcoderModel)
         enc_model = UniXcoderModel(UniXcoderConfig())
@@ -913,13 +1053,14 @@ def main() -> None:
         for _ in range(enc_iters):
             out_dev = enc_model.encode_device(ids, mask)
         float(out_dev[0, 0])
-        encode_cps = ENCODE_BATCH * enc_iters / (time.perf_counter() - t0)
+        alt["encode_chunks_per_s"] = round(
+            ENCODE_BATCH * enc_iters / (time.perf_counter() - t0), 1)
         # host loop (per-call readback) kept as a secondary number
         t0 = time.perf_counter()
         for _ in range(enc_iters):
             enc_model.encode(ids, mask)
-        encode_host_cps = (ENCODE_BATCH * enc_iters
-                           / (time.perf_counter() - t0))
+        alt["encode_host_loop_cps"] = round(
+            ENCODE_BATCH * enc_iters / (time.perf_counter() - t0), 1)
         # device-resident loop: inputs uploaded ONCE. encode_device(np)
         # re-uploads 512 KB of ids+mask per call, ~25 ms through the
         # ~20 MB/s relay — a tunnel artifact, not chip time (real hosts
@@ -928,7 +1069,6 @@ def main() -> None:
         # R4_TPU_RESULTS2; encode_chunks_per_s keeps the e2e number).
         # Own try: a late failure here (e.g. a poisoned allocation after
         # an earlier OOM) must not clobber the two loops already timed.
-        encode_mfu = None
         try:
             ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
             out_dev = enc_model.encode_device(ids_d, mask_d)
@@ -942,79 +1082,118 @@ def main() -> None:
             alt["encode_device_resident_cps"] = round(encode_dev_cps, 1)
             # model FLOPs/token: QKVO + FFN matmuls + two [L,L] attention
             # matmuls; v5e bf16 peak ~197 TF/s (VERDICT r2 #4: report MFU)
-            encode_mfu = (encode_dev_cps * length * flops_tok / 197e12
-                          if on_tpu else None)
+            if on_tpu:
+                alt["encode_mfu"] = round(
+                    encode_dev_cps * length * flops_tok / 197e12, 3)
         except Exception as exc:
             alt["encode_resident_error"] = repr(exc)[:160]
+    except _SectionSkipped:
+        pass
     except Exception as exc:
         alt["encode_error"] = repr(exc)[:160]
-        encode_cps = encode_host_cps = 0.0
-        encode_mfu = None
     try:
         del enc_model, out_dev
     except NameError:
         pass
     gc.collect()
+    _mark("capacity-4m")
+
+    # ---- capacity tier IN the contract (VERDICT r4 #3): 4M rows served
+    # from a packed-int4 view whose resident bytes (~1.6 GB: 4M x 384 B
+    # packed + scales) match the 1M-bf16 budget (1M x 768 x 2 B = 1.6 GB)
+    # — the "4x corpus per chip at equal HBM" claim, measured at B=1024
+    # (R3_TPU_RESULTS9: 19.0k qps there via scratch scripts; this puts it
+    # under BENCH_r*.json). The bf16 rows are NEVER resident: blocks are
+    # generated, oracle-scored, quantized, and freed; only packed int4
+    # survives. Client-live bytes ride along as the budget proof
+    # (device memory_stats() is empty through the relay).
+    try:
+        if _skip_if_late("capacity_4m"):
+            raise _SectionSkipped
+        from lattice_tpu.ops.quant import Int4View
+        from lattice_tpu.ops.quant import quantize_rows_int4_device
+        N4 = int(os.environ.get("BENCH_CAPACITY_ROWS", 1 << 22))
+        BQ = 1024  # the measured-best single-call batch for int4 at 4M
+        kc4, ka4, kn4, kq4 = jax.random.split(jax.random.PRNGKey(7), 4)
+        centers4 = gen_centers(kc4, N4, N_CLUSTERS)
+        q4 = gen_block(centers4, jax.random.fold_in(kq4, 1),
+                       jax.random.fold_in(kq4, 2), BQ)
+        # oracle on the fly: per-block exact top-K for the first 256
+        # queries, merged at the end (no 6 GB bf16 corpus, no [B, N] slab)
+        q_or = q4[:BATCH]
+        blk4 = 1 << 17
+        packed_parts, scale_parts = [], []
+        or_vals, or_idx = [], []
+
+        @jax.jit
+        def _block_topk(q, block):
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jax.lax.top_k(s, K)
+
+        for i in range(0, N4, blk4):
+            blk = gen_block(centers4, jax.random.fold_in(ka4, i),
+                            jax.random.fold_in(kn4, i),
+                            min(blk4, N4 - i)).astype(jnp.bfloat16)
+            v, s = _block_topk(q_or, blk)
+            or_vals.append(np.asarray(v))
+            or_idx.append(np.asarray(s) + i)
+            pv, ps = quantize_rows_int4_device(blk.astype(jnp.float32))
+            packed_parts.append(pv)
+            scale_parts.append(ps)
+            del blk
+        view4 = Int4View.from_packed(jnp.concatenate(packed_parts),
+                                     jnp.concatenate(scale_parts))
+        valid4 = jnp.ones((N4,), dtype=bool)
+        del packed_parts, scale_parts
+        gc.collect()
+        # merge the per-block oracles on host: global exact top-K
+        av = np.concatenate(or_vals, axis=1)
+        ai = np.concatenate(or_idx, axis=1)
+        sel = np.argsort(-av, axis=1)[:, :K]
+        oracle4 = np.take_along_axis(ai, sel, axis=1)
+        live = sum(getattr(a, "nbytes", 0) or 0 for a in jax.live_arrays())
+        alt["capacity_4m_live_mb"] = round(live / 1e6)
+        np.asarray(view4.search_device(q4, valid4, K)[1])  # compile+warm
+        best4 = float("inf")
+        for _ in range(2):  # best-of-2 windows (queue transients)
+            t04 = time.perf_counter()
+            for _ in range(8):
+                out4 = view4.search_device(q4, valid4, K)
+            i4 = np.asarray(out4[1])
+            best4 = min(best4, time.perf_counter() - t04)
+        alt["capacity_4m_qps"] = round(BQ * 8 / best4, 1)
+        alt["capacity_4m_recall"] = round(float(np.mean([
+            len(set(i4[i].tolist()) & set(oracle4[i].tolist())) / K
+            for i in range(BATCH)])), 4)
+        alt["capacity_4m_rows"] = N4
+        del view4, valid4, q4, centers4
+        gc.collect()
+    except _SectionSkipped:
+        pass
+    except Exception as exc:
+        alt["capacity_4m_error"] = repr(exc)[:160]
+        view4 = q4 = centers4 = packed_parts = scale_parts = None  # noqa: F841
+        gc.collect()
     _mark("clustered")
 
     # clustered runs LAST among device sections: its fresh-delta growth
     # transient is the one allocation that has ever OOMed this bench, and
     # a first OOM poisons every later allocation in the process
     try:
+        if _skip_if_late("clustered"):
+            raise _SectionSkipped
         _bench_clustered()
+    except _SectionSkipped:
+        pass
     except Exception as exc:
         alt["clustered_error"] = repr(exc)[:120]
     gc.collect()
 
-    # ---- host baselines on a subsample (exact scan + IVF estimate)
-    # best-of-3: a single rep on this 1-core box swings ~7x under
-    # contention (host_exact_qps_scaled 2.03 vs 15.15, FINAL3 vs FINAL4)
-    # and vs_baseline swings with it; min-time biases the baseline FAST,
-    # the conservative direction for the reported ratio.
-    host_sub_s = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        host_scores = queries @ host_corpus.T
-        np.argpartition(-host_scores, min(K, sub - 1), axis=1)
-        host_sub_s = min(host_sub_s, time.perf_counter() - t0)
-    host_qps = BATCH / (host_sub_s * (N_ROWS / sub))
-    try:
-        host_ivf_qps = _host_ivf_estimate(host_corpus, queries, N_ROWS, K)
-    except Exception:
-        host_ivf_qps = None
-
-    print(json.dumps({
-        "metric": f"serving_qps_{N_ROWS // 1000}k_{DIM}d",
-        "value": round(headline_qps, 1),
-        "unit": "queries/s",
-        # renamed from vs_baseline (VERDICT r2 #7): this is a scaled
-        # single-core NumPy exact scan, not Qdrant
-        "vs_baseline": round(headline_qps / host_qps, 2),
-        "extra": {
-            "vs_host_exact_scan": round(headline_qps / host_qps, 2),
-            "vs_host_ivf_est": (round(headline_qps / host_ivf_qps, 1)
-                                if host_ivf_qps else None),
-            "host_ivf_qps_est": (round(host_ivf_qps, 1)
-                                 if host_ivf_qps else None),
-            "host_exact_qps_scaled": round(host_qps, 2),
-            "encode_mfu": (round(encode_mfu, 3)
-                           if encode_mfu is not None else None),
-            "recall_at_10_vs_exact": round(float(recall), 4),
-            "device": str(device),
-            "batch": BATCH,
-            "k": K,
-            "dispatcher_plan": plan,
-            "plan_ms_incl_ivf_build": round(plan_ms, 1),
-            "ivf_self_recall": (round(ivf_recall, 4)
-                                if ivf_recall is not None else None),
-            "delta_upsert_ms_256rows": (round(delta_ms, 1)
-                                        if delta_ms is not None else None),
-            "ivf_fresh_after_delta": ivf_still_fresh,
-            "encode_chunks_per_s": round(encode_cps, 1),
-            "encode_host_loop_cps": round(encode_host_cps, 1),
-            **alt,
-        },
-    }))
+    alt["total_bench_s"] = round(_elapsed(), 1)
+    _emit()
 
 
 if __name__ == "__main__":
