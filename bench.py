@@ -699,6 +699,31 @@ def main() -> None:
                                if host_ivf_qps else None)
     alt["host_exact_qps_scaled"] = round(host_qps, 2)
     _mark(f"core record complete at {_elapsed():.0f}s")
+
+    # ---- retrieval QUALITY under the contract (VERDICT r4 #2): the
+    # labeled golden-corpus eval (87 NL queries -> expected qualified
+    # names; hit@5/10 + MRR@10 through the real engine paths). Quality
+    # is platform-independent, so it runs as a CPU subprocess — it must
+    # not queue behind (or contend with) the relay sections. Runs
+    # SEQUENTIALLY (1-core box: concurrent host work corrupts every
+    # host-dispatch-bound key, r4 lesson).
+    if not _skip_if_late("golden_eval"):
+        try:
+            import subprocess
+            env = dict(os.environ)
+            env.update({"LATTICE_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu"})
+            proc = subprocess.run(
+                [sys.executable, "-m", "lattice_tpu.query.golden_eval"],
+                capture_output=True, text=True, timeout=600, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            ev = json.loads(proc.stdout.strip().splitlines()[-1])
+            alt["golden_eval_mrr"] = ev["mrr"]
+            alt["golden_eval_hit_at_5"] = ev["hit_at_5"]
+            alt["golden_eval_hit_at_10"] = ev["hit_at_10"]
+            alt["golden_eval_n"] = ev["n"]
+        except Exception as exc:
+            alt["golden_eval_error"] = repr(exc)[:160]
+    _mark("golden-eval done")
     # small-batch serving latency, flat/isotropic regime (VERDICT r2 #5)
     try:
         alt.update(_bench_latency(store, q_f32, K))

@@ -1,0 +1,77 @@
+"""Retrieval-QUALITY floors over the golden corpus (VERDICT r4 #2).
+
+The golden corpus pins structure (exact counts); this pins relevance:
+87 labeled natural-language queries (tests/fixtures/golden_eval.jsonl)
+scored as hit@5 / hit@10 / MRR@10 through the real engine paths
+(`QueryEngine.search_sync` + `deep_search`). A regression that halves
+answer relevance without moving any count now fails here.
+
+Reference semantic: answering code questions IS the product
+(`src/lattice/query/engine.py:102-220`); floors are set ~0.05 under the
+measured scores at authoring time (mrr 0.5279, hit@5 0.7241,
+hit@10 0.8391 on the hash embedder) so real regressions trip while
+benign ranking jitter does not. If you IMPROVE ranking, ratchet the
+floors up with the measurement.
+"""
+
+import pytest
+
+from lattice_tpu.query.golden_eval import evaluate, load_cases
+
+FLOORS = {
+    "mrr": 0.48,
+    "hit_at_5": 0.67,
+    "hit_at_10": 0.79,
+}
+DEEP_MRR_FLOOR = 0.20
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from lattice_tpu.query.golden_eval import build_golden_engine
+    eng, _ctx = build_golden_engine(
+        work_dir=tmp_path_factory.mktemp("golden_eval"))
+    return eng
+
+
+@pytest.fixture(scope="module")
+def scores(engine):
+    return evaluate(engine, load_cases())
+
+
+class TestEvalSet:
+    def test_case_shape_and_count(self):
+        cases = load_cases()
+        assert len(cases) >= 80
+        intents = set()
+        for c in cases:
+            assert c["query"].strip() and c["expect"]
+            assert c["path"] in ("search", "deep")
+            intents.add(c["intent"])
+        # the set must keep exercising the breadth of the taxonomy
+        assert {"general_search", "find_definition", "find_usage",
+                "find_callees", "find_hierarchy", "find_methods",
+                "find_call_chain"} <= intents
+
+    def test_both_paths_covered(self):
+        cases = load_cases()
+        paths = {c["path"] for c in cases}
+        assert paths == {"search", "deep"}
+
+
+class TestQualityFloors:
+    def test_overall_floors(self, scores):
+        for metric, floor in FLOORS.items():
+            assert scores[metric] >= floor, (
+                f"{metric}={scores[metric]} fell under the pinned floor "
+                f"{floor} — retrieval quality regressed "
+                f"(misses: {[m['query'] for m in scores['misses']][:8]})")
+
+    def test_deep_path_floor(self, scores):
+        deep = scores["per_path"]["deep"]
+        assert deep["mrr"] >= DEEP_MRR_FLOOR, deep
+
+    def test_search_path_beats_chance(self, scores):
+        # 698 entities; hitting top-10 by chance is ~1.4% per expected
+        # name. Anything near chance means the vector path is dead.
+        assert scores["per_path"]["search"]["hit_at_5"] >= 0.5
