@@ -146,6 +146,24 @@ class VectorSearcher:
         hits = self.indexer.code.search(qvec[None, :], k=limit, filters=filters)
         return self._materialize(hits[0])
 
+    def search_lexical(self, query: str, limit: int = 15,
+                       filters: dict | None = None
+                       ) -> list[VectorSearchResult]:
+        """Exact-identifier channel: rows whose entity-name tokens the
+        query names in plain words (IDF-weighted name coverage). The
+        round-5 golden eval exposed that pure cosine misses these (e.g.
+        'drain the webhook delivery queue' -> DeliveryQueue.drain);
+        candidates from here merge with the dense results in the hybrid
+        ranker — a row found by both channels gets the duplicate boost."""
+        from lattice_tpu.index.chunk_store import query_token_set
+        tokens = query_token_set(query)
+        if not tokens:
+            return []
+        hits = [(row, score, self.indexer.code.payload(row) or {})
+                for row, score in self.indexer.code.lexical_candidates(
+                    tokens, limit=limit, filters=filters)]
+        return self._materialize(hits)
+
     def search_summaries(self, query: str, limit: int = 10,
                          filters: dict | None = None) -> list[VectorSearchResult]:
         qvec = self.embedder.embed(query)

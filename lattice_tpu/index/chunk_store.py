@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
+import re
 import threading
 from typing import Any, Sequence
 
@@ -70,6 +72,52 @@ def _index_payload(inverted: dict, row: int, payload: dict) -> None:
         v = payload.get(f)
         if v is not None:
             inverted[f].setdefault(v, set()).add(row)
+
+
+# ---- lexical name tokens (round-5 retrieval-quality channel) ---------------
+# The golden eval exposed the gap: "drain the webhook delivery queue"
+# missed DeliveryQueue.drain even though the query names the method —
+# plain cosine over hash n-grams under-weights identifier matches, and
+# the planner's entity extraction only fires on code-shaped tokens
+# (CamelCase/snake_case), never plain words. These helpers split entity
+# names into searchable word tokens for an IDF-weighted exact-token
+# channel that complements the dense path (classic hybrid code search;
+# the reference got a weak version implicitly via Qdrant payload match).
+
+_CAMEL_SPLIT_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+
+_QUERY_STOPWORDS = frozenset(
+    "the a an of to in for from by with and or is are was were does do did "
+    "how what where who which when why show me find all any that this it "
+    "its on at as be been has have had not no can could should would my "
+    "our your their like using use used via into onto".split())
+
+
+def name_token_set(name: str) -> frozenset[str]:
+    """Word tokens of an entity name: last two dotted segments (method +
+    class, or function + module), split on underscores and camelCase,
+    lowercased. `DeliveryQueue.drain` -> {delivery, queue, drain}."""
+    toks: set[str] = set()
+    for seg in name.split(".")[-2:]:
+        for part in seg.replace("-", "_").split("_"):
+            for w in _CAMEL_SPLIT_RE.split(part):
+                w = w.lower()
+                if len(w) >= 2:
+                    toks.add(w)
+    return frozenset(toks)
+
+
+def query_token_set(text: str) -> frozenset[str]:
+    """Lexical query tokens: words + identifier pieces, minus stopwords."""
+    toks: set[str] = set()
+    for raw in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", text):
+        for part in raw.replace("-", "_").split("_"):
+            for w in _CAMEL_SPLIT_RE.split(part):
+                w = w.lower()
+                if len(w) >= 2 and w not in _QUERY_STOPWORDS:
+                    toks.add(w)
+    return frozenset(toks)
 
 
 logger = logging.getLogger(__name__)
@@ -190,6 +238,9 @@ class ChunkStore:
         self._rank_cols = None     # (node_ids, quality) device columns for
         self._rank_cols_dirty = True  # the fused hybrid rank (ops/ranking.py)
         self._sharded_rank = None  # multi-chip hybrid deep-rank view
+        self._lex_tokens = None    # name-token inverted index, lazy+dirty
+        # (None = rebuild on next lexical_candidates; mutations null it —
+        # zero cost on the fused add path when lexical search is unused)
 
     @classmethod
     def from_device_arrays(cls, embeddings: jax.Array, valid: jax.Array,
@@ -330,6 +381,7 @@ class ChunkStore:
                 self._valid_host[row] = True
                 self._payloads[row] = dict(payload)
                 _index_payload(self._inverted, row, payload)
+            self._lex_tokens = None  # rebuild on next lexical query
             self._size += n
             self._mutate_views(rows, normed_dev, quant_done=fuse_q,
                                int4_done=fuse_i4)
@@ -444,6 +496,7 @@ class ChunkStore:
         self._valid_host[row] = False
         self._free.append(row)
         self._size -= 1
+        self._lex_tokens = None  # rebuild on next lexical query
 
     def remove(self, rows: Sequence[int]) -> int:
         live = [r for r in rows if self._payloads[r] is not None]
@@ -514,6 +567,7 @@ class ChunkStore:
         self._valid_host = valid_new
         self._payloads = payloads_new
         self._inverted = inverted_new
+        self._lex_tokens = None  # row ids moved; rebuild lazily
         self._cap = new_cap
         self._free = []
         self._next = n_live
@@ -557,6 +611,7 @@ class ChunkStore:
         self._size = 0
         self._next = 0
         self._inverted = {f: {} for f in INDEXED_FIELDS}
+        self._lex_tokens = None
         self._reset_views()
 
     def device_rank_columns(self, graph) -> "RankColumns":
@@ -622,6 +677,64 @@ class ChunkStore:
         return self._rank_cols
 
     # ---- filters -------------------------------------------------------
+
+    def lexical_candidates(self, tokens, limit: int = 32,
+                           filters: dict[str, Any] | None = None
+                           ) -> list[tuple[int, float]]:
+        """Rows whose entity-name tokens overlap `tokens`, scored by
+        IDF-weighted name coverage in [0, 1] (1.0 = every token of the
+        name appears in the query). The exact-identifier complement to
+        the dense cosine channel — a query naming `DeliveryQueue.drain`
+        in plain words surfaces it even when the embedding misses.
+
+        Host-side sparse lookup by design (same measured split as the
+        graph walks: token -> rows is a dict probe over a handful of
+        tokens; no dense [corpus] work). The index builds lazily on
+        first use and rebuilds after mutations (`_lex_tokens = None`)."""
+        toks = {t.lower() for t in tokens}
+        if not toks:
+            return []
+        with self._serve_lock:
+            idx = self._lex_tokens
+            if idx is None:
+                idx = {}
+                for row, p in enumerate(self._payloads):
+                    if not p:
+                        continue  # dead row or the empty shared sentinel
+                    nm = p.get("name") or p.get("graph_node_id") or ""
+                    for t in name_token_set(nm):
+                        idx.setdefault(t, set()).add(row)
+                self._lex_tokens = idx
+        n = max(self._size, 1)
+        # a token matching >5% of the corpus carries ~no signal and
+        # would make this probe O(corpus); idf would discount it anyway
+        df_cap = max(int(0.05 * n), 1000)
+        acc: dict[int, float] = {}
+        for t in toks:
+            rows = idx.get(t)
+            if not rows or len(rows) > df_cap:
+                continue
+            idf = math.log1p(n / len(rows))
+            for r in rows:
+                acc[r] = acc.get(r, 0.0) + idf
+        if not acc:
+            return []
+        allowed = self._filter_rows(filters) if filters else None
+        out: list[tuple[int, float]] = []
+        for r, num in acc.items():
+            if allowed is not None and r not in allowed:
+                continue
+            p = self._payloads[r]
+            if not p:
+                continue
+            ntoks = name_token_set(p.get("name")
+                                   or p.get("graph_node_id") or "")
+            den = sum(
+                math.log1p(n / len(idx.get(t) or (0,))) for t in ntoks)
+            if den > 0:
+                out.append((r, min(num / den, 1.0)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:limit]
 
     def _filter_rows(self, filters: dict[str, Any]) -> set[int]:
         """AND of per-field matches; values may be scalars or lists (OR)."""

@@ -100,6 +100,13 @@ class QueryEngine:
             results = self.vector_searcher.search_code(
                 plan.raw_query, limit=min(limit, self.settings.max_vector_results),
                 filters=filters)
+            # exact-identifier channel (round 5): queries that name an
+            # entity in plain words surface it even when the embedding
+            # misses; duplicate rows merge (and boost) in the ranker
+            results += self.vector_searcher.search_lexical(
+                plan.raw_query, limit=min(limit,
+                                          self.settings.max_vector_results),
+                filters=filters)
             if plan.intent in SUMMARY_INTENTS and len(self.indexer.summaries):
                 results += self.vector_searcher.search_summaries(
                     plan.raw_query, limit=5, filters=filters)
@@ -273,6 +280,12 @@ class QueryEngine:
                 match[row] = 1.0
             n = len(payload.get("content") or "")
             quality[row] = 1.0 if 80 <= n <= 4000 else (0.5 if n else 0.0)
+        # lexical channel (round 5): plain-word identifier mentions feed
+        # the same match signal the planner's extracted entities do
+        from lattice_tpu.index.chunk_store import query_token_set
+        for row, lscore in store.lexical_candidates(
+                query_token_set(query_text), limit=64):
+            match[row] = max(match[row], float(lscore))
 
         scores, rows = fused_rank(
             jnp.asarray(depth), jnp.asarray(relevance),
@@ -638,6 +651,14 @@ class QueryEngine:
         for sd in seeds:
             match_rows.extend(
                 inverted.get(graph.node(sd).qualified_name, ()))
+        # lexical channel (round 5): the packed match slots are binary,
+        # so only strong name-coverage hits ride along (>=0.6 — a name
+        # the query mostly spells out), capped to leave room for seeds
+        from lattice_tpu.index.chunk_store import query_token_set
+        match_rows.extend(
+            r for r, s in store.lexical_candidates(
+                query_token_set(plan.raw_query), limit=32)
+            if s >= 0.6)
         return {
             "seeds": seeds, "f_ids": f_ids, "f_d": f_d,
             "b_ids": b_ids, "b_d": b_d,

@@ -61,6 +61,10 @@ class FrontendStats:
     errors: int = 0
     deadline_expired: int = 0
     rejected_overload: int = 0
+    # dispatches that landed on a pad bucket warmup had not precompiled
+    # (each such first dispatch eats the 20-40 s relay compile as tail
+    # latency — the signal that warm-on-mint coverage is incomplete)
+    cold_compiles: int = 0
     # bounded: a long-lived server dispatches millions of batches
     batch_sizes: deque = field(default_factory=lambda: deque(maxlen=1024))
     # submit->result wall clock of recent queries, milliseconds
@@ -183,6 +187,14 @@ class BatchingFrontend:
         # counters survive frontend recycling (FrontendRouter eviction
         # re-mints a config's frontend around the same stats object)
         self.stats = stats if stats is not None else FrontendStats()
+        # buckets warmup() has precompiled; a dispatch outside this set
+        # counts as a cold compile in stats. `warming` is True while a
+        # background warmup is running — queued requests' deadlines are
+        # suspended for that window (they chose to wait out the compile,
+        # not to race it; VERDICT r4 #4's queue-with-extended-deadline)
+        self._warmed_buckets: set[int] = set()
+        self.warming = False
+        self._warm_thread: threading.Thread | None = None
         self._queue: queue.Queue[_Item | None] = queue.Queue()
         self._pending = 0  # queued-but-not-dispatched, guarded by _submit_lock
         self._busy = False  # worker inside _dispatch (device call in flight)
@@ -287,8 +299,41 @@ class BatchingFrontend:
             _, ids = store.search_device(q, int(k), filters=self.filters,
                                          method=self.method)
             np.asarray(ids)
+            self._warmed_buckets.add(b)
             warmed += 1
         return warmed
+
+    def warmup_async(self, k: int = 10) -> threading.Thread:
+        """Run `warmup()` on a background thread (VERDICT r4 #4: a
+        router-minted config warms OFF the request path). While it runs,
+        `warming` is True and queued requests' deadlines are suspended —
+        they queue with an extended deadline instead of 504ing against a
+        compile they cannot avoid. Idempotent while a warm is running."""
+        with self._submit_lock:
+            if self._warm_thread is not None and self._warm_thread.is_alive():
+                return self._warm_thread
+            self.warming = True
+
+            def _warm() -> None:
+                try:
+                    self.warmup(k=k)
+                except Exception:  # noqa: BLE001 — serve cold, don't die
+                    logger.exception("async warmup failed; serving cold")
+                finally:
+                    self.warming = False
+
+            self._warm_thread = threading.Thread(
+                target=_warm, daemon=True, name="lattice-frontend-warm")
+            self._warm_thread.start()
+            return self._warm_thread
+
+    def join_warmup(self, timeout: float | None = None) -> bool:
+        """Wait for a running async warmup; True when not/no-longer
+        warming."""
+        th = self._warm_thread
+        if th is not None:
+            th.join(timeout)
+        return not self.warming
 
     def close(self, timeout: float | None = 5.0) -> None:
         """Stop the worker after draining already-submitted queries.
@@ -388,11 +433,15 @@ class BatchingFrontend:
                  if it.future.set_running_or_notify_cancel()]
         # expire overdue requests BEFORE paying for the device call: by
         # now their caller has given up (HTTP thread timed out), so a
-        # slot in the batch would compute a result nobody reads
+        # slot in the batch would compute a result nobody reads.
+        # EXCEPT while the mint-time warmup is still compiling: those
+        # requests queued behind an unavoidable 20-40 s compile window,
+        # so their queue-wait deadline is suspended for it (the HTTP
+        # result timeout still bounds the total wait)
         now = time.monotonic()
         live: list[_Item] = []
         for it in batch:
-            if it.expired(now):
+            if it.expired(now) and not self.warming:
                 self.stats.deadline_expired += 1
                 it.future.set_exception(DeadlineExceeded(
                     f"waited {(now - it.t_submit) * 1e3:.1f} ms"))
@@ -409,6 +458,12 @@ class BatchingFrontend:
             n = len(batch)
             k_max = max(it.k for it in batch)
             bucket = self._bucket(n, self.max_batch)
+            if bucket not in self._warmed_buckets:
+                # first traffic on a shape warmup never covered: this
+                # dispatch pays the compile as tail latency. Counted
+                # once per bucket (later dispatches reuse the jit key).
+                self.stats.cold_compiles += 1
+                self._warmed_buckets.add(bucket)
             q = np.zeros((bucket, batch[0].vec.shape[0]), dtype=np.float32)
             for i, it in enumerate(batch):
                 q[i] = it.vec

@@ -69,7 +69,9 @@ class FrontendRouter:
     def __init__(self, store, *, max_batch: int = 256,
                  max_wait_ms: float = 2.0,
                  max_queue: int | None = None,
-                 max_configs: int = 8):
+                 max_configs: int = 8,
+                 warm_on_mint: bool = False,
+                 warm_k: int = 10):
         if max_configs < 1:
             raise ValueError("max_configs must be >= 1")
         self.store = store
@@ -77,6 +79,13 @@ class FrontendRouter:
         self.max_wait_ms = float(max_wait_ms)
         self.max_queue = max_queue
         self.max_configs = int(max_configs)
+        # VERDICT r4 #4: a freshly-minted config's pad buckets compile at
+        # request time (20-40 s on a cold relay) unless someone warms
+        # them. warm_on_mint kicks BatchingFrontend.warmup_async for
+        # every new frontend; requests that arrive meanwhile queue with
+        # their deadline suspended instead of 504ing against the compile.
+        self.warm_on_mint = bool(warm_on_mint)
+        self.warm_k = int(warm_k)
         self._frontends: dict[str, BatchingFrontend] = {}
         self._last_used: dict[str, float] = {}
         # evicted configs keep their FrontendStats here; re-minting the
@@ -140,6 +149,8 @@ class FrontendRouter:
                 stats=self._retired_stats.pop(key, None))
             self._frontends[key] = fe
             self._last_used[key] = time.monotonic()
+            if self.warm_on_mint:
+                fe.warmup_async(k=self.warm_k)
             return fe
 
     def peek(self, *, filters: dict | None = None,
@@ -197,7 +208,8 @@ class FrontendRouter:
         items = self.iter_stats()
         out: dict[str, dict] = {}
         agg = {"queries": 0, "batches": 0, "errors": 0,
-               "deadline_expired": 0, "rejected_overload": 0}
+               "deadline_expired": 0, "rejected_overload": 0,
+               "cold_compiles": 0}
         for key, st, retired in items:
             out[key] = {
                 "queries": st.queries, "batches": st.batches,
@@ -205,6 +217,7 @@ class FrontendRouter:
                 "errors": st.errors,
                 "deadline_expired": st.deadline_expired,
                 "rejected_overload": st.rejected_overload,
+                "cold_compiles": st.cold_compiles,
                 "latency_p50_ms": st.latency_percentile(50),
                 "latency_p95_ms": st.latency_percentile(95),
                 "latency_hist_ms": st.histogram(),

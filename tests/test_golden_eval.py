@@ -7,11 +7,14 @@ scored as hit@5 / hit@10 / MRR@10 through the real engine paths
 answer relevance without moving any count now fails here.
 
 Reference semantic: answering code questions IS the product
-(`src/lattice/query/engine.py:102-220`); floors are set ~0.05 under the
-measured scores at authoring time (mrr 0.5279, hit@5 0.7241,
-hit@10 0.8391 on the hash embedder) so real regressions trip while
-benign ranking jitter does not. If you IMPROVE ranking, ratchet the
-floors up with the measurement.
+(`src/lattice/query/engine.py:102-220`); floors sit under the measured
+scores so real regressions trip while benign ranking jitter does not.
+If you IMPROVE ranking, ratchet the floors up with the measurement.
+
+History: authored at mrr 0.5279 / hit@5 0.7241 / hit@10 0.8391 (pure
+dense hash-embedding retrieval); the round-5 lexical identifier channel
+(`ChunkStore.lexical_candidates`) took it to mrr 0.6684 / hit@5 0.931 /
+hit@10 0.954 (deep path mrr 0.2986 -> 0.6389).
 """
 
 import pytest
@@ -19,11 +22,11 @@ import pytest
 from lattice_tpu.query.golden_eval import evaluate, load_cases
 
 FLOORS = {
-    "mrr": 0.48,
-    "hit_at_5": 0.67,
-    "hit_at_10": 0.79,
+    "mrr": 0.60,
+    "hit_at_5": 0.85,
+    "hit_at_10": 0.88,
 }
-DEEP_MRR_FLOOR = 0.20
+DEEP_MRR_FLOOR = 0.45
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,148 @@
+"""Lexical identifier channel (round 5): name-token index + candidates.
+
+The golden eval exposed that pure dense retrieval misses queries that
+name an entity in plain words ("drain the webhook delivery queue" ->
+DeliveryQueue.drain). These tests pin the tokenizers, the IDF-weighted
+coverage scoring, index invalidation across mutations, and the searcher
+integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lattice_tpu.index.chunk_store import (
+    ChunkStore,
+    name_token_set,
+    query_token_set,
+)
+from lattice_tpu.ops import topk as topk_ops
+
+D = 32
+
+
+def _vec(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(D).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture()
+def store():
+    st = ChunkStore(dim=D)
+    names = [
+        "app.integrations.webhooks.DeliveryQueue.drain",
+        "app.integrations.webhooks.DeliveryQueue.enqueue",
+        "app.integrations.webhooks.WebhookService.fire",
+        "app.utils.formatting.humanize_bytes",
+        "app.models.task.Task.is_overdue",
+        "web.src.store.store.getStore",
+    ]
+    vecs = np.stack([_vec(i) for i in range(len(names))])
+    st.add(vecs, [{"name": n, "file_path": n.split(".")[0] + ".py"}
+                  for n in names])
+    return st
+
+
+class TestTokenizers:
+    def test_name_tokens_split_camel_snake_and_dots(self):
+        assert name_token_set("app.x.DeliveryQueue.drain") == {
+            "delivery", "queue", "drain"}
+        assert name_token_set("humanize_bytes") == {"humanize", "bytes"}
+        assert name_token_set("HTTPServer.serve") == {"http", "server",
+                                                      "serve"}
+        assert name_token_set("") == frozenset()
+
+    def test_only_last_two_segments_index(self):
+        # module noise (app/utils/...) must not pollute the name tokens
+        assert "app" not in name_token_set("app.utils.dates.now_ts")
+        assert name_token_set("app.utils.dates.now_ts") == {
+            "dates", "now", "ts"}
+
+    def test_query_tokens_drop_stopwords(self):
+        toks = query_token_set("who calls the DeliveryQueue.drain method?")
+        assert {"delivery", "queue", "drain", "calls"} <= toks
+        assert "the" not in toks and "who" not in toks
+
+    def test_short_tokens_dropped(self):
+        assert "a" not in name_token_set("a_b.c")
+
+
+class TestLexicalCandidates:
+    def test_plain_word_query_finds_method(self, store):
+        hits = store.lexical_candidates(
+            query_token_set("drain the webhook delivery queue"))
+        assert hits
+        top_row, top_score = hits[0]
+        assert store.payload(top_row)["name"].endswith(
+            "DeliveryQueue.drain")
+        # every token of the name is in the query -> full coverage
+        assert top_score == pytest.approx(1.0)
+        # the sibling method shares delivery+queue but not drain
+        rows = {store.payload(r)["name"].rsplit(".", 1)[-1]: s
+                for r, s in hits}
+        assert rows.get("enqueue", 0) < top_score
+
+    def test_empty_and_unknown_tokens(self, store):
+        assert store.lexical_candidates(set()) == []
+        assert store.lexical_candidates({"zzzzz"}) == []
+
+    def test_filters_respected(self, store):
+        hits = store.lexical_candidates(
+            query_token_set("get the store"),
+            filters={"file_path": "app.py"})
+        assert all(store.payload(r)["file_path"] == "app.py"
+                   for r, _ in hits)
+
+    def test_index_invalidates_on_add(self, store):
+        assert not store.lexical_candidates({"frobnicate"})
+        store.add(_vec(99)[None, :],
+                  [{"name": "m.Frobnicator.frobnicate_all",
+                    "file_path": "m.py"}])
+        hits = store.lexical_candidates({"frobnicate"})
+        assert hits and store.payload(hits[0][0])["name"].endswith(
+            "frobnicate_all")
+
+    def test_index_invalidates_on_remove(self, store):
+        hits = store.lexical_candidates({"drain"})
+        assert hits
+        store.remove([hits[0][0]])
+        assert not store.lexical_candidates({"drain"})
+
+    def test_scores_sorted_and_bounded(self, store):
+        hits = store.lexical_candidates(
+            query_token_set("webhook delivery queue service fire drain"))
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 < s <= 1.0 for s in scores)
+
+
+class TestSearcherIntegration:
+    def test_search_lexical_materializes_payloads(self, store):
+        from lattice_tpu.embeddings.embedder import Embedder
+        from lattice_tpu.embeddings.indexer import (VectorIndexer,
+                                                    VectorSearcher)
+        from lattice_tpu.providers.hash_provider import HashEmbedder
+
+        idx = VectorIndexer(Embedder(HashEmbedder(dimensions=D)))
+        idx.code = store  # route the searcher at the prebuilt store
+        vs = VectorSearcher(idx)
+        out = vs.search_lexical("drain the delivery queue")
+        assert out and out[0].name.endswith("DeliveryQueue.drain")
+        assert 0.0 < out[0].score <= 1.0
+
+    def test_engine_search_surfaces_lexical_hit(self, store):
+        """End-to-end: a plain-word query whose embedding misses still
+        surfaces the named entity through the ranker."""
+        from lattice_tpu.embeddings.embedder import Embedder
+        from lattice_tpu.embeddings.indexer import VectorIndexer
+        from lattice_tpu.index.graph_store import GraphStore
+        from lattice_tpu.providers.hash_provider import HashEmbedder
+        from lattice_tpu.query.engine import QueryEngine
+
+        idx = VectorIndexer(Embedder(HashEmbedder(dimensions=D)))
+        idx.code = store
+        eng = QueryEngine(GraphStore(), idx)
+        res = eng.search_sync("drain the webhook delivery queue")
+        names = [r.qualified_name for r in res.results[:5]]
+        assert any(n.endswith("DeliveryQueue.drain") for n in names), names

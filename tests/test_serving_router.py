@@ -282,3 +282,94 @@ class TestReviewRegressions:
             # re-minting the config resumes the SAME lifetime counters
             r.search(_q(4), k=3, method="flat")
             assert r.stats()[config_key(None, "flat")]["queries"] == 3
+
+
+class _SlowCompileStore:
+    """Fake slow-compile hook (VERDICT r4 #4 test): the FIRST search at
+    each distinct batch shape sleeps `compile_s` (a relay compile),
+    later calls at that shape are fast."""
+
+    def __init__(self, inner, compile_s: float = 0.25):
+        self._inner = inner
+        self._compile_s = compile_s
+        self.dim = inner.dim
+        self.compiled_shapes: set[tuple[int, int]] = set()
+        self.compile_events: list[tuple[int, int]] = []
+        self._lock = threading.Lock()
+
+    def search_device(self, q, k, **kw):
+        shape = (int(q.shape[0]), int(k))
+        with self._lock:
+            cold = shape not in self.compiled_shapes
+            if cold:
+                self.compiled_shapes.add(shape)
+                self.compile_events.append(shape)
+        if cold:
+            time.sleep(self._compile_s)
+        return self._inner.search_device(q, k, **kw)
+
+
+class TestWarmOnMint:
+    """VERDICT r4 #4: router-minted configs warm off the request path;
+    requests never eat a cold compile inside their deadline window."""
+
+    def test_mint_kicks_async_warmup(self, store):
+        slow = _SlowCompileStore(store, compile_s=0.05)
+        with FrontendRouter(slow, max_batch=4, max_wait_ms=5,
+                            warm_on_mint=True, warm_k=3) as router:
+            fe = router.frontend(method="flat")
+            assert fe.join_warmup(timeout=30)
+            # every pad bucket precompiled by the warm thread
+            assert {s[0] for s in slow.compiled_shapes} == {1, 2, 4}
+
+    def test_request_on_cold_config_survives_tight_deadline(self, store):
+        """A request whose deadline is far shorter than the compile
+        queues with its deadline suspended while the mint-time warmup
+        runs, then succeeds — the pre-fix behavior 504ed it."""
+        slow = _SlowCompileStore(store, compile_s=0.4)
+        with FrontendRouter(slow, max_batch=4, max_wait_ms=5,
+                            warm_on_mint=True, warm_k=3) as router:
+            # submit IMMEDIATELY after mint: warmup is still compiling
+            fut = router.submit(_q(11), k=3, method="flat",
+                                deadline_ms=50)
+            scores, ids = fut.result(timeout=30)
+            assert len(ids) == 3
+
+    def test_cold_compiles_counted_without_warmup(self, store):
+        with FrontendRouter(store, max_batch=4, max_wait_ms=5) as router:
+            router.submit(_q(12), k=3, method="flat").result(timeout=30)
+            fe = router.peek(method="flat")
+            assert fe is not None and fe.stats.cold_compiles == 1
+            # same bucket again: the jit key is live, not a new compile
+            router.submit(_q(13), k=3, method="flat").result(timeout=30)
+            assert fe.stats.cold_compiles == 1
+            assert router.stats()["_aggregate"]["cold_compiles"] == 1
+
+    def test_warmed_config_reports_zero_cold_compiles(self, store):
+        with FrontendRouter(store, max_batch=4, max_wait_ms=5,
+                            warm_on_mint=True, warm_k=3) as router:
+            fe = router.frontend(method="flat")
+            assert fe.join_warmup(timeout=30)
+            router.submit(_q(14), k=3, method="flat").result(timeout=30)
+            assert fe.stats.cold_compiles == 0
+
+    def test_deadline_enforced_again_after_warm(self, store):
+        """The suspension is scoped to the warm window: once warming is
+        done, an expired request still fails fast."""
+        gate = threading.Event()
+        gated = _GatedStore(store, gate)
+        fe = BatchingFrontend(gated, max_batch=4, max_wait_ms=0,
+                              method="flat")
+        try:
+            assert not fe.warming
+            blocker = fe.submit(_q(15), k=3)          # occupies the worker
+            time.sleep(0.05)
+            doomed = fe.submit(_q(16), k=3, deadline_ms=1)
+            time.sleep(0.05)                          # let it expire
+            gate.set()
+            with pytest.raises(DeadlineExceeded):
+                doomed.result(timeout=30)
+            blocker.result(timeout=30)
+        finally:
+            gate.set()
+            fe.close()
