@@ -721,6 +721,11 @@ def main() -> None:
             alt["golden_eval_hit_at_5"] = ev["hit_at_5"]
             alt["golden_eval_hit_at_10"] = ev["hit_at_10"]
             alt["golden_eval_n"] = ev["n"]
+            # deep-batch HTTP surface (host-path; chip number is
+            # hybrid_batch16_amortized_ms)
+            if "http_deep_batch_ms_per_q" in ev:
+                alt["http_deep_batch_ms_per_q"] = \
+                    ev["http_deep_batch_ms_per_q"]
         except Exception as exc:
             alt["golden_eval_error"] = repr(exc)[:160]
     _mark("golden-eval done")

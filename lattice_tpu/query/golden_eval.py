@@ -159,6 +159,38 @@ def main() -> None:
     scores = evaluate(engine, cases)
     scores["eval_s"] = round(time.perf_counter() - t0, 1)
     scores["build_s"] = round(build_s, 1)
+    # the deep-batch HTTP surface, end to end (VERDICT r4 #8): one HTTP
+    # round trip -> one engine batch. Time is CPU-path (this subprocess
+    # never attaches the chip); the on-chip amortized number rides
+    # bench.py's hybrid_batch16 key — this key proves the SURFACE and
+    # tracks its host overhead.
+    try:
+        import urllib.request
+
+        from lattice_tpu.serving.http import ServingHTTPServer
+        deep_qs = [c["query"] for c in cases if c["path"] == "deep"][:16]
+        with ServingHTTPServer(engine.indexer.code, engine=engine,
+                               max_wait_ms=2) as srv:
+            host, port = srv.address
+            body = json.dumps({"queries": deep_qs, "limit": 10}).encode()
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/deep_search_batch", data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:  # warm
+                json.loads(r.read())
+            t0 = time.perf_counter()
+            req2 = urllib.request.Request(
+                f"http://{host}:{port}/v1/deep_search_batch", data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req2, timeout=120) as r:
+                out = json.loads(r.read())
+            scores["http_deep_batch_ms_per_q"] = round(
+                (time.perf_counter() - t0) * 1000.0 / len(deep_qs), 2)
+            scores["http_deep_batch_n"] = len(out["results"])
+    except Exception as exc:  # noqa: BLE001 — the eval line must print
+        scores["http_deep_batch_error"] = repr(exc)[:120]
     scores["n_misses"] = len(scores["misses"])
     if "--misses" not in __import__("sys").argv:
         scores.pop("misses")

