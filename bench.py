@@ -75,7 +75,7 @@ RESULT: dict = {
     "extra": {},
 }
 _BENCH_T0 = time.monotonic()
-SOFT_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "960"))
+SOFT_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "1200"))
 HARD_BUDGET_S = float(os.environ.get("BENCH_HARD_BUDGET_S", "1500"))
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
@@ -1030,6 +1030,87 @@ def main() -> None:
             not store._ivf_dirty if store._ivf else None)
     except Exception as exc:
         alt["delta_error"] = repr(exc)[:120]
+    _mark("capacity-4m")
+
+    # ---- capacity tier IN the contract (VERDICT r4 #3): 4M rows served
+    # from a packed-int4 view whose resident bytes (~1.6 GB: 4M x 384 B
+    # packed + scales) match the 1M-bf16 budget (1M x 768 x 2 B = 1.6 GB)
+    # — the "4x corpus per chip at equal HBM" claim, measured at B=1024
+    # (R3_TPU_RESULTS9: 19.0k qps there via scratch scripts; this puts it
+    # under BENCH_r*.json). The bf16 rows are NEVER resident: blocks are
+    # generated, oracle-scored, quantized, and freed; only packed int4
+    # survives. Client-live bytes ride along as the budget proof
+    # (device memory_stats() is empty through the relay).
+    try:
+        if _skip_if_late("capacity_4m"):
+            raise _SectionSkipped
+        from lattice_tpu.ops.quant import Int4View
+        from lattice_tpu.ops.quant import quantize_rows_int4_device
+        N4 = int(os.environ.get("BENCH_CAPACITY_ROWS", 1 << 22))
+        BQ = 1024  # the measured-best single-call batch for int4 at 4M
+        kc4, ka4, kn4, kq4 = jax.random.split(jax.random.PRNGKey(7), 4)
+        centers4 = gen_centers(kc4, N4, N_CLUSTERS)
+        q4 = gen_block(centers4, jax.random.fold_in(kq4, 1),
+                       jax.random.fold_in(kq4, 2), BQ)
+        # oracle on the fly: per-block exact top-K for the first 256
+        # queries, merged at the end (no 6 GB bf16 corpus, no [B, N] slab)
+        q_or = q4[:BATCH]
+        blk4 = 1 << 17
+        packed_parts, scale_parts = [], []
+        or_vals, or_idx = [], []
+
+        @jax.jit
+        def _block_topk(q, block):
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jax.lax.top_k(s, K)
+
+        for i in range(0, N4, blk4):
+            blk = gen_block(centers4, jax.random.fold_in(ka4, i),
+                            jax.random.fold_in(kn4, i),
+                            min(blk4, N4 - i)).astype(jnp.bfloat16)
+            v, s = _block_topk(q_or, blk)
+            or_vals.append(np.asarray(v))
+            or_idx.append(np.asarray(s) + i)
+            pv, ps = quantize_rows_int4_device(blk.astype(jnp.float32))
+            packed_parts.append(pv)
+            scale_parts.append(ps)
+            del blk
+        view4 = Int4View.from_packed(jnp.concatenate(packed_parts),
+                                     jnp.concatenate(scale_parts))
+        valid4 = jnp.ones((N4,), dtype=bool)
+        del packed_parts, scale_parts
+        gc.collect()
+        # merge the per-block oracles on host: global exact top-K
+        av = np.concatenate(or_vals, axis=1)
+        ai = np.concatenate(or_idx, axis=1)
+        sel = np.argsort(-av, axis=1)[:, :K]
+        oracle4 = np.take_along_axis(ai, sel, axis=1)
+        live = sum(getattr(a, "nbytes", 0) or 0 for a in jax.live_arrays())
+        alt["capacity_4m_live_mb"] = round(live / 1e6)
+        np.asarray(view4.search_device(q4, valid4, K)[1])  # compile+warm
+        best4 = float("inf")
+        for _ in range(2):  # best-of-2 windows (queue transients)
+            t04 = time.perf_counter()
+            for _ in range(8):
+                out4 = view4.search_device(q4, valid4, K)
+            i4 = np.asarray(out4[1])
+            best4 = min(best4, time.perf_counter() - t04)
+        alt["capacity_4m_qps"] = round(BQ * 8 / best4, 1)
+        alt["capacity_4m_recall"] = round(float(np.mean([
+            len(set(i4[i].tolist()) & set(oracle4[i].tolist())) / K
+            for i in range(BATCH)])), 4)
+        alt["capacity_4m_rows"] = N4
+        del view4, valid4, q4, centers4
+        gc.collect()
+    except _SectionSkipped:
+        pass
+    except Exception as exc:
+        alt["capacity_4m_error"] = repr(exc)[:160]
+        view4 = q4 = centers4 = packed_parts = scale_parts = None  # noqa: F841
+        gc.collect()
     _mark("graph+hybrid")
 
     # ---- BASELINE config 4 + hybrid query path (VERDICT r2 #1/#3)
@@ -1126,87 +1207,6 @@ def main() -> None:
     except NameError:
         pass
     gc.collect()
-    _mark("capacity-4m")
-
-    # ---- capacity tier IN the contract (VERDICT r4 #3): 4M rows served
-    # from a packed-int4 view whose resident bytes (~1.6 GB: 4M x 384 B
-    # packed + scales) match the 1M-bf16 budget (1M x 768 x 2 B = 1.6 GB)
-    # — the "4x corpus per chip at equal HBM" claim, measured at B=1024
-    # (R3_TPU_RESULTS9: 19.0k qps there via scratch scripts; this puts it
-    # under BENCH_r*.json). The bf16 rows are NEVER resident: blocks are
-    # generated, oracle-scored, quantized, and freed; only packed int4
-    # survives. Client-live bytes ride along as the budget proof
-    # (device memory_stats() is empty through the relay).
-    try:
-        if _skip_if_late("capacity_4m"):
-            raise _SectionSkipped
-        from lattice_tpu.ops.quant import Int4View
-        from lattice_tpu.ops.quant import quantize_rows_int4_device
-        N4 = int(os.environ.get("BENCH_CAPACITY_ROWS", 1 << 22))
-        BQ = 1024  # the measured-best single-call batch for int4 at 4M
-        kc4, ka4, kn4, kq4 = jax.random.split(jax.random.PRNGKey(7), 4)
-        centers4 = gen_centers(kc4, N4, N_CLUSTERS)
-        q4 = gen_block(centers4, jax.random.fold_in(kq4, 1),
-                       jax.random.fold_in(kq4, 2), BQ)
-        # oracle on the fly: per-block exact top-K for the first 256
-        # queries, merged at the end (no 6 GB bf16 corpus, no [B, N] slab)
-        q_or = q4[:BATCH]
-        blk4 = 1 << 17
-        packed_parts, scale_parts = [], []
-        or_vals, or_idx = [], []
-
-        @jax.jit
-        def _block_topk(q, block):
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), block,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return jax.lax.top_k(s, K)
-
-        for i in range(0, N4, blk4):
-            blk = gen_block(centers4, jax.random.fold_in(ka4, i),
-                            jax.random.fold_in(kn4, i),
-                            min(blk4, N4 - i)).astype(jnp.bfloat16)
-            v, s = _block_topk(q_or, blk)
-            or_vals.append(np.asarray(v))
-            or_idx.append(np.asarray(s) + i)
-            pv, ps = quantize_rows_int4_device(blk.astype(jnp.float32))
-            packed_parts.append(pv)
-            scale_parts.append(ps)
-            del blk
-        view4 = Int4View.from_packed(jnp.concatenate(packed_parts),
-                                     jnp.concatenate(scale_parts))
-        valid4 = jnp.ones((N4,), dtype=bool)
-        del packed_parts, scale_parts
-        gc.collect()
-        # merge the per-block oracles on host: global exact top-K
-        av = np.concatenate(or_vals, axis=1)
-        ai = np.concatenate(or_idx, axis=1)
-        sel = np.argsort(-av, axis=1)[:, :K]
-        oracle4 = np.take_along_axis(ai, sel, axis=1)
-        live = sum(getattr(a, "nbytes", 0) or 0 for a in jax.live_arrays())
-        alt["capacity_4m_live_mb"] = round(live / 1e6)
-        np.asarray(view4.search_device(q4, valid4, K)[1])  # compile+warm
-        best4 = float("inf")
-        for _ in range(2):  # best-of-2 windows (queue transients)
-            t04 = time.perf_counter()
-            for _ in range(8):
-                out4 = view4.search_device(q4, valid4, K)
-            i4 = np.asarray(out4[1])
-            best4 = min(best4, time.perf_counter() - t04)
-        alt["capacity_4m_qps"] = round(BQ * 8 / best4, 1)
-        alt["capacity_4m_recall"] = round(float(np.mean([
-            len(set(i4[i].tolist()) & set(oracle4[i].tolist())) / K
-            for i in range(BATCH)])), 4)
-        alt["capacity_4m_rows"] = N4
-        del view4, valid4, q4, centers4
-        gc.collect()
-    except _SectionSkipped:
-        pass
-    except Exception as exc:
-        alt["capacity_4m_error"] = repr(exc)[:160]
-        view4 = q4 = centers4 = packed_parts = scale_parts = None  # noqa: F841
-        gc.collect()
     _mark("clustered")
 
     # clustered runs LAST among device sections: its fresh-delta growth
