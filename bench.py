@@ -1090,29 +1090,31 @@ def main() -> None:
         oracle4 = np.take_along_axis(ai, sel, axis=1)
         live = sum(getattr(a, "nbytes", 0) or 0 for a in jax.live_arrays())
         alt["capacity_4m_live_mb"] = round(live / 1e6)
-        # serving configuration: widened first stage + dequantized-int4
-        # rescore (no bf16 resident — int4_dequant_rescore). The raw
-        # first-stage ordering measured 0.7199 recall at 4M/B=1024 in
-        # the first r5 chip run; the rescore recovers the query-int8 +
-        # bin-max selection error at unchanged HBM residency.
-        def run4():
-            return view4.search_device(q4, valid4, K, dequant_rescore=True)
-        np.asarray(run4()[1])  # compile+warm+drain
+        # capacity-tier recall on THIS corpus is INFORMATION-BOUND, not
+        # selection-bound (measured r5 on chip): the first stage reads
+        # 0.7199 at 4M/B=1024, the widened dequantized rescore 0.7207
+        # (a tie), and an exact f32 scan over the fully dequantized int4
+        # matrix — the information ceiling — reads 0.7668 on a 128k
+        # block (/tmp/r5_ceiling.py). Top-10 near-ties at 4096 rows per
+        # center are finer than the int4 step. The tier's serving story:
+        # near-1.0 candidate COVERAGE at 4x capacity; the int4+bf16
+        # speed config (sharded_int4_fp keys) carries 0.999 recall.
+        np.asarray(view4.search_device(q4, valid4, K)[1])  # compile+warm
         best4 = float("inf")
         for _ in range(2):  # best-of-2 windows (queue transients)
             t04 = time.perf_counter()
             for _ in range(8):
-                out4 = run4()
+                out4 = view4.search_device(q4, valid4, K)
             i4 = np.asarray(out4[1])
             best4 = min(best4, time.perf_counter() - t04)
         alt["capacity_4m_qps"] = round(BQ * 8 / best4, 1)
         alt["capacity_4m_recall"] = round(float(np.mean([
             len(set(i4[i].tolist()) & set(oracle4[i].tolist())) / K
             for i in range(BATCH)])), 4)
-        # the raw first-stage ordering, for the rescore's value record
-        i4f = np.asarray(view4.search_device(q4, valid4, K)[1])
-        alt["capacity_4m_recall_first_stage"] = round(float(np.mean([
-            len(set(i4f[i].tolist()) & set(oracle4[i].tolist())) / K
+        i4r = np.asarray(view4.search_device(q4, valid4, K,
+                                             dequant_rescore=True)[1])
+        alt["capacity_4m_recall_rescored"] = round(float(np.mean([
+            len(set(i4r[i].tolist()) & set(oracle4[i].tolist())) / K
             for i in range(BATCH)])), 4)
         alt["capacity_4m_rows"] = N4
         del view4, valid4, q4, centers4
