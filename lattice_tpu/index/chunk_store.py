@@ -94,15 +94,41 @@ _QUERY_STOPWORDS = frozenset(
     "our your their like using use used via into onto".split())
 
 
+def _stem(w: str) -> str:
+    """Light stemmer applied identically to name and query tokens —
+    consistency is what matters, not linguistic correctness ("queue" and
+    "queues" both landing on "queu" is a match). Folds plurals and the
+    common verb suffixes so "byte count" finds humanize_bytes and
+    "deliveries" finds DeliveryQueue."""
+    for suf, rep in (("ization", "ize"), ("ational", "ate"),
+                     ("ies", "y"), ("sses", "ss")):
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            w = w[: -len(suf)] + rep
+            break
+    if w.endswith("ing") and len(w) > 5:
+        w = w[:-3]
+    elif w.endswith("ed") and len(w) > 4:
+        w = w[:-2]
+    elif (w.endswith("s") and len(w) > 3
+          and not w.endswith(("ss", "us", "is"))):
+        w = w[:-1]
+    if w.endswith(("ize", "ise")) and len(w) > 5:
+        w = w[:-3]
+    if w.endswith("e") and len(w) > 4:
+        w = w[:-1]
+    return w
+
+
 def name_token_set(name: str) -> frozenset[str]:
     """Word tokens of an entity name: last two dotted segments (method +
     class, or function + module), split on underscores and camelCase,
-    lowercased. `DeliveryQueue.drain` -> {delivery, queue, drain}."""
+    lowercased, stemmed. `DeliveryQueue.drain` -> {delivery, queu,
+    drain} (stemmed forms; queries stem the same way)."""
     toks: set[str] = set()
     for seg in name.split(".")[-2:]:
         for part in seg.replace("-", "_").split("_"):
             for w in _CAMEL_SPLIT_RE.split(part):
-                w = w.lower()
+                w = _stem(w.lower())
                 if len(w) >= 2:
                     toks.add(w)
     return frozenset(toks)
@@ -116,7 +142,9 @@ def query_token_set(text: str) -> frozenset[str]:
             for w in _CAMEL_SPLIT_RE.split(part):
                 w = w.lower()
                 if len(w) >= 2 and w not in _QUERY_STOPWORDS:
-                    toks.add(w)
+                    w = _stem(w)
+                    if len(w) >= 2:
+                        toks.add(w)
     return frozenset(toks)
 
 

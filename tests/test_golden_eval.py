@@ -14,7 +14,9 @@ If you IMPROVE ranking, ratchet the floors up with the measurement.
 History: authored at mrr 0.5279 / hit@5 0.7241 / hit@10 0.8391 (pure
 dense hash-embedding retrieval); the round-5 lexical identifier channel
 (`ChunkStore.lexical_candidates`) took it to mrr 0.6684 / hit@5 0.931 /
-hit@10 0.954 (deep path mrr 0.2986 -> 0.6389).
+hit@10 0.954 (deep path mrr 0.2986 -> 0.6389); consistent stemming of
+name+query tokens took it to mrr 0.7138 / hit@5 0.9425 / hit@10 0.9655
+(deep hit@5 1.0).
 """
 
 import pytest
@@ -22,11 +24,11 @@ import pytest
 from lattice_tpu.query.golden_eval import evaluate, load_cases
 
 FLOORS = {
-    "mrr": 0.60,
-    "hit_at_5": 0.85,
-    "hit_at_10": 0.88,
+    "mrr": 0.65,
+    "hit_at_5": 0.88,
+    "hit_at_10": 0.90,
 }
-DEEP_MRR_FLOOR = 0.45
+DEEP_MRR_FLOOR = 0.50
 
 
 @pytest.fixture(scope="module")

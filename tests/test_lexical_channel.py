@@ -46,23 +46,33 @@ def store():
 
 class TestTokenizers:
     def test_name_tokens_split_camel_snake_and_dots(self):
+        # tokens are STEMMED (plural/verb-suffix folding applied
+        # identically to names and queries — consistency, not
+        # linguistics: "queue"/"queues" both land on "queu")
         assert name_token_set("app.x.DeliveryQueue.drain") == {
-            "delivery", "queue", "drain"}
-        assert name_token_set("humanize_bytes") == {"humanize", "bytes"}
+            "delivery", "queu", "drain"}
+        assert name_token_set("humanize_bytes") == {"human", "byte"}
         assert name_token_set("HTTPServer.serve") == {"http", "server",
-                                                      "serve"}
+                                                      "serv"}
         assert name_token_set("") == frozenset()
 
     def test_only_last_two_segments_index(self):
         # module noise (app/utils/...) must not pollute the name tokens
         assert "app" not in name_token_set("app.utils.dates.now_ts")
         assert name_token_set("app.utils.dates.now_ts") == {
-            "dates", "now", "ts"}
+            "date", "now", "ts"}
 
     def test_query_tokens_drop_stopwords(self):
         toks = query_token_set("who calls the DeliveryQueue.drain method?")
-        assert {"delivery", "queue", "drain", "calls"} <= toks
+        assert {"delivery", "queu", "drain", "call"} <= toks
         assert "the" not in toks and "who" not in toks
+
+    def test_stemming_matches_morphological_variants(self):
+        # the exact misses the golden eval exposed before stemming
+        assert query_token_set("a byte count") & name_token_set(
+            "humanize_bytes")
+        assert name_token_set("humanize_bytes") <= query_token_set(
+            "convert a byte count into a human readable size") | {"byte"}
 
     def test_short_tokens_dropped(self):
         assert "a" not in name_token_set("a_b.c")
@@ -95,11 +105,14 @@ class TestLexicalCandidates:
                    for r, _ in hits)
 
     def test_index_invalidates_on_add(self, store):
-        assert not store.lexical_candidates({"frobnicate"})
+        # lexical_candidates expects query_token_set output (stemmed) —
+        # callers never hand-build token sets
+        toks = query_token_set("frobnicate")
+        assert not store.lexical_candidates(toks)
         store.add(_vec(99)[None, :],
                   [{"name": "m.Frobnicator.frobnicate_all",
                     "file_path": "m.py"}])
-        hits = store.lexical_candidates({"frobnicate"})
+        hits = store.lexical_candidates(toks)
         assert hits and store.payload(hits[0][0])["name"].endswith(
             "frobnicate_all")
 
