@@ -154,6 +154,11 @@ _MULTI_HOP_RE = re.compile(
 _BACKTICK_RE = re.compile(r"`([^`]+)`")
 _DOTTED_RE = re.compile(r"\b([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+)\b")
 _CAMEL_RE = re.compile(r"\b([A-Z][a-z0-9]+(?:[A-Z][a-z0-9]*)+)\b")
+# lowerCamelCase (fetchTasks, getStore): the dominant JS/TS function
+# style — the golden eval exposed that usage queries naming them got NO
+# graph phase at all (r5; UpperCamel requires a leading capital and the
+# snake pattern requires an underscore)
+_LOWER_CAMEL_RE = re.compile(r"\b([a-z][a-z0-9]+(?:[A-Z][a-z0-9]*)+)\b")
 _SNAKE_CALL_RE = re.compile(r"\b([a-z_][a-z0-9_]*_[a-z0-9_]+)\b")
 _PAREN_CALL_RE = re.compile(r"\b([A-Za-z_][\w]*)\s*\(\)")
 _FILE_RE = re.compile(r"\b([\w./-]+\.(?:py|pyi|js|jsx|ts|tsx|mjs|cjs))\b")
@@ -226,6 +231,8 @@ class QueryPlanner:
                 add(m.group(1), None, 0.9)
         for m in _CAMEL_RE.finditer(stripped):
             add(m.group(1), "class", 0.8)
+        for m in _LOWER_CAMEL_RE.finditer(stripped):
+            add(m.group(1), "function", 0.75)
         for m in _PAREN_CALL_RE.finditer(stripped):
             add(m.group(1), "function", 0.85)
         for m in _SNAKE_CALL_RE.finditer(stripped):

@@ -16,7 +16,10 @@ dense hash-embedding retrieval); the round-5 lexical identifier channel
 (`ChunkStore.lexical_candidates`) took it to mrr 0.6684 / hit@5 0.931 /
 hit@10 0.954 (deep path mrr 0.2986 -> 0.6389); consistent stemming of
 name+query tokens took it to mrr 0.7138 / hit@5 0.9425 / hit@10 0.9655
-(deep hit@5 1.0).
+(deep hit@5 1.0); lowerCamelCase entity extraction in the planner took
+it to mrr 0.7368 / hit@5 0.9655 / hit@10 0.9885 (one semantic miss
+left: "autocomplete a prefix..." — an embedder limit, not a ranking
+bug).
 """
 
 import pytest
@@ -24,9 +27,9 @@ import pytest
 from lattice_tpu.query.golden_eval import evaluate, load_cases
 
 FLOORS = {
-    "mrr": 0.65,
-    "hit_at_5": 0.88,
-    "hit_at_10": 0.90,
+    "mrr": 0.68,
+    "hit_at_5": 0.91,
+    "hit_at_10": 0.94,
 }
 DEEP_MRR_FLOOR = 0.50
 

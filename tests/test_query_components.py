@@ -58,6 +58,19 @@ class TestPlannerIntents:
         assert "CallProcessor" in names
         assert "fuzzy_match" in names
 
+    def test_lower_camel_entities_extracted(self):
+        """lowerCamelCase (the dominant JS/TS function style) must
+        extract — the golden eval exposed that 'who calls fetchTasks?'
+        got NO graph phase at all (r5: UpperCamel requires a leading
+        capital, snake requires an underscore)."""
+        plan = QueryPlanner().plan_heuristic("who calls fetchTasks?")
+        assert "fetchTasks" in plan.entity_names
+        plan = QueryPlanner().plan_heuristic("where is getStore used?")
+        assert "getStore" in plan.entity_names
+        # plain words must NOT start matching as entities
+        plan = QueryPlanner().plan_heuristic("who calls the scheduler?")
+        assert "scheduler" not in plan.entity_names
+
     def test_multi_hop_detection(self):
         planner = QueryPlanner()
         assert planner.plan_heuristic(
