@@ -86,18 +86,39 @@ def _elapsed() -> float:
 
 
 def _emit(truncated: bool = False, why: str | None = None) -> None:
-    """Print the one JSON line exactly once (thread/signal safe)."""
+    """Print the one JSON line exactly once (thread/signal safe).
+
+    Re-entrancy hazard (review r5): the SIGTERM handler runs on the
+    MAIN thread — if it fired while the main thread was already inside
+    this critical section, a plain lock acquire would deadlock against
+    the interrupted frame and the process would wedge with NO line (the
+    exact BENCH_r04 outcome these guards exist to prevent). So the main
+    thread masks the signals for the duration; a handler racing the
+    WATCHDOG thread just blocks briefly (different threads — the lock
+    holder can finish) and then sees _EMITTED."""
     global _EMITTED
-    with _EMIT_LOCK:
-        if _EMITTED:
-            return
-        _EMITTED = True
-    if truncated:
-        RESULT["extra"]["truncated"] = True
-        if why:
-            RESULT["extra"]["truncated_why"] = why
-        RESULT["extra"]["elapsed_s"] = round(_elapsed(), 1)
-    print(json.dumps(RESULT), flush=True)
+    is_main = threading.current_thread() is threading.main_thread()
+    old_mask = None
+    if is_main:
+        try:
+            old_mask = signal.pthread_sigmask(
+                signal.SIG_BLOCK, {signal.SIGTERM, signal.SIGINT})
+        except (ValueError, OSError):
+            pass
+    try:
+        with _EMIT_LOCK:
+            if _EMITTED:
+                return
+            _EMITTED = True
+            if truncated:
+                RESULT["extra"]["truncated"] = True
+                if why:
+                    RESULT["extra"]["truncated_why"] = why
+                RESULT["extra"]["elapsed_s"] = round(_elapsed(), 1)
+            print(json.dumps(RESULT), flush=True)
+    finally:
+        if old_mask is not None:
+            signal.pthread_sigmask(signal.SIG_SETMASK, old_mask)
 
 
 def _install_guards() -> None:

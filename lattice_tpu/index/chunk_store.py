@@ -124,6 +124,11 @@ def name_token_set(name: str) -> frozenset[str]:
     class, or function + module), split on underscores and camelCase,
     lowercased, stemmed. `DeliveryQueue.drain` -> {delivery, queu,
     drain} (stemmed forms; queries stem the same way)."""
+    if not isinstance(name, str):
+        # payloads are arbitrary dicts; one non-string 'name' must not
+        # crash the index rebuild (which would black out every vector
+        # search through _vector_phase's catch — review r5)
+        name = str(name)
     toks: set[str] = set()
     for seg in name.split(".")[-2:]:
         for part in seg.replace("-", "_").split("_"):
@@ -266,9 +271,12 @@ class ChunkStore:
         self._rank_cols = None     # (node_ids, quality) device columns for
         self._rank_cols_dirty = True  # the fused hybrid rank (ops/ranking.py)
         self._sharded_rank = None  # multi-chip hybrid deep-rank view
-        self._lex_tokens = None    # name-token inverted index, lazy+dirty
-        # (None = rebuild on next lexical_candidates; mutations null it —
-        # zero cost on the fused add path when lexical search is unused)
+        self._lex_tokens = None    # name-token inverted index, lazy
+        # (None = build on next lexical_candidates). Once built, add/
+        # remove maintain it INCREMENTALLY like _inverted — a wholesale
+        # rebuild is O(corpus) under _serve_lock and stalled every
+        # serving thread per watcher mutation (review r5); only row-id
+        # moves (compact) and clear() fall back to a rebuild.
 
     @classmethod
     def from_device_arrays(cls, embeddings: jax.Array, valid: jax.Array,
@@ -409,7 +417,12 @@ class ChunkStore:
                 self._valid_host[row] = True
                 self._payloads[row] = dict(payload)
                 _index_payload(self._inverted, row, payload)
-            self._lex_tokens = None  # rebuild on next lexical query
+                if self._lex_tokens is not None:  # incremental, like
+                    # _inverted: never a rebuild on the serving path
+                    for t in name_token_set(payload.get("name")
+                                            or payload.get("graph_node_id")
+                                            or ""):
+                        self._lex_tokens.setdefault(t, set()).add(row)
             self._size += n
             self._mutate_views(rows, normed_dev, quant_done=fuse_q,
                                int4_done=fuse_i4)
@@ -512,6 +525,14 @@ class ChunkStore:
         payload = self._payloads[row]
         if payload is None:
             return
+        if self._lex_tokens is not None:
+            for t in name_token_set(payload.get("name")
+                                    or payload.get("graph_node_id") or ""):
+                bucket = self._lex_tokens.get(t)
+                if bucket is not None:
+                    bucket.discard(row)
+                    if not bucket:
+                        del self._lex_tokens[t]
         for f in INDEXED_FIELDS:
             v = payload.get(f)
             if v is not None:
@@ -524,7 +545,6 @@ class ChunkStore:
         self._valid_host[row] = False
         self._free.append(row)
         self._size -= 1
-        self._lex_tokens = None  # rebuild on next lexical query
 
     def remove(self, rows: Sequence[int]) -> int:
         live = [r for r in rows if self._payloads[r] is not None]

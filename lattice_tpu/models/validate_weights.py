@@ -45,7 +45,12 @@ SAMPLE_TEXTS = (
 
 def _config_from_checkpoint(weights_dir: Path, state: dict | None):
     """Checkpoint's own config: config.json when present, else inferred
-    from the state-dict tensor shapes."""
+    from the state-dict tensor shapes. Returns (config, heads_assumed):
+    num_heads is NOT recoverable from tensor shapes (q/k/v kernels are
+    [H, H] regardless of the head split), so without config.json it is
+    ASSUMED and the flag lets the report say so — a torch-parity failure
+    on a variant-head checkpoint must read as a config problem, not a
+    weight-mapping bug (review r5)."""
     from lattice_tpu.models.unixcoder import UniXcoderConfig
 
     cfg_path = weights_dir / "config.json"
@@ -61,9 +66,9 @@ def _config_from_checkpoint(weights_dir: Path, state: dict | None):
             type_vocab_size=raw.get("type_vocab_size", 10),
             layer_norm_eps=raw.get("layer_norm_eps", 1e-5),
             pad_token_id=raw.get("pad_token_id", 1),
-            dtype="float32")
+            dtype="float32"), False
     if state is None:
-        return UniXcoderConfig(dtype="float32")
+        return UniXcoderConfig(dtype="float32"), True
 
     def g(suffix):
         for k, v in state.items():
@@ -82,7 +87,7 @@ def _config_from_checkpoint(weights_dir: Path, state: dict | None):
         vocab_size=int(word.shape[0]), hidden_size=int(word.shape[1]),
         num_layers=n_layers, intermediate_size=int(ffn.shape[0]),
         max_position_embeddings=int(pos.shape[0]),
-        type_vocab_size=int(typ.shape[0]), dtype="float32")
+        type_vocab_size=int(typ.shape[0]), dtype="float32"), True
 
 
 def _probe_batch(cfg, seed=7, b=2, lmax=24):
@@ -127,11 +132,16 @@ def validate_weights(weights_dir: str | Path, atol: float = 5e-3) -> dict:
         model = None
         cfg = None
     else:
-        cfg = _config_from_checkpoint(weights_dir, state)
-        record("state_dict", True, tensors=len(state), config={
+        cfg, heads_assumed = _config_from_checkpoint(weights_dir, state)
+        info = {
             "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
-            "num_layers": cfg.num_layers,
-            "max_position_embeddings": cfg.max_position_embeddings})
+            "num_layers": cfg.num_layers, "num_heads": cfg.num_heads,
+            "max_position_embeddings": cfg.max_position_embeddings}
+        if heads_assumed:
+            # no config.json and heads are unrecoverable from shapes: a
+            # parity failure below may be THIS assumption, not mapping
+            info["num_heads_assumed"] = True
+        record("state_dict", True, tensors=len(state), config=info)
         model = UniXcoderModel(cfg)
         try:
             model.params = _map_roberta_params(state, cfg, model.params)

@@ -172,7 +172,8 @@ class BatchingFrontend:
                  filters: dict | None = None,
                  method: str = "auto",
                  max_queue: int | None = None,
-                 stats: FrontendStats | None = None):
+                 stats: FrontendStats | None = None,
+                 warmed_buckets: set | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if max_queue is not None and max_queue < 1:
@@ -188,12 +189,19 @@ class BatchingFrontend:
         # re-mints a config's frontend around the same stats object)
         self.stats = stats if stats is not None else FrontendStats()
         # buckets warmup() has precompiled; a dispatch outside this set
-        # counts as a cold compile in stats. `warming` is True while a
-        # background warmup is running — queued requests' deadlines are
-        # suspended for that window (they chose to wait out the compile,
-        # not to race it; VERDICT r4 #4's queue-with-extended-deadline)
-        self._warmed_buckets: set[int] = set()
+        # counts as a cold compile in stats. While a background warmup
+        # runs, its wall-clock window [_warm_start, _warm_end] is
+        # CREDITED to queued requests' deadlines (they waited behind an
+        # unavoidable compile; VERDICT r4 #4's queue-with-extended-
+        # deadline) — a review pass killed the naive flag-gated version,
+        # which expired those requests the instant warming flipped false
+        # and enforced NO deadline at all while it was true.
+        self._warmed_buckets: set[int] = (
+            set(warmed_buckets) if warmed_buckets is not None else set())
         self.warming = False
+        self.warmup_failed = False
+        self._warm_start: float | None = None
+        self._warm_end: float | None = None
         self._warm_thread: threading.Thread | None = None
         self._queue: queue.Queue[_Item | None] = queue.Queue()
         self._pending = 0  # queued-but-not-dispatched, guarded by _submit_lock
@@ -306,26 +314,45 @@ class BatchingFrontend:
     def warmup_async(self, k: int = 10) -> threading.Thread:
         """Run `warmup()` on a background thread (VERDICT r4 #4: a
         router-minted config warms OFF the request path). While it runs,
-        `warming` is True and queued requests' deadlines are suspended —
-        they queue with an extended deadline instead of 504ing against a
-        compile they cannot avoid. Idempotent while a warm is running."""
+        the warm window's wall clock is credited to queued requests'
+        deadlines (`_warm_credit`) — they queue with a genuinely
+        extended deadline instead of 504ing against a compile they
+        cannot avoid, and deadlines beyond that credit still enforce.
+        Idempotent while a warm is running; `warmup_failed` records a
+        raise (readiness flags must not report a failed warm as warm)."""
         with self._submit_lock:
             if self._warm_thread is not None and self._warm_thread.is_alive():
                 return self._warm_thread
             self.warming = True
+            self.warmup_failed = False
+            self._warm_start = time.monotonic()
+            self._warm_end = None
 
             def _warm() -> None:
                 try:
                     self.warmup(k=k)
                 except Exception:  # noqa: BLE001 — serve cold, don't die
+                    self.warmup_failed = True
                     logger.exception("async warmup failed; serving cold")
                 finally:
+                    self._warm_end = time.monotonic()
                     self.warming = False
 
             self._warm_thread = threading.Thread(
                 target=_warm, daemon=True, name="lattice-frontend-warm")
             self._warm_thread.start()
             return self._warm_thread
+
+    def _warm_credit(self, t_submit: float, now: float) -> float:
+        """Seconds of the async-warm window that overlapped this
+        request's wait — added to its deadline, so waiting behind the
+        mint-time compile never burns the caller's budget, while time
+        spent waiting OUTSIDE the window still counts."""
+        ws = self._warm_start
+        if ws is None:
+            return 0.0
+        we = self._warm_end if self._warm_end is not None else now
+        return max(0.0, min(we, now) - max(ws, t_submit))
 
     def join_warmup(self, timeout: float | None = None) -> bool:
         """Wait for a running async warmup; True when not/no-longer
@@ -433,15 +460,18 @@ class BatchingFrontend:
                  if it.future.set_running_or_notify_cancel()]
         # expire overdue requests BEFORE paying for the device call: by
         # now their caller has given up (HTTP thread timed out), so a
-        # slot in the batch would compute a result nobody reads.
-        # EXCEPT while the mint-time warmup is still compiling: those
-        # requests queued behind an unavoidable 20-40 s compile window,
-        # so their queue-wait deadline is suspended for it (the HTTP
-        # result timeout still bounds the total wait)
+        # slot in the batch would compute a result nobody reads. Time a
+        # request spent waiting behind the mint-time warmup window is
+        # credited to its deadline (`_warm_credit`) — extended, not
+        # waived: queue-backlog lateness still expires during a warm,
+        # and a request that waited out the warm is not killed the
+        # moment warming flips false.
         now = time.monotonic()
         live: list[_Item] = []
         for it in batch:
-            if it.expired(now) and not self.warming:
+            if (it.deadline is not None
+                    and now >= it.deadline
+                    + self._warm_credit(it.t_submit, now)):
                 self.stats.deadline_expired += 1
                 it.future.set_exception(DeadlineExceeded(
                     f"waited {(now - it.t_submit) * 1e3:.1f} ms"))

@@ -145,8 +145,13 @@ class ServingHTTPServer:
                     fe.join_warmup()
                     # "nothing to warm" (empty store / no dim) IS warm:
                     # readiness probes gate on this flag, and a valid-
-                    # but-empty index must not wedge a deploy NotReady
-                    self.warm = True
+                    # but-empty index must not wedge a deploy NotReady.
+                    # A warmup that RAISED is not warm (review r5): the
+                    # buckets are still cold and the flag exists to say
+                    # exactly that.
+                    self.warm = not fe.warmup_failed
+                    if fe.warmup_failed:
+                        logger.error("startup warmup failed; serving cold")
                 except Exception:  # noqa: BLE001 — serve cold, don't die
                     logger.exception("startup warmup failed; serving cold")
             self._warm_thread = threading.Thread(

@@ -93,6 +93,12 @@ class FrontendRouter:
         # lifetime histogram/counters really are lifetime (never reset
         # by LRU churn) and stats aggregates stay monotonic
         self._retired_stats: dict[str, FrontendStats] = {}
+        # warmed-bucket sets ride along: the XLA jit keys survive the
+        # frontend object process-wide, so a re-minted config's first
+        # dispatches are NOT cold compiles and must not count as such
+        # (review r5: cold_compiles_total climbed a bucket-set per
+        # LRU re-mint cycle)
+        self._retired_warmed: dict[str, set] = {}
         self._lock = threading.Lock()
         self._closed = False
 
@@ -146,7 +152,8 @@ class FrontendRouter:
                 self.store, max_batch=self.max_batch,
                 max_wait_ms=self.max_wait_ms, max_queue=self.max_queue,
                 filters=filters, method=method,
-                stats=self._retired_stats.pop(key, None))
+                stats=self._retired_stats.pop(key, None),
+                warmed_buckets=self._retired_warmed.pop(key, None))
             self._frontends[key] = fe
             self._last_used[key] = time.monotonic()
             if self.warm_on_mint:
@@ -176,11 +183,14 @@ class FrontendRouter:
                 del self._frontends[key]
                 del self._last_used[key]
                 self._retired_stats[key] = fe.stats
+                self._retired_warmed[key] = fe._warmed_buckets
                 # bound the tombstone table: a client cycling filter
                 # values must not grow host memory without limit (the
                 # oldest-evicted configs' counters are the ones dropped)
                 while len(self._retired_stats) > 8 * self.max_configs:
-                    self._retired_stats.pop(next(iter(self._retired_stats)))
+                    gone = next(iter(self._retired_stats))
+                    self._retired_stats.pop(gone)
+                    self._retired_warmed.pop(gone, None)
                 threading.Thread(
                     target=fe.close, daemon=True,
                     name="lattice-frontend-evict").start()

@@ -122,6 +122,38 @@ class TestLexicalCandidates:
         store.remove([hits[0][0]])
         assert not store.lexical_candidates({"drain"})
 
+    def test_mutations_maintain_index_incrementally(self, store):
+        """Once built, add/remove update the token index in place — a
+        wholesale rebuild is O(corpus) under _serve_lock and stalled
+        serving threads per watcher mutation (review r5)."""
+        toks = query_token_set("drain the delivery queue")
+        store.lexical_candidates(toks)        # build
+        built = store._lex_tokens
+        assert built is not None
+        store.add(_vec(50)[None, :],
+                  [{"name": "m.Pump.drain_fast", "file_path": "m.py"}])
+        assert store._lex_tokens is built     # same object, updated
+        rows = {store.payload(r)["name"] for r, _ in
+                store.lexical_candidates(query_token_set("drain"))}
+        assert "m.Pump.drain_fast" in rows
+        victim = next(r for r, _ in store.lexical_candidates(
+            query_token_set("drain"))
+            if store.payload(r)["name"].endswith("drain_fast"))
+        store.remove([victim])
+        assert store._lex_tokens is built
+        rows = {store.payload(r)["name"] for r, _ in
+                store.lexical_candidates(query_token_set("drain"))}
+        assert "m.Pump.drain_fast" not in rows
+
+    def test_non_string_name_payload_does_not_crash(self, store):
+        """One non-string 'name' must not crash the rebuild (which would
+        black out every vector search through _vector_phase's catch)."""
+        store.add(_vec(51)[None, :], [{"name": 42, "file_path": "n.py"}])
+        store._lex_tokens = None              # force a full rebuild
+        assert isinstance(
+            store.lexical_candidates(query_token_set("drain queue")),
+            list)
+
     def test_scores_sorted_and_bounded(self, store):
         hits = store.lexical_candidates(
             query_token_set("webhook delivery queue service fire drain"))

@@ -373,3 +373,78 @@ class TestWarmOnMint:
         finally:
             gate.set()
             fe.close()
+
+
+class TestReviewFixesR5:
+    """Second-pass review regressions (round 5)."""
+
+    def test_warm_credit_extends_but_does_not_waive(self, store):
+        fe = BatchingFrontend(store, max_batch=4, max_wait_ms=0,
+                              method="flat")
+        try:
+            now = time.monotonic()
+            # no warm window ever: zero credit
+            assert fe._warm_credit(now - 5, now) == 0.0
+            # a warm window fully inside the wait: full credit
+            fe._warm_start, fe._warm_end = now - 4, now - 1
+            assert fe._warm_credit(now - 5, now) == pytest.approx(3.0)
+            # request arrived mid-warm: only the overlap counts
+            assert fe._warm_credit(now - 2, now) == pytest.approx(1.0)
+            # request arrived after the warm ended: zero credit
+            assert fe._warm_credit(now - 0.5, now) == 0.0
+        finally:
+            fe.close()
+
+    def test_deadline_survives_warm_then_expires_past_credit(self, store):
+        """A request that waited out the warm window is not expired the
+        moment warming flips false (the pre-fix behavior); one that is
+        late beyond the credited window still is."""
+        slow = _SlowCompileStore(store, compile_s=0.3)
+        with FrontendRouter(slow, max_batch=4, max_wait_ms=5,
+                            warm_on_mint=True, warm_k=3) as router:
+            fe = router.frontend(method="flat")
+            fut = router.submit(_q(31), k=3, method="flat",
+                                deadline_ms=40)
+            fe.join_warmup(timeout=30)
+            scores, ids = fut.result(timeout=30)  # survived via credit
+            assert len(ids) == 3
+
+    def test_failed_warmup_sets_flag(self, store):
+        class Boom:
+            dim = store.dim
+
+            def __len__(self):
+                return 8
+
+            def search_device(self, q, k, **kw):
+                raise RuntimeError("compile exploded")
+
+        fe = BatchingFrontend(Boom(), max_batch=4, method="flat")
+        try:
+            fe.warmup_async(k=3)
+            assert fe.join_warmup(timeout=30)
+            assert fe.warmup_failed is True
+        finally:
+            fe.close()
+
+    def test_cold_compiles_not_recounted_after_remint(self, store):
+        """The jit keys survive LRU eviction process-wide; a re-minted
+        config's first dispatches must not count as cold compiles."""
+        with FrontendRouter(store, max_batch=4, max_wait_ms=5,
+                            max_configs=1) as router:
+            router.submit(_q(33), k=3, method="flat").result(timeout=30)
+            fe = router.peek(method="flat")
+            assert fe.stats.cold_compiles == 1
+            # force eviction by minting a different config (flat +
+            # filter: runs on the CPU test backend, unlike the Pallas
+            # methods)
+            router.submit(_q(34), k=3, method="flat",
+                          filters={"file_path": "f1.py"}).result(timeout=30)
+            deadline = time.monotonic() + 10
+            while router.peek(method="flat") is not None \
+                    and time.monotonic() < deadline:
+                time.sleep(0.01)
+            # re-mint the original config; same bucket, same jit key
+            router.submit(_q(35), k=3, method="flat").result(timeout=30)
+            fe2 = router.peek(method="flat")
+            assert fe2 is not None and fe2.stats.cold_compiles == 1
