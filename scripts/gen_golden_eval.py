@@ -201,6 +201,52 @@ CHAIN = [  # call chain endpoints: expect the target to surface
       "app.integrations.webhooks.activate"]),
 ]
 
+IMPORTS = [  # what does <file> import -> its IMPORTS-edge file targets
+    ("what does app/sync/sync_engine.py import?",
+     "app/sync/sync_engine.py"),
+    ("what does app/services/task_service.py import?",
+     "app/services/task_service.py"),
+    ("what does app/integrations/slack.py import?",
+     "app/integrations/slack.py"),
+    ("dependencies of app/scheduling/digests.py",
+     "app/scheduling/digests.py"),
+]
+
+FILE_CONTEXT = [  # what's in <file> -> entities defined in it
+    ("what's in the file app/models/task.py?", "app/models/task.py"),
+    ("what's in the file app/search/text_index.py?",
+     "app/search/text_index.py"),
+    ("file overview of web/src/store/store.ts", "web/src/store/store.ts"),
+    ("what's in the file app/utils/dates.py?", "app/utils/dates.py"),
+]
+
+IMPLEMENTATION = [  # how is X implemented -> the implementing entities
+    ("how is the delivery queue implemented?",
+     ["app.integrations.webhooks.DeliveryQueue",
+      "app.integrations.webhooks.DeliveryQueue.enqueue",
+      "app.integrations.webhooks.DeliveryQueue.drain"]),
+    ("how is the text index implemented?",
+     ["app.search.text_index.TextIndex",
+      "app.search.text_index.TextIndex.index_document",
+      "app.search.text_index.TextIndex.search"]),
+    ("how is rate limiting implemented?",
+     ["app.api.middleware.RateLimitMiddleware",
+      "app.api.middleware.RateLimitMiddleware.handle"]),
+]
+
+EXAMPLES = [  # how to use X -> the entity and its public surface
+    ("how to use the Scheduler?",
+     ["app.scheduling.scheduler.Scheduler",
+      "app.scheduling.scheduler.Scheduler.register",
+      "app.scheduling.scheduler.Scheduler.tick"]),
+    ("how to use the ApiClient?",
+     ["web.src.api.client.ApiClient", "web.src.api.client.getClient",
+      "web.src.api.client.ApiClient.get",
+      "web.src.api.client.ApiClient.post"]),
+    ("examples of using validate_username",
+     ["app.utils.validators.validate_username"]),
+]
+
 # Subset re-run through the deep (hybrid device-rank) path — the two
 # paths share evidence but rank differently; both must find the answer.
 DEEP_SEMANTIC_IDX = [0, 3, 5, 13, 16, 18, 22, 26]
@@ -268,6 +314,33 @@ def main() -> None:
         add("find_methods", "search", q, methods_of(target))
     for q, exp in CHAIN:
         add("find_call_chain", "search", q, exp)
+
+    def file_imports(path: str) -> list[str]:
+        nid = must_id(f"file:{path}")
+        reached = store.k_hop([nid], EdgeType.IMPORTS, hops=1, limit=64)
+        names = sorted(store.node(n).qualified_name for n in reached
+                       if n != nid)
+        if not names:
+            raise SystemExit(f"no imports for {path}")
+        return names
+
+    def file_entities(path: str) -> list[str]:
+        names = sorted(
+            store.node(i).qualified_name for i in range(store.n_nodes())
+            if store.node(i).file_path == path
+            and not store.node(i).qualified_name.startswith("file:"))
+        if not names:
+            raise SystemExit(f"no entities in {path}")
+        return names
+
+    for q, path in IMPORTS:
+        add("find_imports", "search", q, file_imports(path))
+    for q, path in FILE_CONTEXT:
+        add("find_file_context", "search", q, file_entities(path))
+    for q, exp in IMPLEMENTATION:
+        add("find_implementation", "search", q, exp)
+    for q, exp in EXAMPLES:
+        add("find_examples", "search", q, exp)
     for i in DEEP_SEMANTIC_IDX:
         q, exp = SEMANTIC[i]
         add("general_search", "deep", q, exp)
