@@ -585,16 +585,16 @@ def main() -> None:
         try:
             with open(os.path.join(os.path.dirname(
                     os.path.abspath(__file__)),
-                    "R4_SELF_BENCH.json")) as f:
-                stale = json.load(f).get("serving", {})
+                    "R5_SELF_BENCH.json")) as f:
+                stale = json.load(f)
         except Exception:
             pass
         alt.update({
             "relay_outage": True,
             "attach_timeout_s": attach_timeout,
             "last_self_measured": stale,
-            "source": ("R4_SELF_BENCH.json — pre-outage chip "
-                       "measurements; NOT fresh numbers"),
+            "source": ("R5_SELF_BENCH.json — the last self-measured "
+                       "chip record; NOT fresh numbers"),
         })
         _emit()           # os._exit skips stdio flushing; _emit flushes
         os._exit(2)
