@@ -133,7 +133,15 @@ def _install_guards() -> None:
         pass  # non-main thread / exotic host: watchdog still covers us
 
     def watchdog():
-        time.sleep(max(HARD_BUDGET_S - _elapsed(), 1.0))
+        # loop instead of one computed sleep: _BENCH_T0 is RESET after
+        # the first successful device materialization (the relay's
+        # grant-drain can block the first round-trip ~8 min, and that
+        # queue wait must not burn the measurement budget)
+        while True:
+            remaining = HARD_BUDGET_S - _elapsed()
+            if remaining <= 0:
+                break
+            time.sleep(min(remaining, 30.0))
         _emit(truncated=True, why=f"hard budget {HARD_BUDGET_S:.0f}s")
         os._exit(3)
 
@@ -639,6 +647,13 @@ def main() -> None:
     q_f32 = gen_block(centers, jax.random.fold_in(kq, 1),
                       jax.random.fold_in(kq, 2), BATCH)
     queries = np.asarray(q_f32)  # forces attach + materialization
+    # restart the budget clocks now that the device actually answered:
+    # the relay queues up to ~8 min of the PREVIOUS process's grant
+    # drain ahead of the first round-trip, and that wait must not eat
+    # the soft/hard measurement budgets (the watchdog loop re-reads
+    # _elapsed, so the reset takes effect there too)
+    global _BENCH_T0
+    _BENCH_T0 = time.monotonic()
 
     # exact-recall oracle + host-baseline subsample FIRST, then free the
     # f32 corpus: keeping 4 GB of f32 alive through the quantized views +
