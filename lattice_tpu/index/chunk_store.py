@@ -757,15 +757,40 @@ class ChunkStore:
         # a token matching >5% of the corpus carries ~no signal and
         # would make this probe O(corpus); idf would discount it anyway
         df_cap = max(int(0.05 * n), 1000)
-        acc: dict[int, float] = {}
+        # Compound-split fallback: a query token absent from the name
+        # vocabulary may EMBED a vocabulary token ("autocomplete" names
+        # TextIndex.complete; "unsubscribe" names subscribe). Probe the
+        # longest suffix then longest prefix (>=4 chars) against the
+        # index — O(len) dict lookups, no vocabulary scan — and ride it
+        # at a 0.7 discount (the golden eval's one remaining total miss
+        # was exactly this shape).
+        weights: dict[str, float] = {t: 1.0 for t in toks}
         for t in toks:
+            if t in idx or len(t) < 6:
+                continue
+            piece = None
+            for i in range(1, len(t) - 3):          # longest suffix first
+                if t[i:] in idx:
+                    piece = t[i:]
+                    break
+            if piece is None:
+                for i in range(len(t) - 1, 3, -1):  # longest prefix
+                    if t[:i] in idx:
+                        piece = t[:i]
+                        break
+            if piece is not None:
+                weights[piece] = max(weights.get(piece, 0.0), 0.7)
+        acc: dict[int, float] = {}
+        q_den = 0.0   # total idf the query puts in play (known tokens)
+        for t, w in weights.items():
             rows = idx.get(t)
             if not rows or len(rows) > df_cap:
                 continue
-            idf = math.log1p(n / len(rows))
+            idf = w * math.log1p(n / len(rows))
+            q_den += idf
             for r in rows:
                 acc[r] = acc.get(r, 0.0) + idf
-        if not acc:
+        if not acc or q_den <= 0:
             return []
         allowed = self._filter_rows(filters) if filters else None
         out: list[tuple[int, float]] = []
@@ -779,8 +804,17 @@ class ChunkStore:
                                    or p.get("graph_node_id") or "")
             den = sum(
                 math.log1p(n / len(idx.get(t) or (0,))) for t in ntoks)
-            if den > 0:
-                out.append((r, min(num / den, 1.0)))
+            if den <= 0:
+                continue
+            name_cov = min(num / den, 1.0)
+            # Query coverage breaks the tie name coverage can't: for
+            # "how is the delivery queue implemented", Delivery and
+            # DeliveryQueue BOTH have fully-covered names, but
+            # DeliveryQueue explains more of the query. Half the score
+            # rides on how much of the query's (idf-weighted) token
+            # mass this name accounts for.
+            query_cov = min(num / q_den, 1.0)
+            out.append((r, name_cov * (0.5 + 0.5 * query_cov)))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:limit]
 

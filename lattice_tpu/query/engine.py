@@ -257,8 +257,13 @@ class QueryEngine:
         degree = np.zeros(cap, dtype=np.int32)
         match = np.zeros(cap, dtype=np.float32)
         quality = np.zeros(cap, dtype=np.float32)
+        from lattice_tpu.query.ranking.scorer import (
+            _SUBJECT_DEMOTE_INTENTS,
+            _SUBJECT_EXACT_CAP,
+        )
         relevance_map = _RELATIONSHIP_RELEVANCE.get(plan.intent,
                                                     _DEFAULT_RELEVANCE)
+        demote = plan.intent in _SUBJECT_DEMOTE_INTENTS
         inverted = store._inverted["graph_node_id"]
         for node in graph_context.all_nodes():
             rows = inverted.get(node.qualified_name)
@@ -267,24 +272,39 @@ class QueryEngine:
             rel = relevance_map.get(
                 node.relationship,
                 _DEFAULT_RELEVANCE.get(node.relationship, 0.5))
+            if demote and node.relationship == "primary":
+                # relation-directed intents: the subject is context,
+                # not the answer (same cap as the host scorer)
+                rel *= _SUBJECT_EXACT_CAP
             out_deg, in_deg = graph_context.centrality.get(
                 node.qualified_name, (node.out_degree, node.in_degree))
             for row in rows:
                 depth[row] = min(depth[row], node.depth)
                 relevance[row] = max(relevance[row], rel)
                 degree[row] = out_deg + in_deg
+        # relation-directed intents: the named entity is the SUBJECT,
+        # not the answer — cap its match signal the way the host-path
+        # scorer does so callers/subclasses/etc. outrank it here too
+        subject_match = _SUBJECT_EXACT_CAP if demote else 1.0
         entity_names = {e.name.lower() for e in plan.entities}
+        subject_rows: set[int] = set()
         for row, payload in store.scroll({}, limit=cap):
             name = (payload.get("name") or "").rsplit(".", 1)[-1].lower()
             if name and name in entity_names:
-                match[row] = 1.0
+                match[row] = subject_match
+                subject_rows.add(row)
             n = len(payload.get("content") or "")
             quality[row] = 1.0 if 80 <= n <= 4000 else (0.5 if n else 0.0)
         # lexical channel (round 5): plain-word identifier mentions feed
-        # the same match signal the planner's extracted entities do
+        # the same match signal the planner's extracted entities do.
+        # Under subject demotion the lexical channel must not hand the
+        # subject its full match back (the query literally names it, so
+        # its lexical score is ~1.0 by construction).
         from lattice_tpu.index.chunk_store import query_token_set
         for row, lscore in store.lexical_candidates(
                 query_token_set(query_text), limit=64):
+            if demote and row in subject_rows:
+                continue
             match[row] = max(match[row], float(lscore))
 
         scores, rows = fused_rank(
@@ -640,6 +660,18 @@ class QueryEngine:
             n_ids = np.empty(0, np.int64)
             n_depths = np.empty(0, np.int32)
             n_cls = np.empty(0, np.uint8)
+        # relation-directed intents (round-5 ordering pass, mirroring
+        # the host scorer): the seeds ARE the subject, not the answer —
+        # scale their class-0 relevance by the subject cap and keep
+        # them out of the binary match slots so the relation members
+        # (class 1/2 at rel 1.0) outrank them in the fused kernel.
+        from lattice_tpu.query.ranking.scorer import (
+            _SUBJECT_DEMOTE_INTENTS,
+            _SUBJECT_EXACT_CAP,
+        )
+        demote = plan.intent in _SUBJECT_DEMOTE_INTENTS
+        if demote:
+            rel_primary *= _SUBJECT_EXACT_CAP
         rel_table = np.asarray(
             [rel_primary, rel_callee, rel_caller, 0.0], np.float32)
         reach_set = {int(v): int(d) for v, d in zip(n_ids, n_depths)}
@@ -648,9 +680,12 @@ class QueryEngine:
                                                       n_cls)
         match_rows: list[int] = []
         inverted = store._inverted["graph_node_id"]
+        seed_rows: set[int] = set()
         for sd in seeds:
-            match_rows.extend(
+            seed_rows.update(
                 inverted.get(graph.node(sd).qualified_name, ()))
+        if not demote:
+            match_rows.extend(seed_rows)
         # lexical channel (round 5): the packed match slots are binary,
         # so only strong name-coverage hits ride along (>=0.6 — a name
         # the query mostly spells out), capped to leave room for seeds
@@ -658,7 +693,7 @@ class QueryEngine:
         match_rows.extend(
             r for r, s in store.lexical_candidates(
                 query_token_set(plan.raw_query), limit=32)
-            if s >= 0.6)
+            if s >= 0.6 and not (demote and r in seed_rows))
         return {
             "seeds": seeds, "f_ids": f_ids, "f_d": f_d,
             "b_ids": b_ids, "b_d": b_d,

@@ -161,6 +161,21 @@ _CAMEL_RE = re.compile(r"\b([A-Z][a-z0-9]+(?:[A-Z][a-z0-9]*)+)\b")
 _LOWER_CAMEL_RE = re.compile(r"\b([a-z][a-z0-9]+(?:[A-Z][a-z0-9]*)+)\b")
 _SNAKE_CALL_RE = re.compile(r"\b([a-z_][a-z0-9_]*_[a-z0-9_]+)\b")
 _PAREN_CALL_RE = re.compile(r"\b([A-Za-z_][\w]*)\s*\(\)")
+# Single Capitalized word ("subclasses of Repository", "methods of
+# Middleware"): CamelCase requires two humps, so one-word class names
+# got NO graph phase at all (r5 golden-eval ordering pass). Extracted
+# at low confidence; sentence-initial words are skipped by the caller.
+_SINGLE_CAP_RE = re.compile(r"\b([A-Z][a-z0-9]{2,})\b")
+# Relation-phrase object: "callers of tokenize", "who calls tokenize"
+# — the word after the relation phrase IS the subject even when it is
+# a plain lowercase word no identifier pattern matches.
+_REL_OBJ_RE = re.compile(
+    r"\b(?:callers?|callees?|methods?|members?|subclass(?:es)?|"
+    r"superclass(?:es)?|usages?|implementations?|definitions?|"
+    r"dependencies)\s+of\s+([A-Za-z_][\w.]*)|"
+    r"\bwho\s+calls\s+([A-Za-z_][\w.]*)|"
+    r"\bwhat\s+does\s+([A-Za-z_][\w.]*)\s+(?:call|extend|import|do)\b",
+    re.I)
 _FILE_RE = re.compile(r"\b([\w./-]+\.(?:py|pyi|js|jsx|ts|tsx|mjs|cjs))\b")
 
 _STOPWORDS = frozenset(
@@ -237,6 +252,14 @@ class QueryPlanner:
             add(m.group(1), "function", 0.85)
         for m in _SNAKE_CALL_RE.finditer(stripped):
             add(m.group(1), "function", 0.6)
+        for m in _REL_OBJ_RE.finditer(stripped):
+            name = next(g for g in m.groups() if g)
+            add(name.rstrip(".?!,"), None, 0.85)
+        for m in _SINGLE_CAP_RE.finditer(stripped):
+            # skip the sentence-initial word — "Show me ..." is not an
+            # entity; mid-sentence Capitalized words usually are
+            if m.start() > 0:
+                add(m.group(1), "class", 0.5)
         return out[:8]
 
     # -- LLM path --------------------------------------------------------

@@ -67,6 +67,12 @@ class RankingConfig:
     centrality_weight: float = 0.2
     context_weight: float = 0.1
     entity_match_bonus: float = 0.3
+    # Relation-directed ordering (round-5 golden-eval pass, scorer.py):
+    # bonus for results that ARE the asked-for relation's members, and a
+    # small penalty keeping dunder chunks (__init__ et al.) below the
+    # entity that contains them when otherwise tied.
+    relation_answer_bonus: float = 0.4
+    dunder_penalty: float = 0.05
     hybrid_boost: float = 1.1            # duplicate merge boost (`ranker.py:171-202`)
     depth_decay: float = 0.8             # per-hop decay of graph base score
     centrality_degree_cap: int = 50      # min(1, degree/50) (`scorer.py:60`)

@@ -34,6 +34,32 @@ _DEFAULT_RELEVANCE = {"primary": 1.0, "caller": 0.7, "callee": 0.7,
                       "method": 0.6, "in_file": 0.5, "ancestor": 0.6,
                       "descendant": 0.6, "chain": 0.7, "imports": 0.5}
 
+# Relation-directed intents ask for the MEMBERS of a relation, not the
+# subject: "who calls tokenize?" is answered by tokenize's callers, yet
+# the subject used to win (entity-match bonus + hybrid merge boost) and
+# the golden eval pinned first-hit at rank 2-7 across every such intent.
+# Two complementary moves (round-5 ordering pass):
+#   * results whose graph relationship IS the asked-for relation get an
+#     explicit `relation_answer` bonus signal;
+#   * the subject's entity-match bonus is capped (it stays near the top
+#     as context but below the actual answers).
+# FIND_CALL_CHAIN is bonus-only: its expected answers INCLUDE the
+# endpoints the query names, so the subject is never demoted there.
+_RELATION_ANSWER_RELS: dict[QueryIntent, frozenset[str]] = {
+    QueryIntent.FIND_USAGE: frozenset({"caller"}),
+    QueryIntent.FIND_CALLEES: frozenset({"callee"}),
+    QueryIntent.FIND_CALL_CHAIN: frozenset({"chain"}),
+    QueryIntent.FIND_HIERARCHY: frozenset({"ancestor", "descendant"}),
+    QueryIntent.FIND_METHODS: frozenset({"method"}),
+    QueryIntent.FIND_IMPORTS: frozenset({"imports"}),
+    QueryIntent.FIND_FILE_CONTEXT: frozenset({"in_file"}),
+}
+_SUBJECT_DEMOTE_INTENTS = frozenset(
+    _RELATION_ANSWER_RELS) - {QueryIntent.FIND_CALL_CHAIN}
+# Capped entity-match values under subject demotion (exact / partial).
+_SUBJECT_EXACT_CAP = 0.45
+_SUBJECT_PARTIAL_CAP = 0.25
+
 
 class ResultScorer:
     def __init__(self, config: RankingConfig | None = None):
@@ -41,15 +67,20 @@ class ResultScorer:
 
     def _entity_match(self, name: str, qualified_name: str,
                       plan: QueryPlan) -> float:
+        demote = plan.intent in _SUBJECT_DEMOTE_INTENTS
         nl = name.lower()
         ql = qualified_name.lower()
         for ent in plan.entities:
             el = ent.name.lower()
             if nl == el or ql == el or ql.endswith("." + el):
-                return 1.0
+                return _SUBJECT_EXACT_CAP if demote else 1.0
             if el in ql:
-                return 0.5
+                return _SUBJECT_PARTIAL_CAP if demote else 0.5
         return 0.0
+
+    @staticmethod
+    def _dunder(name: str) -> bool:
+        return len(name) > 4 and name.startswith("__") and name.endswith("__")
 
     def _centrality(self, degree_pair: tuple[int, int] | None) -> float:
         if not degree_pair:
@@ -79,6 +110,11 @@ class ResultScorer:
             RankingSignal("centrality", centrality, cfg.centrality_weight),
             RankingSignal("context", richness, cfg.context_weight),
         ]
+        if node.relationship in _RELATION_ANSWER_RELS.get(plan.intent, ()):
+            signals.append(RankingSignal(
+                "relation_answer", 1.0, cfg.relation_answer_bonus))
+        if self._dunder(node.name):
+            signals.append(RankingSignal("dunder", -1.0, cfg.dunder_penalty))
         score = sum(s.contribution for s in signals)
         return RankedResult(
             name=node.name, qualified_name=node.qualified_name,
@@ -109,6 +145,8 @@ class ResultScorer:
             RankingSignal("centrality", cent, cfg.centrality_weight),
             RankingSignal("quality", quality, cfg.context_weight),
         ]
+        if self._dunder(result.name.rsplit(".", 1)[-1]):
+            signals.append(RankingSignal("dunder", -1.0, cfg.dunder_penalty))
         score = sum(s.contribution for s in signals)
         return RankedResult(
             name=result.name.rsplit(".", 1)[-1] or result.name,

@@ -86,12 +86,51 @@ class TestLexicalCandidates:
         top_row, top_score = hits[0]
         assert store.payload(top_row)["name"].endswith(
             "DeliveryQueue.drain")
-        # every token of the name is in the query -> full coverage
-        assert top_score == pytest.approx(1.0)
+        # every token of the name is in the query -> full name coverage;
+        # the score is name_cov * (0.5 + 0.5 * query_cov), so with the
+        # query's extra tokens ("webhook") unmatched it lands below 1.0
+        # but must stay above the half-score floor full name coverage
+        # guarantees
+        assert 0.5 < top_score <= 1.0
         # the sibling method shares delivery+queue but not drain
         rows = {store.payload(r)["name"].rsplit(".", 1)[-1]: s
                 for r, s in hits}
         assert rows.get("enqueue", 0) < top_score
+
+    def test_query_coverage_breaks_name_coverage_ties(self):
+        """Delivery and DeliveryQueue BOTH have fully-covered names for
+        'the delivery queue'; the name explaining more of the query's
+        idf mass must win (score = name_cov * (0.5 + 0.5*query_cov))."""
+        st = ChunkStore(dim=D)
+        names = ["app.integrations.webhooks.Delivery",
+                 "app.integrations.webhooks.DeliveryQueue",
+                 "app.models.task.Task"]
+        st.add(np.stack([_vec(i) for i in range(len(names))]),
+               [{"name": n} for n in names])
+        hits = dict(st.lexical_candidates(
+            query_token_set("how is the delivery queue implemented")))
+        by_name = {st.payload(r)["name"].rsplit(".", 1)[-1]: s
+                   for r, s in hits.items()}
+        assert by_name["DeliveryQueue"] > by_name["Delivery"]
+
+    def test_compound_query_token_splits_to_vocabulary(self):
+        """'autocomplete' embeds the vocabulary token 'complete' — the
+        suffix probe must surface TextIndex.complete (the golden eval's
+        one remaining total miss before this)."""
+        st = ChunkStore(dim=D)
+        names = ["app.search.text_index.TextIndex.complete",
+                 "app.search.text_index.TextIndex.vocabulary_size",
+                 "app.models.task.Task"]
+        st.add(np.stack([_vec(i) for i in range(len(names))]),
+               [{"name": n} for n in names])
+        hits = st.lexical_candidates(
+            query_token_set("autocomplete a prefix from the vocabulary"))
+        assert hits
+        top = st.payload(hits[0][0])["name"]
+        assert top.endswith(("TextIndex.complete",
+                             "TextIndex.vocabulary_size"))
+        found = {st.payload(r)["name"].rsplit(".", 1)[-1] for r, _ in hits}
+        assert "complete" in found
 
     def test_empty_and_unknown_tokens(self, store):
         assert store.lexical_candidates(set()) == []

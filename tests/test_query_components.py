@@ -71,6 +71,29 @@ class TestPlannerIntents:
         plan = QueryPlanner().plan_heuristic("who calls the scheduler?")
         assert "scheduler" not in plan.entity_names
 
+    def test_single_capitalized_word_extracted_mid_sentence(self):
+        """One-word class names ("subclasses of Repository") got no
+        graph phase: CamelCase needs two humps (r5 ordering pass)."""
+        plan = QueryPlanner().plan_heuristic("subclasses of Repository")
+        assert "Repository" in plan.entity_names
+        # sentence-initial capitalized words are NOT entities
+        plan = QueryPlanner().plan_heuristic("Show all the tasks")
+        assert "Show" not in plan.entity_names
+
+    def test_relation_phrase_object_extracted(self):
+        """The word after a relation phrase is the subject even when
+        lowercase and pattern-free ("callers of tokenize")."""
+        plan = QueryPlanner().plan_heuristic("callers of tokenize")
+        assert "tokenize" in plan.entity_names
+        plan = QueryPlanner().plan_heuristic("who calls tokenize?")
+        assert "tokenize" in plan.entity_names
+        plan = QueryPlanner().plan_heuristic("methods of workflow")
+        assert "workflow" in plan.entity_names
+        # articles stay stopworded: "who calls the scheduler?" must not
+        # extract "the" (and still not "scheduler")
+        plan = QueryPlanner().plan_heuristic("who calls the scheduler?")
+        assert "the" not in plan.entity_names
+
     def test_multi_hop_detection(self):
         planner = QueryPlanner()
         assert planner.plan_heuristic(
@@ -137,6 +160,43 @@ class TestScorerAndRanker:
         other = scorer.score_graph_node(
             _node(2, "unrelated", rel="caller", depth=1), plan, ctx)
         assert match.score > other.score
+
+    def test_relation_answer_outranks_subject(self):
+        # "who calls tokenize?" — the answer is the CALLERS; the subject
+        # itself stays visible but below them (round-5 ordering pass:
+        # relation_answer bonus + subject entity-match cap)
+        scorer = ResultScorer()
+        plan = QueryPlanner().plan_heuristic("who calls `tokenize`?")
+        ctx = GraphContext()
+        subject = scorer.score_graph_node(
+            _node(1, "tokenize", rel="primary", depth=0), plan, ctx)
+        caller = scorer.score_graph_node(
+            _node(2, "index_document", rel="caller", depth=1), plan, ctx)
+        assert caller.score > subject.score
+        assert "relation_answer" in caller.signal_scores
+        assert "relation_answer" not in subject.signal_scores
+
+    def test_call_chain_endpoints_not_demoted(self):
+        # FIND_CALL_CHAIN answers INCLUDE the endpoints the query names:
+        # no subject demotion there (the exact entity match keeps 1.0)
+        scorer = ResultScorer()
+        plan = QueryPlanner().plan_heuristic(
+            "call chain from `cmd_report` to `humanize_duration`")
+        assert plan.intent == QueryIntent.FIND_CALL_CHAIN
+        ctx = GraphContext()
+        endpoint = scorer.score_graph_node(
+            _node(1, "cmd_report", rel="primary", depth=0), plan, ctx)
+        assert endpoint.signal_scores["entity_match"] == pytest.approx(
+            scorer.config.entity_match_bonus)
+
+    def test_dunder_penalized_below_peer(self):
+        scorer = ResultScorer()
+        plan = QueryPlanner().plan_heuristic("rate limiting middleware")
+        a = scorer.score_vector_result(_vres("RateLimitMiddleware", 0.8),
+                                       plan, {})
+        b = scorer.score_vector_result(
+            _vres("RateLimitMiddleware.__init__", 0.8), plan, {})
+        assert a.score > b.score
 
     def test_hybrid_merge_boost(self):
         ranker = HybridRanker()
