@@ -727,7 +727,8 @@ class ChunkStore:
     # ---- filters -------------------------------------------------------
 
     def lexical_candidates(self, tokens, limit: int = 32,
-                           filters: dict[str, Any] | None = None
+                           filters: dict[str, Any] | None = None,
+                           min_name_cov: float = 0.0
                            ) -> list[tuple[int, float]]:
         """Rows whose entity-name tokens overlap `tokens`, scored by
         IDF-weighted name coverage in [0, 1] (1.0 = every token of the
@@ -790,7 +791,7 @@ class ChunkStore:
             q_den += idf
             for r in rows:
                 acc[r] = acc.get(r, 0.0) + idf
-        if not acc or q_den <= 0:
+        if not acc:   # implies q_den == 0 too: acc entries add idf > 0
             return []
         allowed = self._filter_rows(filters) if filters else None
         out: list[tuple[int, float]] = []
@@ -807,6 +808,12 @@ class ChunkStore:
             if den <= 0:
                 continue
             name_cov = min(num / den, 1.0)
+            # Strong-name-hit consumers (the deep paths' binary match
+            # slots) threshold on UNDEFLATED name coverage: a one-token
+            # name fully spelled out inside a verbose query must not be
+            # dropped because query coverage deflated its score.
+            if name_cov < min_name_cov:
+                continue
             # Query coverage breaks the tie name coverage can't: for
             # "how is the delivery queue implemented", Delivery and
             # DeliveryQueue BOTH have fully-covered names, but

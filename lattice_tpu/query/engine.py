@@ -34,6 +34,11 @@ from lattice_tpu.query.query_planner import (
 )
 from lattice_tpu.query.ranking.models import RankedResult
 from lattice_tpu.query.ranking.ranker import HybridRanker
+from lattice_tpu.query.ranking.scorer import (
+    DEEP_CALLS_DEMOTE_INTENTS,
+    SUBJECT_DEMOTE_INTENTS,
+    SUBJECT_EXACT_CAP,
+)
 from lattice_tpu.query.responder import ResponseGenerator
 from lattice_tpu.utils.tracing import get_tracer
 
@@ -257,13 +262,9 @@ class QueryEngine:
         degree = np.zeros(cap, dtype=np.int32)
         match = np.zeros(cap, dtype=np.float32)
         quality = np.zeros(cap, dtype=np.float32)
-        from lattice_tpu.query.ranking.scorer import (
-            _SUBJECT_DEMOTE_INTENTS,
-            _SUBJECT_EXACT_CAP,
-        )
         relevance_map = _RELATIONSHIP_RELEVANCE.get(plan.intent,
                                                     _DEFAULT_RELEVANCE)
-        demote = plan.intent in _SUBJECT_DEMOTE_INTENTS
+        demote = plan.intent in SUBJECT_DEMOTE_INTENTS
         inverted = store._inverted["graph_node_id"]
         for node in graph_context.all_nodes():
             rows = inverted.get(node.qualified_name)
@@ -274,8 +275,11 @@ class QueryEngine:
                 _DEFAULT_RELEVANCE.get(node.relationship, 0.5))
             if demote and node.relationship == "primary":
                 # relation-directed intents: the subject is context,
-                # not the answer (same cap as the host scorer)
-                rel *= _SUBJECT_EXACT_CAP
+                # not the answer. The fused kernel has no separate
+                # entity-bonus slot, so the host scorer's cap CONSTANT
+                # applies to relevance here — a deliberately stronger
+                # demotion (the eval pins the resulting ordering).
+                rel *= SUBJECT_EXACT_CAP
             out_deg, in_deg = graph_context.centrality.get(
                 node.qualified_name, (node.out_degree, node.in_degree))
             for row in rows:
@@ -285,8 +289,12 @@ class QueryEngine:
         # relation-directed intents: the named entity is the SUBJECT,
         # not the answer — cap its match signal the way the host-path
         # scorer does so callers/subclasses/etc. outrank it here too
-        subject_match = _SUBJECT_EXACT_CAP if demote else 1.0
-        entity_names = {e.name.lower() for e in plan.entities}
+        subject_match = SUBJECT_EXACT_CAP if demote else 1.0
+        # last segment so dotted entities ("DeliveryQueue.drain") catch
+        # their bare-named rows — otherwise the lexical loop below hands
+        # the subject its full match straight back
+        entity_names = {e.name.lower().rsplit(".", 1)[-1]
+                        for e in plan.entities}
         subject_rows: set[int] = set()
         for row, payload in store.scroll({}, limit=cap):
             name = (payload.get("name") or "").rsplit(".", 1)[-1].lower()
@@ -665,13 +673,14 @@ class QueryEngine:
         # scale their class-0 relevance by the subject cap and keep
         # them out of the binary match slots so the relation members
         # (class 1/2 at rel 1.0) outrank them in the fused kernel.
-        from lattice_tpu.query.ranking.scorer import (
-            _SUBJECT_DEMOTE_INTENTS,
-            _SUBJECT_EXACT_CAP,
-        )
-        demote = plan.intent in _SUBJECT_DEMOTE_INTENTS
+        # CALLS-answer intents only: this walk's reach classes are
+        # primary/callee/caller, so methods/hierarchy/imports answers
+        # can't appear here to be promoted — demoting the subject for
+        # those intents would be a pure regression (scorer.py rationale
+        # at DEEP_CALLS_DEMOTE_INTENTS).
+        demote = plan.intent in DEEP_CALLS_DEMOTE_INTENTS
         if demote:
-            rel_primary *= _SUBJECT_EXACT_CAP
+            rel_primary *= SUBJECT_EXACT_CAP
         rel_table = np.asarray(
             [rel_primary, rel_callee, rel_caller, 0.0], np.float32)
         reach_set = {int(v): int(d) for v, d in zip(n_ids, n_depths)}
@@ -687,13 +696,16 @@ class QueryEngine:
         if not demote:
             match_rows.extend(seed_rows)
         # lexical channel (round 5): the packed match slots are binary,
-        # so only strong name-coverage hits ride along (>=0.6 — a name
-        # the query mostly spells out), capped to leave room for seeds
+        # so only strong name-coverage hits ride along (name coverage
+        # >=0.6 — a name the query mostly spells out; thresholded on
+        # UNDEFLATED coverage so verbose queries don't starve it),
+        # capped to leave room for seeds
         from lattice_tpu.index.chunk_store import query_token_set
         match_rows.extend(
-            r for r, s in store.lexical_candidates(
-                query_token_set(plan.raw_query), limit=32)
-            if s >= 0.6 and not (demote and r in seed_rows))
+            r for r, _s in store.lexical_candidates(
+                query_token_set(plan.raw_query), limit=32,
+                min_name_cov=0.6)
+            if not (demote and r in seed_rows))
         return {
             "seeds": seeds, "f_ids": f_ids, "f_d": f_d,
             "b_ids": b_ids, "b_d": b_d,

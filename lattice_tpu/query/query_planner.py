@@ -73,6 +73,13 @@ class ExtractedEntity:
     confidence: float = 1.0
 
 
+def _confident(entities) -> bool:
+    """Graph-only routing needs a seed worth trusting: a lone
+    0.5-confidence capitalized English word ("... the Python tokenizer")
+    must not flip hybrid -> graph and feed fuzzy junk seeds to the BFS."""
+    return any(e.confidence >= 0.6 for e in entities)
+
+
 @dataclass(slots=True)
 class QueryRelationship:
     """Reference: `query_planner.py:58-66`."""
@@ -203,7 +210,7 @@ class QueryPlanner:
         multi_hop = bool(_MULTI_HOP_RE.search(query)) or intent in (
             QueryIntent.FIND_CALL_CHAIN,)
         if intent in GRAPH_INTENTS:
-            search_type = "graph" if entities else "hybrid"
+            search_type = "graph" if _confident(entities) else "hybrid"
         elif intent in VECTOR_INTENTS:
             search_type = "vector"
         else:
@@ -256,9 +263,14 @@ class QueryPlanner:
             name = next(g for g in m.groups() if g)
             add(name.rstrip(".?!,"), None, 0.85)
         for m in _SINGLE_CAP_RE.finditer(stripped):
-            # skip the sentence-initial word — "Show me ..." is not an
-            # entity; mid-sentence Capitalized words usually are
-            if m.start() > 0:
+            # skip sentence-initial words — "Show me ..." is not an
+            # entity; mid-sentence Capitalized words usually are. A word
+            # is sentence-initial when nothing but whitespace or
+            # end-of-sentence punctuation precedes it (offset 0 alone
+            # misses leading spaces, stripped backticks, and second
+            # sentences: "Find usages. Explain the flow").
+            prefix = stripped[:m.start()].rstrip()
+            if prefix and prefix[-1] not in ".!?":
                 add(m.group(1), "class", 0.5)
         return out[:8]
 
@@ -314,7 +326,7 @@ class QueryPlanner:
         ]
         multi_hop = bool(data.get("multi_hop", heuristic.multi_hop))
         if intent in GRAPH_INTENTS:
-            search_type = "graph" if entities else "hybrid"
+            search_type = "graph" if _confident(entities) else "hybrid"
         elif intent in VECTOR_INTENTS:
             search_type = "vector"
         else:

@@ -54,11 +54,23 @@ _RELATION_ANSWER_RELS: dict[QueryIntent, frozenset[str]] = {
     QueryIntent.FIND_IMPORTS: frozenset({"imports"}),
     QueryIntent.FIND_FILE_CONTEXT: frozenset({"in_file"}),
 }
-_SUBJECT_DEMOTE_INTENTS = frozenset(
+SUBJECT_DEMOTE_INTENTS = frozenset(
     _RELATION_ANSWER_RELS) - {QueryIntent.FIND_CALL_CHAIN}
 # Capped entity-match values under subject demotion (exact / partial).
-_SUBJECT_EXACT_CAP = 0.45
-_SUBJECT_PARTIAL_CAP = 0.25
+SUBJECT_EXACT_CAP = 0.45
+SUBJECT_PARTIAL_CAP = 0.25
+# The device deep branch's evidence walk is CALLS-only (engine
+# `_deep_evidence`): its reach classes are primary/callee/caller, so the
+# relation members of methods/hierarchy/imports/file-context intents can
+# never appear in the reach to BE promoted. Demoting the subject there
+# without a compensating answer signal is a pure ordering regression —
+# the device branch demotes only where the answers ride in the reach.
+DEEP_CALLS_DEMOTE_INTENTS = frozenset(
+    {QueryIntent.FIND_USAGE, QueryIntent.FIND_CALLEES})
+# Back-compat aliases (pre-r5 private names).
+_SUBJECT_DEMOTE_INTENTS = SUBJECT_DEMOTE_INTENTS
+_SUBJECT_EXACT_CAP = SUBJECT_EXACT_CAP
+_SUBJECT_PARTIAL_CAP = SUBJECT_PARTIAL_CAP
 
 
 class ResultScorer:

@@ -299,6 +299,49 @@ class TestGoldenQueries:
         names = " ".join(r.qualified_name for r in result.results)
         assert "validate_email" in names
 
+    def test_device_route_keeps_subject_for_non_calls_intents(
+            self, engine, monkeypatch):
+        """The device deep branch's evidence walk is CALLS-only, so for
+        methods/hierarchy intents the relation answers can never appear
+        in the reach to be promoted — the subject must NOT be demoted
+        there (r5 review finding: demotion without a compensating
+        answer signal is a pure ordering regression)."""
+        monkeypatch.setattr(type(engine), "DEEP_DEVICE_THRESHOLD", 1)
+        result = engine.deep_search("what methods does DeliveryQueue have?")
+        assert result.results
+        top = [r.qualified_name for r in result.results[:3]]
+        assert any("DeliveryQueue" in qn for qn in top), top
+
+    def test_device_route_demotes_subject_for_usage_intent(
+            self, engine, monkeypatch):
+        """Usage answers (callers) DO ride the CALLS reach, so there the
+        subject demotion stands: callers outrank the subject."""
+        monkeypatch.setattr(type(engine), "DEEP_DEVICE_THRESHOLD", 1)
+        result = engine.deep_search("who calls validate_email?")
+        assert result.results
+        qns = [r.qualified_name for r in result.results]
+        subject = next((i for i, qn in enumerate(qns)
+                        if qn.endswith(".validate_email")), None)
+        callers = [i for i, qn in enumerate(qns)
+                   if not qn.endswith(".validate_email")]
+        assert subject is None or any(i < subject for i in callers), qns
+
+    def test_host_deep_demotes_dotted_subject(self, engine):
+        """Host deep branch, dotted entity: 'DeliveryQueue.drain' never
+        equals a row's bare name, so pre-fix the subject skipped
+        subject_rows and the lexical channel handed its match straight
+        back (r5 review finding) — callers must outrank the subject."""
+        result = engine.deep_search("who calls WebhookService.fire?")
+        assert result.results
+        qns = [r.qualified_name for r in result.results]
+        subject = next((i for i, qn in enumerate(qns)
+                        if qn.endswith("WebhookService.fire")), None)
+        answers = [i for i, qn in enumerate(qns)
+                   if qn.endswith(("SlackIntegration.post_message",
+                                   "webhooks._on_task_completed"))]
+        assert answers, qns
+        assert subject is None or min(answers) < subject, qns
+
     def test_per_entity_caller_lists_are_entity_specific(self, golden):
         """Each primary's EntityContext carries its OWN depth-1 callers
         (reference `context/builder.py:141-151`), not the union across

@@ -25,7 +25,10 @@ hit@10 0.9901; the relation-directed ordering pass (subject demotion +
 relation-answer bonus in the scorer and both deep branches, single-cap
 + relation-phrase entity extraction in the planner, query-coverage +
 compound-split in the lexical channel) measured mrr 0.9024 / hit@5
-0.9901 / hit@10 1.0, deep mrr 0.7917, zero misses.
+0.9901 / hit@10 1.0, deep mrr 0.7917, zero misses. The r5 review pass
+(device-branch demotion restricted to CALLS-answer intents, dotted
+subject rows, undeflated min_name_cov gate) measured mrr 0.9074 /
+deep mrr 0.8333, still zero misses.
 """
 
 import pytest
@@ -33,11 +36,11 @@ import pytest
 from lattice_tpu.query.golden_eval import evaluate, load_cases
 
 FLOORS = {
-    "mrr": 0.84,
+    "mrr": 0.86,
     "hit_at_5": 0.95,
     "hit_at_10": 0.97,
 }
-DEEP_MRR_FLOOR = 0.70
+DEEP_MRR_FLOOR = 0.76
 
 
 @pytest.fixture(scope="module")

@@ -132,6 +132,32 @@ class TestLexicalCandidates:
         found = {st.payload(r)["name"].rsplit(".", 1)[-1] for r, _ in hits}
         assert "complete" in found
 
+    def test_min_name_cov_thresholds_undeflated_coverage(self):
+        """The deep paths' binary match slots want 'a name the query
+        mostly spells out' — that is NAME coverage, which query-coverage
+        deflation must not undercut: a one-token name fully spelled out
+        in a verbose query scores ~0.55 deflated yet must pass
+        min_name_cov=0.6 (r5 review finding)."""
+        st = ChunkStore(dim=D)
+        # one-token names, all present in the query, so the query's
+        # index-known idf mass spreads across six names and each one's
+        # query coverage lands ~1/6 -> deflated score ~0.58 < 0.6
+        names = ["drain", "backlog", "outbound", "waiting",
+                 "maintenance", "cycle", "app.models.task.Task"]
+        st.add(np.stack([_vec(i) for i in range(len(names))]),
+               [{"name": n} for n in names])
+        q = query_token_set(
+            "drain the outbound backlog waiting during the"
+            " maintenance cycle")
+        gated = st.lexical_candidates(q, min_name_cov=0.6)
+        assert gated, "full-name-coverage row must survive the gate"
+        rows = {st.payload(r)["name"].rsplit(".", 1)[-1] for r, _ in gated}
+        assert "drain" in rows
+        # deflated score itself sits under 0.6 for this shape — the old
+        # `score >= 0.6` consumer check would have dropped the row
+        assert any(s < 0.6 for r, s in gated
+                   if st.payload(r)["name"] == "drain")
+
     def test_empty_and_unknown_tokens(self, store):
         assert store.lexical_candidates(set()) == []
         assert store.lexical_candidates({"zzzzz"}) == []

@@ -80,6 +80,32 @@ class TestPlannerIntents:
         plan = QueryPlanner().plan_heuristic("Show all the tasks")
         assert "Show" not in plan.entity_names
 
+    def test_sentence_initial_skip_is_positional_not_offset_zero(self):
+        """Sentence-initial means 'preceded only by whitespace or
+        end-of-sentence punctuation', not offset 0: leading spaces,
+        stripped backticks, and second sentences all shift the first
+        word past offset 0 (r5 review finding)."""
+        p = QueryPlanner()
+        assert "Show" not in p.plan_heuristic(
+            "  Show all the tasks").entity_names
+        assert "Explain" not in p.plan_heuristic(
+            "find usages of drain. Explain the flow").entity_names
+        # mid-sentence capitalized words still extract
+        assert "Repository" in p.plan_heuristic(
+            "  subclasses of Repository").entity_names
+
+    def test_low_confidence_entity_does_not_flip_graph_only(self):
+        """A lone 0.5-confidence capitalized English word must not flip
+        a graph intent from hybrid to graph-only routing — junk fuzzy
+        seeds would replace the vector phase entirely (r5 review
+        finding)."""
+        p = QueryPlanner()
+        plan = p.plan_heuristic("who calls the Python tokenizer")
+        assert plan.search_type == "hybrid", plan.entities
+        # a confident seed still routes graph-only
+        plan = p.plan_heuristic("who calls DeliveryQueue.drain?")
+        assert plan.search_type == "graph"
+
     def test_relation_phrase_object_extracted(self):
         """The word after a relation phrase is the subject even when
         lowercase and pattern-free ("callers of tokenize")."""
