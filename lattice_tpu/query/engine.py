@@ -290,15 +290,23 @@ class QueryEngine:
         # not the answer — cap its match signal the way the host-path
         # scorer does so callers/subclasses/etc. outrank it here too
         subject_match = SUBJECT_EXACT_CAP if demote else 1.0
-        # last segment so dotted entities ("DeliveryQueue.drain") catch
-        # their bare-named rows — otherwise the lexical loop below hands
-        # the subject its full match straight back
-        entity_names = {e.name.lower().rsplit(".", 1)[-1]
-                        for e in plan.entities}
+        # subject-row matching mirrors the scorer's _entity_match: bare
+        # entities match by bare name; dotted entities match the row's
+        # QUALIFIED name exactly or as a ".entity" suffix — last-segment
+        # matching for dotted entities would also demote same-named
+        # relation answers (Runner.drain as a caller of Base.drain)
+        bare_names = {e.name.lower() for e in plan.entities
+                      if "." not in e.name}
+        dotted_names = [e.name.lower() for e in plan.entities
+                        if "." in e.name]
         subject_rows: set[int] = set()
         for row, payload in store.scroll({}, limit=cap):
             name = (payload.get("name") or "").rsplit(".", 1)[-1].lower()
-            if name and name in entity_names:
+            qn = (payload.get("graph_node_id")
+                  or payload.get("name") or "").lower()
+            is_subject = (bool(name) and name in bare_names) or any(
+                qn == d or qn.endswith("." + d) for d in dotted_names)
+            if is_subject:
                 match[row] = subject_match
                 subject_rows.add(row)
             n = len(payload.get("content") or "")
@@ -570,8 +578,13 @@ class QueryEngine:
         n_pad = graph._n_padded()
         seeds: list[int] = []
         for e in plan.entities:
-            ids = graph.find_by_name(e.name) or [
-                nid for nid, _ in graph.find_fuzzy(e.name, limit=3)]
+            ids = graph.find_by_name(e.name)
+            # fuzzy fallback only for confident extractions — a lone
+            # 0.5-confidence capitalized word must not seed the BFS
+            # with arbitrary contains-matches (same gate as
+            # GraphReasoningEngine.find_entity)
+            if not ids and e.confidence >= 0.6:
+                ids = [nid for nid, _ in graph.find_fuzzy(e.name, limit=3)]
             seeds.extend(ids[:5])
         return list(dict.fromkeys(s for s in seeds if s < n_pad))[:16]
 

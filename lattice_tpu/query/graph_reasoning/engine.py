@@ -43,8 +43,12 @@ class GraphReasoningEngine:
             end_line=rec.end_line, depth=depth, relationship=relationship,
         )
 
-    def find_entity(self, name: str) -> list[int]:
+    def find_entity(self, name: str, fuzzy: bool = True) -> list[int]:
         """Exact QN/simple-name then fuzzy CASE-scored contains.
+
+        ``fuzzy=False`` stops at the exact tiers: low-confidence planner
+        extractions (a lone capitalized English word) must not seed the
+        BFS with arbitrary contains-matches.
 
         Reference: `engine.py:272-327` + `FIND_ENTITY_FUZZY`.
         """
@@ -56,8 +60,9 @@ class GraphReasoningEngine:
             tail = self.store.find_by_name(name.rsplit(".", 1)[-1])
             if tail:
                 return tail[:5]
-        fuzzy = self.store.find_fuzzy(name, limit=5)
-        return [nid for nid, _ in fuzzy]
+        if not fuzzy:
+            return []
+        return [nid for nid, _ in self.store.find_fuzzy(name, limit=5)]
 
     def _khop_nodes(self, seed_ids: list[int], edge_type: EdgeType,
                     hops: int, reverse: bool, relationship: str
@@ -163,7 +168,11 @@ class GraphReasoningEngine:
         ctx = GraphContext()
         seed_ids: list[int] = []
         for ent in plan.entities:
-            hits = self.find_entity(ent.name)
+            # low-confidence extractions only seed on EXACT name hits —
+            # fuzzy contains-matches from a 0.5-confidence capitalized
+            # English word ("... the Python tokenizer") are junk seeds
+            hits = self.find_entity(ent.name,
+                                    fuzzy=ent.confidence >= 0.6)
             if hits:
                 seed_ids.extend(hits)
             else:

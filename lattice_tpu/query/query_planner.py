@@ -173,6 +173,10 @@ _PAREN_CALL_RE = re.compile(r"\b([A-Za-z_][\w]*)\s*\(\)")
 # got NO graph phase at all (r5 golden-eval ordering pass). Extracted
 # at low confidence; sentence-initial words are skipped by the caller.
 _SINGLE_CAP_RE = re.compile(r"\b([A-Z][a-z0-9]{2,})\b")
+# abbreviation periods are not sentence ends: "e.g. Repository" keeps
+# Repository extractable
+_ABBREV_RE = re.compile(r"\b(?:e\.g|i\.e|cf|vs|etc|et al)\.$",
+                        re.IGNORECASE)
 # Relation-phrase object: "callers of tokenize", "who calls tokenize"
 # — the word after the relation phrase IS the subject even when it is
 # a plain lowercase word no identifier pattern matches.
@@ -188,7 +192,10 @@ _FILE_RE = re.compile(r"\b([\w./-]+\.(?:py|pyi|js|jsx|ts|tsx|mjs|cjs))\b")
 _STOPWORDS = frozenset(
     "the a an of to in for from by with and or is are was were does do did "
     "how what where who which when why show me find all any that this "
-    "function class method file code".split())
+    "function class method file code "
+    # abbreviations: _DOTTED_RE would otherwise extract "e.g" as a
+    # 0.9-confidence dotted entity
+    "e.g i.e etc vs cf".split())
 
 
 class QueryPlanner:
@@ -270,7 +277,8 @@ class QueryPlanner:
             # misses leading spaces, stripped backticks, and second
             # sentences: "Find usages. Explain the flow").
             prefix = stripped[:m.start()].rstrip()
-            if prefix and prefix[-1] not in ".!?":
+            if prefix and (prefix[-1] not in ".!?"
+                           or _ABBREV_RE.search(prefix)):
                 add(m.group(1), "class", 0.5)
         return out[:8]
 

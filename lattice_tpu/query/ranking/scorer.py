@@ -67,10 +67,6 @@ SUBJECT_PARTIAL_CAP = 0.25
 # the device branch demotes only where the answers ride in the reach.
 DEEP_CALLS_DEMOTE_INTENTS = frozenset(
     {QueryIntent.FIND_USAGE, QueryIntent.FIND_CALLEES})
-# Back-compat aliases (pre-r5 private names).
-_SUBJECT_DEMOTE_INTENTS = SUBJECT_DEMOTE_INTENTS
-_SUBJECT_EXACT_CAP = SUBJECT_EXACT_CAP
-_SUBJECT_PARTIAL_CAP = SUBJECT_PARTIAL_CAP
 
 
 class ResultScorer:
@@ -79,15 +75,15 @@ class ResultScorer:
 
     def _entity_match(self, name: str, qualified_name: str,
                       plan: QueryPlan) -> float:
-        demote = plan.intent in _SUBJECT_DEMOTE_INTENTS
+        demote = plan.intent in SUBJECT_DEMOTE_INTENTS
         nl = name.lower()
         ql = qualified_name.lower()
         for ent in plan.entities:
             el = ent.name.lower()
             if nl == el or ql == el or ql.endswith("." + el):
-                return _SUBJECT_EXACT_CAP if demote else 1.0
+                return SUBJECT_EXACT_CAP if demote else 1.0
             if el in ql:
-                return _SUBJECT_PARTIAL_CAP if demote else 0.5
+                return SUBJECT_PARTIAL_CAP if demote else 0.5
         return 0.0
 
     @staticmethod

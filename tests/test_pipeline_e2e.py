@@ -493,6 +493,15 @@ class TestGraphReasoningDispatch:
         rec = grengine.store.node(hits[0])
         assert rec.name == "UserService"
 
+    def test_fuzzy_gate_blocks_low_confidence_seeds(self, grengine):
+        """fuzzy=False stops at the exact tiers: a 0.5-confidence
+        capitalized English word ('Python') must not seed the BFS with
+        arbitrary contains-matches (r5 review finding — the junk-seed
+        pathology lives here, not in search_type)."""
+        assert grengine.find_entity("UserServ", fuzzy=False) == []
+        # exact names still resolve regardless of the gate
+        assert grengine.find_entity("UserService", fuzzy=False)
+
     def test_unknown_entity_noted(self, grengine):
         ctx = grengine.execute_query_plan(
             self._plan("who calls totally_missing_fn?"))

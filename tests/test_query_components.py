@@ -94,6 +94,16 @@ class TestPlannerIntents:
         assert "Repository" in p.plan_heuristic(
             "  subclasses of Repository").entity_names
 
+    def test_abbreviation_period_is_not_sentence_end(self):
+        """'e.g. Repository' must keep extracting Repository — an
+        abbreviation period is not a sentence boundary (r5 review)."""
+        p = QueryPlanner()
+        assert "Repository" in p.plan_heuristic(
+            "show classes like e.g. Repository").entity_names
+        # a REAL sentence end still skips
+        assert "Explain" not in p.plan_heuristic(
+            "find usages of drain. Explain the flow").entity_names
+
     def test_low_confidence_entity_does_not_flip_graph_only(self):
         """A lone 0.5-confidence capitalized English word must not flip
         a graph intent from hybrid to graph-only routing — junk fuzzy
