@@ -150,6 +150,13 @@ USAGE = [  # who calls X -> direct callers of X
     ("callers of tokenize", "app.search.text_index.tokenize"),
     ("who calls fetchTasks?", "web.src.api.endpoints.fetchTasks"),
     ("where is getStore used?", "web.src.store.store.getStore"),
+    # robustness shapes (r5 review pass): a noise capitalized word must
+    # not hijack the seeds; a second sentence must not extract its
+    # opening word as an entity
+    ("who calls tokenize in the Python backend?",
+     "app.search.text_index.tokenize"),
+    ("where is now_ts used? Keep the answer short",
+     "app.utils.dates.now_ts"),
 ]
 
 CALLEES = [  # what does X call -> direct callees of X
@@ -180,6 +187,9 @@ DESCENDANTS = [  # what inherits from X -> EXTENDS descendants
     ("what extends TaskforgeError?",
      "app.core.exceptions.TaskforgeError"),
     ("subclasses of Repository", "app.db.base.Repository"),
+    # abbreviation period mid-query must not suppress the entity
+    ("list the subclasses of Middleware, e.g. for auth or logging",
+     "app.api.middleware.Middleware"),
 ]
 
 METHODS = [  # what methods does X have -> its method children
