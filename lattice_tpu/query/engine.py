@@ -289,7 +289,13 @@ class QueryEngine:
         # relation-directed intents: the named entity is the SUBJECT,
         # not the answer — cap its match signal the way the host-path
         # scorer does so callers/subclasses/etc. outrank it here too
-        subject_match = SUBJECT_EXACT_CAP if demote else 1.0
+        # under demotion the subject gets NO match signal — the same
+        # rule as the device branch, which excludes seeds from the
+        # packed match slots; its capped relevance + vector cosine keep
+        # it near the top as context (probed: a 0.45 cap still left
+        # "who calls get_config?" ranking the subject above its callers
+        # by 0.025 through the subject's query-echo cosine)
+        subject_match = 0.0 if demote else 1.0
         # subject-row matching mirrors the scorer's _entity_match: bare
         # entities match by bare name; dotted entities match the row's
         # QUALIFIED name exactly or as a ".entity" suffix — last-segment

@@ -28,7 +28,10 @@ compound-split in the lexical channel) measured mrr 0.9024 / hit@5
 0.9901 / hit@10 1.0, deep mrr 0.7917, zero misses. The r5 review pass
 (device-branch demotion restricted to CALLS-answer intents, dotted
 subject rows, undeflated min_name_cov gate) measured mrr 0.9074 /
-deep mrr 0.8333, still zero misses.
+deep mrr 0.8333, still zero misses. Zeroing the demoted subject's
+match signal in the host deep branch (aligning it with the device
+branch, which excludes seeds from the match slots) measured mrr
+0.9148 / deep mrr 0.875 on the grown 104-case set, zero misses.
 """
 
 import pytest
@@ -36,11 +39,11 @@ import pytest
 from lattice_tpu.query.golden_eval import evaluate, load_cases
 
 FLOORS = {
-    "mrr": 0.86,
+    "mrr": 0.87,
     "hit_at_5": 0.95,
     "hit_at_10": 0.97,
 }
-DEEP_MRR_FLOOR = 0.76
+DEEP_MRR_FLOOR = 0.80
 
 
 @pytest.fixture(scope="module")
